@@ -1,0 +1,113 @@
+"""Test fixtures.
+
+Mirrors the reference test strategy (/root/reference/tests/common.py:225-241):
+a `df` fixture parametrized over execution backends (plain, filtered,
+trimmed/sliced, concatenated fragments, arrow-backed) so one assertion
+exercises every code path, plus `small_buffer` forcing multi-chunk execution
+on 15-row frames (common.py:57-71).
+
+JAX runs on a virtual 8-device CPU mesh so multi-chip sharding logic is
+exercised without TPU hardware (the driver separately dry-runs
+__graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+
+import contextlib
+
+import numpy as np
+import pytest
+
+import vaex_tpu as vaex
+from vaex_tpu import settings
+
+
+@contextlib.contextmanager
+def small_buffer(df, size=3):
+    """Force tiny chunks so multi-chunk logic runs on 15-row frames
+    (reference: tests/common.py:57-71)."""
+    old = settings.chunk.size
+    settings.chunk.size = size
+    try:
+        yield
+    finally:
+        settings.chunk.size = old
+
+
+@pytest.fixture
+def small_buffer_fixture():
+    return small_buffer
+
+
+def create_base_df():
+    x = np.arange(10, dtype=np.float64)
+    y = x ** 2
+    i = np.arange(10, dtype=np.int32)
+    m = np.ma.MaskedArray(np.arange(10, dtype=np.int64), mask=[0, 0, 1, 0, 0, 0, 0, 1, 0, 0])
+    f = np.array([0.1, np.nan, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0])
+    import pyarrow as pa
+    s = pa.array(["apple", "banana", None, "cherry", "date", "apple", "fig", "grape", "banana", "kiwi"])
+    name = np.array(["a", "b", "c", "d", "e", "f", "g", "h", "i", "j"], dtype=object)
+    df = vaex.from_arrays(x=x, y=y, i=i, m=m, f=f, s=s, name=name)
+    return df
+
+
+@pytest.fixture
+def df_local():
+    return create_base_df()
+
+
+@pytest.fixture(params=["plain", "sliced", "concat", "filtered_all"])
+def df(request):
+    """Backend-parametrized dataframe with identical logical content."""
+    base = create_base_df()
+    if request.param == "plain":
+        return base
+    if request.param == "sliced":
+        # build a longer df and slice the middle out so active-range logic runs
+        x = np.concatenate([[-1, -2], np.arange(10, dtype=np.float64), [-3]])
+        y = np.concatenate([[-1, -2], np.arange(10, dtype=np.float64) ** 2, [-3]])
+        i = np.concatenate([[-1, -2], np.arange(10), [-3]]).astype(np.int32)
+        m = np.ma.MaskedArray(np.concatenate([[-1, -2], np.arange(10), [-3]]).astype(np.int64),
+                              mask=[0, 0] + [0, 0, 1, 0, 0, 0, 0, 1, 0, 0] + [0])
+        f = np.concatenate([[-1, -2], [0.1, np.nan, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0], [-3]])
+        import pyarrow as pa
+        s = pa.array(["x", "y"] + ["apple", "banana", None, "cherry", "date", "apple", "fig", "grape", "banana", "kiwi"] + ["z"])
+        name = np.array(["x", "y"] + list("abcdefghij") + ["z"], dtype=object)
+        df = vaex.from_arrays(x=x, y=y, i=i, m=m, f=f, s=s, name=name)
+        df.set_active_range(2, 12)
+        return df
+    if request.param == "concat":
+        parts = []
+        for sl in [(0, 3), (3, 4), (4, 7), (7, 10)]:
+            part = base[sl[0]:sl[1]].extract()
+            parts.append(part)
+        return vaex.concat(parts)
+    if request.param == "filtered_all":
+        # filter that keeps every row: exercises the filter path
+        x = np.concatenate([np.arange(10, dtype=np.float64), [100.0]])
+        y = np.concatenate([np.arange(10, dtype=np.float64) ** 2, [100.0]])
+        i = np.concatenate([np.arange(10), [100]]).astype(np.int32)
+        m = np.ma.MaskedArray(np.concatenate([np.arange(10), [100]]).astype(np.int64),
+                              mask=[0, 0, 1, 0, 0, 0, 0, 1, 0, 0] + [0])
+        f = np.concatenate([[0.1, np.nan, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0], [100.0]])
+        import pyarrow as pa
+        s = pa.array(["apple", "banana", None, "cherry", "date", "apple", "fig", "grape", "banana", "kiwi", "last"])
+        name = np.array(list("abcdefghij") + ["z"], dtype=object)
+        df = vaex.from_arrays(x=x, y=y, i=i, m=m, f=f, s=s, name=name)
+        return df[df.x < 50]
+    raise ValueError(request.param)
+
+
+@pytest.fixture
+def df_filtered():
+    base = create_base_df()
+    return base[base.x > 2]
+
+
+@pytest.fixture
+def tmp_hdf5(tmp_path):
+    return str(tmp_path / "test.hdf5")

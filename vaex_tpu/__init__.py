@@ -1,0 +1,217 @@
+"""vaex_tpu: a TPU-native out-of-core DataFrame engine.
+
+Brand-new framework with the capabilities of vaex (reference mounted at
+/root/reference): lazy string-expression DataFrames over memory-mapped
+columns, where every statistic is computed on an N-d binned grid in one
+streaming pass — but the pass is a fused XLA/Pallas program on TPU instead of
+C++ evaluators on CPU threads.  See SURVEY.md for the design translation.
+"""
+
+from __future__ import annotations
+
+import jax
+
+# Analytics semantics need int64/float64 (reference engine is numpy-based);
+# hot kernels opt into f32/bf16 explicitly (settings.compute.precision).
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+from . import dataset as _dataset_mod  # noqa: E402
+from . import settings  # noqa: E402
+from .datatype import DataType  # noqa: E402
+from .column import ColumnVirtualRange  # noqa: E402
+
+__version__ = "0.1.0"
+
+
+def dtype(t):
+    return DataType(t)
+
+
+def dtype_of(ar):
+    from . import array_types
+    return array_types.data_type(ar)
+
+
+def from_dataset(ds, name=None):
+    from .dataframe import DataFrameLocal
+    return DataFrameLocal(ds, name=name)
+
+
+def from_arrays(**arrays):
+    """In-memory DataFrame from numpy/Arrow arrays
+    (reference: vaex/__init__.py from_arrays)."""
+    return from_dataset(_dataset_mod.DatasetArrays(arrays))
+
+
+def from_dict(data):
+    return from_arrays(**data)
+
+
+def from_items(*items):
+    return from_arrays(**dict(items))
+
+
+def from_pandas(df, name=None, copy_index=False, index_name="index"):
+    import pyarrow as pa
+    arrays = {}
+
+    def convert(values):
+        if isinstance(values, np.ndarray):
+            return values
+        try:
+            return values.to_numpy(copy=False)
+        except (TypeError, ValueError):
+            pass
+        try:
+            return pa.Array.from_pandas(values)
+        except Exception:  # noqa: BLE001
+            return np.asarray(values)
+
+    for column in df.columns.tolist():
+        series = df[column]
+        if series.dtype == object or str(series.dtype) in ("string", "str", "large_string[pyarrow]", "string[pyarrow]"):
+            arrays[str(column)] = pa.Array.from_pandas(series)
+        else:
+            arrays[str(column)] = convert(series.values)
+    if copy_index:
+        arrays[index_name] = np.asarray(df.index.values)
+    return from_arrays(**arrays)
+
+
+def from_arrow_table(table):
+    return from_arrays(**{name: table.column(name) for name in table.column_names})
+
+
+def from_records(records, array_type="arrow", defaults=None):
+    """List-of-dicts → DataFrame (reference: vaex/__init__.py from_records)."""
+    defaults = defaults or {}
+    names = []
+    for record in records:
+        for name in record:
+            if name not in names:
+                names.append(name)
+    arrays = {}
+    for name in names:
+        values = [record.get(name, defaults.get(name)) for record in records]
+        try:
+            arrays[name] = np.array(values)
+        except Exception:
+            import pyarrow as pa
+            arrays[name] = pa.array(values)
+    return from_arrays(**arrays)
+
+
+def from_csv(path, **kwargs):
+    from .io.csv import CsvDatasetLazy
+    return from_dataset(CsvDatasetLazy.open(path, **kwargs))
+
+
+def from_ascii(path, **kwargs):
+    return from_csv(path, **kwargs)
+
+
+def from_json(path, orient=None, **kwargs):
+    import pandas as pd
+    return from_pandas(pd.read_json(path, orient=orient, **kwargs))
+
+
+def open(path, convert=False, shuffle=False, fs_options=None, **kwargs):
+    """Open a file (hdf5/arrow/parquet/csv/…) as a lazy DataFrame
+    (reference: vaex/__init__.py:111)."""
+    import glob as globlib
+    if isinstance(path, (list, tuple)):
+        return concat([open(p, fs_options=fs_options, **kwargs) for p in path])
+    spath = str(path)
+    if any(ch in spath for ch in "*?[" ) and not spath.startswith(("s3://", "gs://")):
+        paths = sorted(globlib.glob(spath))
+        if not paths:
+            raise IOError(f"no files matching {spath}")
+        if len(paths) > 1:
+            return concat([open(p, fs_options=fs_options, **kwargs) for p in paths])
+        spath = paths[0]
+    ds = _dataset_mod.open(spath, fs_options=fs_options, **kwargs)
+    df = from_dataset(ds)
+    if shuffle:
+        df = df.shuffle()
+    return df
+
+
+def open_many(paths, **kwargs):
+    return concat([open(p, **kwargs) for p in paths])
+
+
+def concat(dfs, resolver="flexible"):
+    """Lazily concatenate DataFrames (reference: vaex/__init__.py concat)."""
+    from .dataframe import DataFrameConcatenated
+    return DataFrameConcatenated(dfs, resolver=resolver)
+
+
+def vrange(start, stop, step=1, dtype="int64"):
+    """Virtual range column: billions of rows, zero bytes
+    (reference: vaex/__init__.py vrange)."""
+    return ColumnVirtualRange(start, stop, step, dtype)
+
+
+def vconstant(value, length, dtype=None):
+    from .column import ColumnVirtualConstant
+    return ColumnVirtualConstant(value, length, dtype)
+
+
+def string_column(strings):
+    import pyarrow as pa
+    return pa.array(strings)
+
+
+_examples = {}
+
+
+def example(n_rows=330_000, seed=42):
+    """Synthetic analogue of the reference example dataset (reference:
+    vaex/__init__.py:659 downloads helmi-dezeeuw-2000-FeH-v2; we generate a
+    deterministic gaussian mixture with the same column names instead —
+    no egress in this environment)."""
+    key = (n_rows, seed)
+    if key not in _examples:
+        rng = np.random.RandomState(seed)
+        k = n_rows
+        x, y, z = rng.normal(0, 1, (3, k))
+        vx, vy, vz = rng.normal(0, 30, (3, k))
+        E = -70000 + 0.5 * (vx**2 + vy**2 + vz**2) + 1000 * (x**2 + y**2 + z**2)
+        L = np.sqrt((y * vz - z * vy) ** 2 + (z * vx - x * vz) ** 2 + (x * vy - y * vx) ** 2)
+        Lz = x * vy - y * vx
+        FeH = rng.uniform(-3, 0.5, k)
+        _examples[key] = from_arrays(
+            id=np.arange(k, dtype=np.int32), x=x, y=y, z=z, vx=vx, vy=vy, vz=vz,
+            E=E, L=L, Lz=Lz, FeH=FeH)
+    return _examples[key]
+
+
+def register_function(f=None, name=None, on_expression=True, df_accessor=None, multiprocessing=False):
+    from .functions import register_function as _rf
+    return _rf(f=f, name=name, on_expression=on_expression)
+
+
+def register_dataframe_accessor(name, cls=None, override=False):
+    from .dataframe import register_dataframe_accessor as _rda
+    return _rda(name, cls=cls, override=override)
+
+
+# submodule conveniences (populated as the modules land)
+from . import agg  # noqa: E402,F401
+from . import cache  # noqa: E402,F401
+
+
+class RowLimitException(Exception):
+    """Raised when a groupby/unique explodes past row_limit
+    (reference: vaex/__init__.py:870)."""
+
+
+class UserAbort(Exception):
+    """Raised on cancellation via progress callbacks
+    (reference: vaex/execution.py:38)."""
+
+
+def apply(f, *args, **kwargs):
+    raise NotImplementedError("use df.apply")

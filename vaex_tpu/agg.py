@@ -1,0 +1,420 @@
+"""Aggregation descriptors: the public `vaex.agg.*` registry.
+
+TPU-native counterpart of /root/reference/packages/vaex-core/vaex/agg.py:
+declarative aggregations; compound ones are composed from primitives exactly
+like the reference (mean = sum/count, agg.py:386; var/std from moment grids,
+:422; skew/kurtosis from 3rd/4th moments, :461-520) so numerical semantics
+match.  The primitive descriptors map onto the device AggOps in
+ops/gridagg.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import utils
+from .delayed import delayed
+from .tasks import TaskAggregation
+
+aggregates = {}
+
+
+def register(f, name=None):
+    name = name or f.__name__
+    aggregates[name] = f
+    return f
+
+
+class AggregatorDescriptor:
+    def __repr__(self):
+        return f"vaex.agg.{self.short_name}({self.expression!r})"
+
+    @property
+    def expression(self):
+        return self.expressions[0] if self.expressions else "*"
+
+    def pretty_name(self, id, df):
+        id = id or self.expression.replace("*", "star")
+        return f"{id}_{self.short_name}"
+
+    def encode(self, encoding):
+        sel = self.selection
+        return dict(aggregation=self.short_name,
+                    expression=self.expressions,
+                    selection=str(sel) if sel is not None and not isinstance(sel, bool) else sel,
+                    edges=self.edges)
+
+
+class AggregatorDescriptorBasic(AggregatorDescriptor):
+    """One primitive grid op (reference: vaex/agg.py:222)."""
+
+    def __init__(self, name, expressions, short_name, selection=None, edges=False, agg_args=None):
+        self.name = name
+        self.short_name = short_name
+        self.expressions = [str(e) for e in expressions]
+        self.selection = selection
+        self.edges = edges
+        self.agg_args = agg_args or {}
+
+    def encode(self, encoding):
+        spec = super().encode(encoding)
+        if self.agg_args:
+            spec.update(self.agg_args)
+        return spec
+
+    def _prepare_types(self, df):
+        from .datatype import DataType
+        if self.expression == "*":
+            self.dtype_in = DataType(np.dtype("int64"))
+            self.dtype_out = DataType(np.dtype("int64"))
+            return
+        self.dtype_in = df.data_type(self.expression)
+        self.dtype_out = self.dtype_in
+        if self.short_name == "count":
+            self.dtype_out = DataType(np.dtype("int64"))
+        if self.short_name in ("sum", "summoment"):
+            self.dtype_out = self.dtype_in.upcast()
+
+    def add_tasks(self, df, binners, progress=None):
+        self._prepare_types(df)
+        task = TaskAggregation(df, binners, self)
+        task = df.executor.schedule(task)
+
+        @delayed
+        def finish(value):
+            return self.finish(value)
+
+        return [task], finish(task)
+
+    def finish(self, value):
+        return value
+
+    def get_result_slicing(self, binners):
+        """edges=False strips edge slots (reference: vaex/agg.py:323-335)."""
+        if self.edges:
+            return tuple(slice(None) for _ in binners)
+        return tuple(b.edges_slice() for b in binners)
+
+
+class AggregatorDescriptorMulti(AggregatorDescriptor):
+    """Compound aggregation built from several primitive passes
+    (reference: vaex/agg.py:360)."""
+
+    def __init__(self, name, expressions, short_name, selection=None, edges=False):
+        self.name = name
+        self.short_name = short_name
+        self.expressions = [str(e) for e in expressions]
+        self.selection = selection
+        self.edges = edges
+
+    def finish(self, value):
+        return value
+
+
+class AggregatorDescriptorMean(AggregatorDescriptorMulti):
+    """Reference: vaex/agg.py:386."""
+
+    def add_tasks(self, df, binners, progress=None):
+        expression = df[str(self.expressions[0])]
+        dtype = expression.data_type()
+        if dtype.is_temporal:
+            sum_expr = expression.astype("int64")
+        elif dtype.is_bool:
+            sum_expr = expression.astype("int64")
+        else:
+            sum_expr = expression
+        sum_agg = sum(sum_expr, selection=self.selection, edges=self.edges)
+        count_agg = count(expression, selection=self.selection, edges=self.edges)
+        tasks_sum, result_sum = sum_agg.add_tasks(df, binners, progress)
+        tasks_count, result_count = count_agg.add_tasks(df, binners, progress)
+        self._out_dtype = dtype
+
+        @delayed
+        def finish(sum_value, count_value):
+            sum_value = np.array(sum_value)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean = sum_value / count_value
+            if self._out_dtype.is_temporal:
+                mean = mean.astype(self._out_dtype.numpy)
+            return self.finish(mean)
+
+        return tasks_sum + tasks_count, finish(result_sum, result_count)
+
+
+class AggregatorDescriptorVar(AggregatorDescriptorMulti):
+    """Reference: vaex/agg.py:422 (population variance, ddof applied by
+    frontend only in the scalar API like the reference)."""
+
+    def __init__(self, name, expressions, short_name="var", ddof=0, selection=None, edges=False):
+        super().__init__(name, expressions, short_name, selection=selection, edges=edges)
+        self.ddof = ddof
+
+    def add_tasks(self, df, binners, progress=None):
+        expression = df[str(self.expressions[0])].astype("float64")
+        sum_moment = _sum_moment(str(expression), 2, selection=self.selection, edges=self.edges)
+        sum_ = sum(str(expression), selection=self.selection, edges=self.edges)
+        count_ = count(str(expression), selection=self.selection, edges=self.edges)
+        t1, r1 = sum_moment.add_tasks(df, binners, progress)
+        t2, r2 = sum_.add_tasks(df, binners, progress)
+        t3, r3 = count_.add_tasks(df, binners, progress)
+
+        @delayed
+        def finish(sum_moment_v, sum_v, count_v):
+            sum_v = np.array(sum_v)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean = sum_v / count_v
+                raw2 = sum_moment_v / count_v
+                variance = raw2 - mean**2
+                if self.ddof:
+                    variance = variance * (count_v / (count_v - self.ddof))
+            return self.finish(variance)
+
+        return t1 + t2 + t3, finish(r1, r2, r3)
+
+
+class AggregatorDescriptorStd(AggregatorDescriptorVar):
+    def finish(self, value):
+        return value**0.5
+
+
+class AggregatorDescriptorSkew(AggregatorDescriptorMulti):
+    """Reference: vaex/agg.py:461."""
+
+    def add_tasks(self, df, binners, progress=None):
+        expression = df[str(self.expressions[0])].astype("float64")
+        aggs = [_sum_moment(str(expression), k, selection=self.selection, edges=self.edges) for k in (1, 2, 3)]
+        aggs.append(count(str(expression), selection=self.selection, edges=self.edges))
+        tasks, results = [], []
+        for a in aggs:
+            t, r = a.add_tasks(df, binners, progress)
+            tasks += t
+            results.append(r)
+
+        @delayed
+        def finish(m1s, m2s, m3s, counts):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                m1 = m1s / counts
+                m2 = m2s / counts
+                m3 = m3s / counts
+                skew = (m3 - 3 * m1 * m2 + 2 * m1**3) / (m2 - m1**2) ** (3 / 2)
+            return skew
+
+        return tasks, finish(*results)
+
+
+class AggregatorDescriptorKurtosis(AggregatorDescriptorMulti):
+    """Reference: vaex/agg.py:491."""
+
+    def add_tasks(self, df, binners, progress=None):
+        expression = df[str(self.expressions[0])].astype("float64")
+        aggs = [_sum_moment(str(expression), k, selection=self.selection, edges=self.edges) for k in (1, 2, 3, 4)]
+        aggs.append(count(str(expression), selection=self.selection, edges=self.edges))
+        tasks, results = [], []
+        for a in aggs:
+            t, r = a.add_tasks(df, binners, progress)
+            tasks += t
+            results.append(r)
+
+        @delayed
+        def finish(m1s, m2s, m3s, m4s, counts):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                m1 = m1s / counts
+                m2 = m2s / counts
+                m3 = m3s / counts
+                m4 = m4s / counts
+                kurt = (m4 - 4 * m1 * m3 + 6 * m1**2 * m2 - 3 * m1**4) / (m2 - m1**2) ** 2 - 3.0
+            return kurt
+
+        return tasks, finish(*results)
+
+
+class AggregatorDescriptorNUnique(AggregatorDescriptorBasic):
+    """Reference: vaex/agg.py:338."""
+
+    def __init__(self, name, expression, short_name, dropmissing=False, dropnan=False, selection=None, edges=False):
+        super().__init__(name, [expression], short_name, selection=selection, edges=edges,
+                         agg_args=dict(dropmissing=dropmissing, dropnan=dropnan))
+        self.dropmissing = dropmissing
+        self.dropnan = dropnan
+
+    def _prepare_types(self, df):
+        from .datatype import DataType
+        super()._prepare_types(df)
+        self.dtype_out = DataType(np.dtype("int64"))
+
+
+# -- expression-rewrite aggregations (reference: vaex/agg.py:77-221) --------
+
+class AggregatorDescriptorExpressionRewrite(AggregatorDescriptor):
+    """Rewrites the input expression and delegates to an inner descriptor."""
+
+    def __init__(self, short_name, expression, rewrite, inner_factory, selection=None, edges=False):
+        self.short_name = short_name
+        self.expressions = [str(expression)]
+        self.selection = selection
+        self.edges = edges
+        self._rewrite = rewrite
+        self._inner_factory = inner_factory
+
+    def add_tasks(self, df, binners, progress=None):
+        rewritten = self._rewrite(str(self.expressions[0]))
+        inner = self._inner_factory(rewritten, selection=self.selection, edges=self.edges)
+        return inner.add_tasks(df, binners, progress)
+
+
+@register
+def count(expression="*", selection=None, edges=False):
+    """Count of non-missing values, or rows for '*' (reference: agg.py:527)."""
+    return AggregatorDescriptorBasic("AggCount", [expression], "count", selection=selection, edges=edges)
+
+
+@register
+def sum(expression, selection=None, edges=False):
+    return AggregatorDescriptorBasic("AggSum", [expression], "sum", selection=selection, edges=edges)
+
+
+def _sum_moment(expression, moment, selection=None, edges=False):
+    return AggregatorDescriptorBasic("AggSumMoment", [expression], "summoment",
+                                     selection=selection, edges=edges, agg_args=dict(moment=moment))
+
+
+@register
+def mean(expression, selection=None, edges=False):
+    return AggregatorDescriptorMean("mean", [expression], "mean", selection=selection, edges=edges)
+
+
+@register
+def min(expression, selection=None, edges=False):
+    return AggregatorDescriptorBasic("AggMin", [expression], "min", selection=selection, edges=edges)
+
+
+@register
+def max(expression, selection=None, edges=False):
+    return AggregatorDescriptorBasic("AggMax", [expression], "max", selection=selection, edges=edges)
+
+
+@register
+def var(expression, ddof=0, selection=None, edges=False):
+    return AggregatorDescriptorVar("var", [expression], "var", ddof=ddof, selection=selection, edges=edges)
+
+
+@register
+def std(expression, ddof=0, selection=None, edges=False):
+    return AggregatorDescriptorStd("std", [expression], "std", ddof=ddof, selection=selection, edges=edges)
+
+
+@register
+def skew(expression, selection=None, edges=False):
+    return AggregatorDescriptorSkew("skew", [expression], "skew", selection=selection, edges=edges)
+
+
+@register
+def kurtosis(expression, selection=None, edges=False):
+    return AggregatorDescriptorKurtosis("kurtosis", [expression], "kurtosis", selection=selection, edges=edges)
+
+
+@register
+def first(expression, order_expression=None, selection=None, edges=False):
+    """Value of `expression` at the minimum of `order_expression`
+    (reference: agg.py first)."""
+    exprs = [expression] if order_expression is None else [expression, order_expression]
+    return AggregatorDescriptorBasic("AggFirst", exprs, "first", selection=selection, edges=edges)
+
+
+@register
+def last(expression, order_expression=None, selection=None, edges=False):
+    exprs = [expression] if order_expression is None else [expression, order_expression]
+    return AggregatorDescriptorBasic("AggLast", exprs, "last", selection=selection, edges=edges)
+
+
+@register
+def nunique(expression, dropna=False, dropnan=False, dropmissing=False, selection=None, edges=False):
+    if dropna:
+        dropnan = dropmissing = True
+    return AggregatorDescriptorNUnique("AggNUnique", expression, "nunique",
+                                       dropmissing=dropmissing, dropnan=dropnan,
+                                       selection=selection, edges=edges)
+
+
+@register
+def any(expression=None, selection=None, edges=False):
+    """True when any value (or any selected row) falls in the cell
+    (reference: agg.py any)."""
+    if expression is None:
+        inner = count("*", selection=selection, edges=edges)
+    else:
+        inner = sum(f"_astype(({expression}) != 0, 'int64')", selection=selection, edges=edges)
+    return _FinishWrap(inner, lambda grid: np.asarray(grid) > 0, "any")
+
+
+@register
+def all(expression=None, selection=None, edges=False):
+    if expression is None:
+        total = count("*", edges=edges)
+        selected = count("*", selection=selection, edges=edges)
+        return _TwoGridFinish(total, selected, lambda t, s: (t == s) & (t > 0), "all")
+    total = count(expression, selection=selection, edges=edges)
+    true_count = sum(f"_astype(({expression}) != 0, 'int64')", selection=selection, edges=edges)
+    return _TwoGridFinish(total, true_count, lambda t, s: (t == s) & (t > 0), "all")
+
+
+class _FinishWrap(AggregatorDescriptor):
+    def __init__(self, inner, post, short_name):
+        self.inner = inner
+        self.post = post
+        self.short_name = short_name
+        self.expressions = inner.expressions
+        self.selection = inner.selection
+        self.edges = inner.edges
+
+    def add_tasks(self, df, binners, progress=None):
+        tasks, result = self.inner.add_tasks(df, binners, progress)
+
+        @delayed
+        def finish(value):
+            return self.post(value)
+
+        return tasks, finish(result)
+
+
+class _TwoGridFinish(AggregatorDescriptor):
+    def __init__(self, a, b, post, short_name):
+        self.a, self.b, self.post = a, b, post
+        self.short_name = short_name
+        self.expressions = a.expressions
+        self.selection = b.selection
+        self.edges = a.edges
+
+    def add_tasks(self, df, binners, progress=None):
+        t1, r1 = self.a.add_tasks(df, binners, progress)
+        t2, r2 = self.b.add_tasks(df, binners, progress)
+
+        @delayed
+        def finish(v1, v2):
+            return self.post(np.asarray(v1), np.asarray(v2))
+
+        return t1 + t2, finish(r1, r2)
+
+
+def _agg_from_spec(spec, df=None):
+    """'sum' / vaex.agg descriptor / ('sum', expr) → descriptor
+    (reference: groupby agg spec parsing)."""
+    return spec
+
+
+list_ = list  # keep builtin accessible
+
+
+def decode(encoding, spec):
+    spec = dict(spec)
+    name = spec.pop("aggregation")
+    expressions = spec.pop("expression")
+    selection = spec.pop("selection", None)
+    edges = spec.pop("edges", False)
+    factory = aggregates[name if name != "summoment" else "sum"]
+    if name == "summoment":
+        return _sum_moment(expressions[0], spec.get("moment", 2), selection=selection, edges=edges)
+    if name == "count":
+        return factory(expressions[0] if expressions else "*", selection=selection, edges=edges)
+    args = [expressions[0]] if isinstance(expressions, (list_, tuple)) else [expressions]
+    return factory(*args, selection=selection, edges=edges)

@@ -1,0 +1,1848 @@
+"""The lazy DataFrame frontend.
+
+TPU-native counterpart of /root/reference/packages/vaex-core/vaex/
+dataframe.py (DataFrame:146, DataFrameLocal:5717, 7371 LoC): column
+bookkeeping, virtual columns, variables, named selections + filter, all
+statistics entry points (`count/mean/std/var/skew/kurtosis/cov/correlation/
+minmax/median_approx/percentile_approx/mode/mutual_information`), limits
+estimation, state get/set, export, evaluation and slicing.  Computation is
+delegated to the streaming TPU executor (execution.py); everything here is
+lazy metadata.
+"""
+
+from __future__ import annotations
+
+import collections
+import copy as copy_mod
+import functools
+import warnings
+
+import numpy as np
+
+from . import agg as agg_mod
+from . import array_types, expresso, selections as selections_mod, settings, utils
+from .column import Column
+from .datatype import DataType
+from .delayed import Promise, delayed, delayed_args, delayed_list
+from .dispatch import StringOps
+from .execution import get_main_executor
+from .expression import Expression
+from .ops.gridagg import BinnerOrdinal, BinnerScalar
+from .scopes import BlockScope
+from .selections import FILTER_SELECTION_NAME
+from .tasks import TaskHashmapUniqueCreate, TaskMapReduce
+
+DEFAULT_SHAPE = 128
+
+_dataframe_accessors = {}
+
+
+def register_dataframe_accessor(name, cls=None, override=False):
+    def wrapper(cls):
+        _dataframe_accessors[name] = cls
+        return cls
+    if cls is not None:
+        return wrapper(cls)
+    return wrapper
+
+
+def _ensure_string_expression(e):
+    return e.expression if isinstance(e, Expression) else str(e)
+
+
+def _ensure_strings_from_expressions(expressions):
+    if isinstance(expressions, (list, tuple)):
+        return [_ensure_string_expression(e) for e in expressions]
+    return _ensure_string_expression(expressions)
+
+
+class DataFrame:
+    """Reference: vaex/dataframe.py:146."""
+
+    def __init__(self, name=None, executor=None):
+        self.name = name or "dataframe"
+        self._executor = executor
+        self.virtual_columns = {}
+        self.variables = {"pi": np.pi, "e": np.e, "km_in_au": 149597870.700 / 1.49597870700e8}
+        self.variables = {"pi": np.pi, "e": np.e}
+        self.functions = {}
+        self.selection_histories = collections.defaultdict(list)
+        self.selection_history_indices = collections.defaultdict(lambda: -1)
+        self._selection_masks = {}
+        self._renamed_columns = []
+        self.column_names = []
+        self._column_aliases = {}
+        self.units = {}
+        self.descriptions = {}
+        self.ucds = {}
+        self.description = None
+        self._categories = {}
+        self._future_behaviour = False
+        self._auto_fraction = False
+        self._length_cache = {}
+
+    # -- executor ------------------------------------------------------
+    @property
+    def executor(self):
+        return self._executor or get_main_executor()
+
+    def execute(self):
+        """Run all scheduled (delayed) tasks in one streaming pass
+        (reference: vaex/dataframe.py execute)."""
+        self.executor.execute()
+
+    async def execute_async(self):
+        await self.executor.execute_async()
+
+    def _delay(self, delay, promise, progressbar=False):
+        if delay:
+            return promise
+        self.execute()
+        return promise.get()
+
+    # -- columns -------------------------------------------------------
+    def get_column_names(self, virtual=True, strings=True, hidden=False, regex=None, dtypes=None):
+        names = []
+        for name in self.column_names:
+            if not hidden and name.startswith("__"):
+                continue
+            if not virtual and name in self.virtual_columns:
+                continue
+            if not strings and self.data_type(name).is_string:
+                continue
+            if regex is not None:
+                import re
+                if not re.match(regex, name):
+                    continue
+            if dtypes is not None:
+                if self.data_type(name) not in [DataType(np.dtype(d)) if not isinstance(d, DataType) else d for d in dtypes]:
+                    continue
+            names.append(name)
+        return names
+
+    def get_names(self, hidden=False):
+        return self.get_column_names(hidden=hidden)
+
+    def __contains__(self, name):
+        return name in self.column_names
+
+    @property
+    def col(self):
+        """Attribute access to columns: df.col.x (reference: dataframe.py col)."""
+        class Col:
+            def __init__(col_self, df):
+                col_self._df = df
+
+            def __getattr__(col_self, name):
+                return col_self._df[name]
+        return Col(self)
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in _dataframe_accessors:
+            acc = _dataframe_accessors[name](self)
+            setattr(self, name, acc)
+            return acc
+        try:
+            columns = object.__getattribute__(self, "column_names")
+        except AttributeError:
+            raise AttributeError(name)
+        if name in columns:
+            return self[name]
+        raise AttributeError(f"{type(self).__name__!r} object has no attribute {name!r}")
+
+    def __getitem__(self, item):
+        if isinstance(item, int):
+            return [self.evaluate(name, item, item + 1)[0] for name in self.get_column_names()]
+        if isinstance(item, str):
+            if item in self.column_names or item in self.virtual_columns:
+                return Expression(self, item)
+            # allow expressions directly
+            expresso.validate_expression(item, set(self.get_column_names(hidden=True)) | set(self.variables),
+                                         set(self._function_names()))
+            return Expression(self, item)
+        if isinstance(item, Expression):
+            # boolean filtering
+            return self.filter(item)
+        if isinstance(item, (list, tuple)):
+            df = self.copy(column_names=[_ensure_string_expression(e) for e in item])
+            return df
+        if isinstance(item, slice):
+            start, stop, step = item.indices(len(self))
+            assert step in (1, None)
+            return self._slice(start, stop)
+        raise TypeError(f"cannot index DataFrame with {item!r}")
+
+    def __setitem__(self, name, value):
+        if isinstance(value, Expression):
+            if value.df is not self:
+                value = value.copy(self)
+            self.add_virtual_column(name, value.expression)
+        elif isinstance(value, (np.ndarray,) + array_types.supported_arrow_array_types) or isinstance(value, Column):
+            self.add_column(name, value)
+        elif np.isscalar(value):
+            self.add_virtual_column(name, repr(value))
+        else:
+            raise TypeError(f"cannot assign {type(value)} as a column")
+
+    def __delitem__(self, name):
+        name = _ensure_string_expression(name)
+        self.drop(name, inplace=True)
+
+    def __iter__(self):
+        return iter(self.get_column_names())
+
+    def keys(self):
+        return self.get_column_names()
+
+    def _function_names(self):
+        from . import functions as functions_mod
+        return set(functions_mod.functions) | set(self.functions)
+
+    def validate_expression(self, expression):
+        expression = _ensure_string_expression(expression)
+        names = set(self.get_column_names(hidden=True)) | set(self.variables) | set(self.virtual_columns)
+        return expresso.validate_expression(expression, names, self._function_names())
+
+    # -- variables / functions ----------------------------------------
+    def add_variable(self, name, value, overwrite=True, unique=False):
+        if unique:
+            name = name + utils.fingerprint(value if not isinstance(value, np.ndarray) else utils.hash_array_data(value))[:8]
+        if unique or overwrite or name not in self.variables:
+            self.variables[name] = value
+        return name
+
+    def get_variable(self, name):
+        return self.variables[name]
+
+    def set_variable(self, name, value):
+        self.variables[name] = value
+
+    def add_function(self, name, f, unique=False, traceable=False):
+        from .serialize import UserFunction
+        name = utils.find_valid_name(name, used=[] if not unique else list(self.functions))
+        function = UserFunction(name, f, traceable=traceable)
+        self.functions[name] = function
+        return Expression(self, name)
+
+    def apply(self, f, arguments=None, vectorize=True, multiprocessing=False):
+        """Lazy UDF application (reference: dataframe.py apply)."""
+        assert arguments is not None, "apply requires arguments="
+        arguments = [_ensure_string_expression(e) for e in arguments]
+        name = utils.find_valid_name(("lambda_" if f.__name__ == "<lambda>" else f.__name__), used=list(self.functions))
+        traceable = getattr(f, "_vaex_traceable", False)
+        if not vectorize:
+            f = np.vectorize(f)
+        lazy_function = self.add_function(name, f, unique=True, traceable=traceable and vectorize)
+        return lazy_function(*[self[e] for e in arguments])
+
+    # -- virtual columns ----------------------------------------------
+    def add_virtual_column(self, name, expression, unique=False):
+        expression = _ensure_string_expression(expression)
+        if name in self.get_column_names(hidden=True) and name not in self.virtual_columns:
+            # renaming a real column: hide it (reference: dataframe.py add_virtual_column)
+            renamed = utils.find_valid_name("__" + name, used=self.get_column_names(hidden=True))
+            self._rename_column(name, renamed)
+            expression = expresso.translate(expression, {name: renamed})
+        self.virtual_columns[name] = expression
+        if name not in self.column_names:
+            self.column_names.append(name)
+        return self[name]
+
+    def add_column(self, name, data):
+        raise NotImplementedError
+
+    def rename(self, name, new_name, unique=False):
+        """Rename a (virtual) column (reference: dataframe.py rename)."""
+        if name == new_name:
+            return name
+        if name in self.virtual_columns:
+            expr = self.virtual_columns.pop(name)
+            self.virtual_columns[new_name] = expr
+            self.column_names[self.column_names.index(name)] = new_name
+        else:
+            self._rename_column(name, new_name)
+        # rewrite dependants
+        for vname, vexpr in list(self.virtual_columns.items()):
+            self.virtual_columns[vname] = expresso.translate(vexpr, {name: new_name})
+        for histories in self.selection_histories.values():
+            pass  # expression-based selections keep strings; acceptable: re-select after rename
+        return new_name
+
+    def _rename_column(self, name, new_name):
+        raise NotImplementedError
+
+    def drop(self, columns, inplace=False, check=True):
+        columns = [columns] if isinstance(columns, (str, Expression)) else list(columns)
+        columns = [_ensure_string_expression(c) for c in columns]
+        df = self if inplace else self.copy()
+        for name in columns:
+            if name in df.virtual_columns:
+                del df.virtual_columns[name]
+                df.column_names.remove(name)
+            elif name in df.column_names:
+                depending = df._depending_columns(name) if check else []
+                if depending:
+                    # hide instead of drop (reference: dataframe.py drop hide)
+                    hidden = "__" + name
+                    df._rename_column(name, hidden)
+                else:
+                    df._drop_column(name)
+            else:
+                raise KeyError(name)
+        return df
+
+    def _depending_columns(self, name):
+        out = []
+        for vname, vexpr in self.virtual_columns.items():
+            if name in expresso.names(vexpr):
+                out.append(vname)
+        return out
+
+    def _drop_column(self, name):
+        raise NotImplementedError
+
+    # -- dtypes / schema ----------------------------------------------
+    def data_type(self, expression, array_type=None, internal=False, axis=0):
+        expression = _ensure_string_expression(expression)
+        if expression == "*":
+            return DataType(np.dtype("int64"))
+        sample = self.evaluate(expression, 0, min(1, self._length_unfiltered), filtered=False, parallel=False)
+        dt = array_types.data_type(sample)
+        return dt
+
+    def dtype(self, expression):
+        return self.data_type(expression)
+
+    @property
+    def dtypes(self):
+        import pandas as pd
+        names = self.get_column_names()
+        return pd.Series([self.data_type(n) for n in names], index=names)
+
+    def schema(self):
+        return {name: self.data_type(name) for name in self.get_column_names()}
+
+    def schema_arrow(self, reduce_large=False):
+        import pyarrow as pa
+        fields = []
+        for name in self.get_column_names():
+            dt = self.data_type(name)
+            fields.append(pa.field(name, dt.arrow))
+        return pa.schema(fields)
+
+    def is_masked(self, column):
+        column = _ensure_string_expression(column)
+        if column in self.dataset:
+            return self.dataset.is_masked(column)
+        sample = self.evaluate(column, 0, min(1, self._length_unfiltered), filtered=False, parallel=False)
+        return np.ma.isMaskedArray(sample)
+
+    def is_string(self, expression):
+        return self.data_type(expression).is_string
+
+    def is_datetime(self, expression):
+        return self.data_type(expression).is_datetime
+
+    # -- categories ----------------------------------------------------
+    def is_category(self, column):
+        column = _ensure_string_expression(column)
+        if column in self._categories:
+            return True
+        if column in self.dataset:
+            return self.data_type(column).is_dictionary
+        return False
+
+    def category_labels(self, column, aslist=True):
+        column = _ensure_string_expression(column)
+        if column in self._categories:
+            labels = self._categories[column]["labels"]
+            return list(labels) if aslist else labels
+        if self.is_category(column):
+            col = self.dataset[column]
+            ar = col[0:len(col)] if isinstance(col, Column) else col
+            import pyarrow as pa
+            if isinstance(ar, pa.ChunkedArray):
+                ar = ar.combine_chunks()
+            return ar.dictionary.to_pylist()
+        raise ValueError(f"{column} is not a category")
+
+    def category_count(self, column):
+        column = _ensure_string_expression(column)
+        if column in self._categories:
+            return self._categories[column]["N"]
+        return len(self.category_labels(column))
+
+    def category_offset(self, column):
+        column = _ensure_string_expression(column)
+        if column in self._categories:
+            return self._categories[column].get("min_value", 0)
+        return 0
+
+    def categorize(self, column, min_value=0, labels=None, inplace=False):
+        """Mark an int column as categorical (reference: dataframe.py categorize)."""
+        df = self if inplace else self.copy()
+        column = _ensure_string_expression(column)
+        if labels is None:
+            max_value = int(df.max(column))
+            labels = list(range(min_value, max_value + 1))
+        df._categories[column] = dict(labels=labels, N=len(labels), min_value=min_value)
+        return df
+
+    def ordinal_encode(self, column, values=None, inplace=False, lazy=False):
+        """Dictionary-encode a column into codes + category metadata
+        (reference: dataframe.py ordinal_encode)."""
+        df = self if inplace else self.copy()
+        column = _ensure_string_expression(column)
+        values = df.unique(column, dropmissing=True) if values is None else values
+        hashmap = df._hash_map_unique(column)
+        codes_name = utils.find_valid_name(f"{column}_codes", used=df.get_column_names(hidden=True))
+        var = df.add_variable("hashmap_", hashmap, unique=True)
+        df.add_virtual_column(codes_name, f"_ordinal_values({column}, {var})")
+        df._categories[codes_name] = dict(labels=list(values), N=len(values), min_value=0)
+        return df
+
+    # -- filter & selections ------------------------------------------
+    @property
+    def filtered(self):
+        return self.has_selection(FILTER_SELECTION_NAME)
+
+    def _filter_expression(self):
+        sel = self.get_selection(FILTER_SELECTION_NAME)
+        return sel.to_expression(self)
+
+    def filter(self, expression, mode="and"):
+        """Lazy row filter (reference: dataframe.py:5332)."""
+        df = self.copy()
+        df.select(expression, mode=mode if df.filtered else "replace", name=FILTER_SELECTION_NAME)
+        df._invalidate_length()
+        return df
+
+    def select(self, boolean_expression, mode="replace", name="default", executor=None):
+        """Named selection (reference: dataframe.py select)."""
+        boolean_expression = _ensure_string_expression(boolean_expression)
+        current = self.get_selection(name)
+        selection = selections_mod.SelectionExpression(boolean_expression, current, mode)
+        self._selection(selection, name)
+
+    def select_nothing(self, name="default"):
+        self._selection(None, name)
+
+    def select_inverse(self, name="default", executor=None):
+        current = self.get_selection(name)
+        if current is not None:
+            self._selection(selections_mod.SelectionInvert(current), name)
+
+    def select_box(self, spaces, limits, mode="replace", name="default"):
+        exprs = []
+        for space, limit in zip(spaces, limits):
+            space = _ensure_string_expression(space)
+            exprs.append(f"(({space}) >= {limit[0]}) & (({space}) < {limit[1]})")
+        self.select(" & ".join(exprs), mode=mode, name=name)
+
+    def select_rectangle(self, x, y, limits, mode="replace", name="default"):
+        self.select_box([x, y], limits, mode=mode, name=name)
+
+    def select_circle(self, x, y, xc, yc, r, mode="replace", name="default", inclusive=True):
+        x = _ensure_string_expression(x)
+        y = _ensure_string_expression(y)
+        op = "<=" if inclusive else "<"
+        self.select(f"(({x}) - {xc})**2 + (({y}) - {yc})**2 {op} {r}**2", mode=mode, name=name)
+
+    def select_ellipse(self, x, y, xc, yc, width, height, angle=0, mode="replace", name="default", radians=False):
+        import math
+        if not radians:
+            angle = math.radians(angle)
+        x = _ensure_string_expression(x)
+        y = _ensure_string_expression(y)
+        expr = (f"((((({x}) - {xc}) * cos({angle}) + (({y}) - {yc}) * sin({angle})) / {width / 2})**2 + "
+                f"(((({x}) - {xc}) * sin({angle}) - (({y}) - {yc}) * cos({angle})) / {height / 2})**2) <= 1")
+        self.select(expr, mode=mode, name=name)
+
+    def select_lasso(self, expression_x, expression_y, xsequence, ysequence, mode="replace", name="default"):
+        current = self.get_selection(name)
+        selection = selections_mod.SelectionLasso(_ensure_string_expression(expression_x),
+                                                  _ensure_string_expression(expression_y),
+                                                  xsequence, ysequence, current, mode)
+        self._selection(selection, name)
+
+    def select_non_missing(self, drop_nan=True, drop_masked=True, column_names=None, mode="replace", name="default"):
+        column_names = column_names or self.get_column_names()
+        current = self.get_selection(name)
+        selection = selections_mod.SelectionDropNa(drop_nan, drop_masked, column_names, current, mode)
+        self._selection(selection, name)
+
+    def _selection(self, selection, name, executor=None):
+        history = self.selection_histories[name]
+        index = self.selection_history_indices[name]
+        del history[index + 1:]
+        history.append(selection)
+        self.selection_history_indices[name] = len(history) - 1
+        if name == FILTER_SELECTION_NAME:
+            self._invalidate_length()
+
+    def get_selection(self, name="default"):
+        history = self.selection_histories.get(name, [])
+        index = self.selection_history_indices.get(name, -1)
+        if index == -1 or index >= len(history):
+            return None
+        return history[index]
+
+    def has_selection(self, name="default"):
+        return self.get_selection(name) is not None
+
+    def selection_undo(self, name="default"):
+        if self.selection_can_undo(name):
+            self.selection_history_indices[name] -= 1
+            if name == FILTER_SELECTION_NAME:
+                self._invalidate_length()
+
+    def selection_redo(self, name="default"):
+        if self.selection_can_redo(name):
+            self.selection_history_indices[name] += 1
+            if name == FILTER_SELECTION_NAME:
+                self._invalidate_length()
+
+    def selection_can_undo(self, name="default"):
+        return self.selection_history_indices.get(name, -1) > -1
+
+    def selection_can_redo(self, name="default"):
+        return self.selection_history_indices.get(name, -1) < len(self.selection_histories.get(name, [])) - 1
+
+    def _selection_expression(self, selection):
+        """Normalize a selection argument to an expression string or None."""
+        if selection is None or selection is False:
+            return None
+        if selection is True:
+            sel = self.get_selection("default")
+            if sel is None:
+                raise ValueError("selection=True but no selection made")
+            return sel.to_expression(self)
+        if isinstance(selection, selections_mod.Selection):
+            return selection.to_expression(self)
+        if isinstance(selection, (str, Expression)):
+            s = _ensure_string_expression(selection)
+            if self.has_selection(s):
+                return self.get_selection(s).to_expression(self)
+            return s
+        raise TypeError(f"cannot interpret selection {selection!r}")
+
+    def _selection_dependencies(self, selection):
+        if selection == FILTER_SELECTION_NAME and self.filtered:
+            expr = self._filter_expression()
+        else:
+            expr = self._selection_expression(selection)
+        if expr is None:
+            return set()
+        return Expression(self, expr).root_columns()
+
+    def count_selected(self, name="default"):
+        return self.count(selection=name)
+
+    # -- fingerprint & state ------------------------------------------
+    def fingerprint(self, dependencies=None, treeshake=False):
+        deps_fp = self.dataset.fingerprint
+        state = dict(
+            virtual_columns=self.virtual_columns,
+            variables={k: utils._fingerprint_normalize(v) for k, v in self.variables.items()},
+            selections={name: (sel.encode() if sel is not None else None)
+                        for name in self.selection_histories
+                        for sel in [self.get_selection(name)]},
+            column_names=self.column_names,
+            active_range=[self._index_start, self._index_end],
+        )
+        return "dataframe-" + utils.fingerprint(deps_fp, state)
+
+    def state_get(self, skip=None):
+        """JSON-serializable pipeline state (reference: dataframe.py:2502)."""
+        from .serialize import UserFunction
+        functions = {name: f.encode() for name, f in self.functions.items() if isinstance(f, UserFunction)}
+        return dict(
+            version="tpu-1",
+            column_names=list(self.column_names),
+            virtual_columns=dict(self.virtual_columns),
+            variables={k: _encode_variable(v) for k, v in self.variables.items()},
+            functions=functions,
+            selections={name: (self.get_selection(name).encode() if self.get_selection(name) else None)
+                        for name in self.selection_histories},
+            renamed_columns=list(self._renamed_columns),
+            categories=copy_mod.deepcopy(self._categories),
+            active_range=[self._index_start, self._index_end],
+            description=self.description,
+            descriptions=dict(self.descriptions),
+            units={k: str(v) for k, v in self.units.items()},
+        )
+
+    def state_set(self, state, use_active_range=False, keep_columns=None, set_filter=True, trusted=True, warn=True):
+        """Reference: dataframe.py:2661."""
+        from .serialize import UserFunction
+        self.virtual_columns = dict(state.get("virtual_columns", {}))
+        self.variables.update({k: _decode_variable(v) for k, v in state.get("variables", {}).items()})
+        for name, spec in state.get("functions", {}).items():
+            self.functions[name] = UserFunction.decode(spec, trusted=trusted)
+        for old, new in state.get("renamed_columns", []):
+            if old in self.column_names:
+                self._rename_column(old, new)
+        self.column_names = list(state.get("column_names", self.column_names))
+        keep_columns = keep_columns or []
+        for col in keep_columns:
+            if col not in self.column_names:
+                self.column_names.append(col)
+        self._categories = dict(state.get("categories", {}))
+        for name, sel_spec in state.get("selections", {}).items():
+            if name == FILTER_SELECTION_NAME and not set_filter:
+                continue
+            sel = selections_mod.selection_decode(sel_spec) if sel_spec else None
+            self._selection(sel, name)
+        if use_active_range and "active_range" in state:
+            self._index_start, self._index_end = state["active_range"]
+        self._invalidate_length()
+        return self
+
+    def state_write(self, file, fs_options=None):
+        import json
+        with open(file, "w") as f:
+            json.dump(self.state_get(), f, default=str)
+
+    def state_load(self, file, use_active_range=False, fs_options=None):
+        import json
+        with open(file) as f:
+            state = json.load(f)
+        return self.state_set(state, use_active_range=use_active_range)
+
+    # -- aggregation machinery ----------------------------------------
+    def _create_binners(self, binby, limits, shape, selection=None, delay=False, progress=None):
+        """Delayed binner construction (reference: dataframe.py:5633)."""
+        binby = [binby] if not isinstance(binby, (list, tuple)) else list(binby)
+        binby = [_ensure_string_expression(b) for b in binby]
+        shapes = shape if isinstance(shape, (list, tuple)) else [shape] * len(binby)
+        if len(binby) == 0:
+            return Promise.fulfilled(())
+
+        @delayed
+        def make_binners(limits_list):
+            binners = []
+            for expr, lims, shp in zip(binby, limits_list, shapes):
+                if self.is_category(expr):
+                    N = self.category_count(expr)
+                    offset = self.category_offset(expr)
+                    binners.append(BinnerOrdinal(expr, N, offset))
+                else:
+                    vmin, vmax = lims
+                    binners.append(BinnerScalar(expr, vmin, vmax, int(shp)))
+            return tuple(binners)
+
+        limits_needed = [b for b in binby if not self.is_category(b)]
+        if limits_needed:
+            limits_promise = self.limits(binby, limits, selection=selection, delay=True, shape=shape)
+        else:
+            limits_promise = Promise.fulfilled([[0, 1]] * len(binby))
+        return make_binners(limits_promise)
+
+    def _compute_agg(self, name, expression, binby=[], limits=None, shape=DEFAULT_SHAPE,
+                     selection=False, delay=False, edges=False, progress=None, array_type=None,
+                     extra_expressions=None, agg_kwargs=None):
+        """Generic aggregation entry (reference: dataframe.py:842)."""
+        agg_kwargs = agg_kwargs or {}
+        expression_waslist = isinstance(expression, (list, tuple))
+        expressions = list(expression) if expression_waslist else [expression]
+        expressions = [_ensure_string_expression(e) if e is not None else None for e in expressions]
+        selection_waslist = isinstance(selection, (list, tuple))
+        selections = list(selection) if selection_waslist else [selection]
+
+        binners_promise = self._create_binners(binby, limits, shape, selection=selections[0], delay=True)
+
+        @delayed
+        def compute(binners):
+            results = []
+            for expr in expressions:
+                per_selection = []
+                for sel in selections:
+                    factory = agg_mod.aggregates[name]
+                    if name == "count":
+                        descriptor = factory(expr if expr is not None else "*", selection=sel, edges=edges, **agg_kwargs)
+                    else:
+                        descriptor = factory(expr, selection=sel, edges=edges, **agg_kwargs)
+                    tasks, result = descriptor.add_tasks(self, binners, progress=progress)
+                    per_selection.append(result)
+                results.append(delayed_list(per_selection))
+            return delayed_list(results)
+
+        @delayed
+        def finish(values):
+            out = []
+            for per_expr in values:
+                per_sel = [np.asarray(v) if not np.isscalar(v) else v for v in per_expr]
+                value = np.stack(per_sel) if selection_waslist else per_sel[0]
+                out.append(value)
+            result = out if expression_waslist else out[0]
+            if array_type == "xarray":
+                result = self._to_xarray_like(result, binby, shape)
+            return result
+
+        promise = finish(compute(binners_promise))
+        return self._delay(delay, promise)
+
+    def _to_xarray_like(self, data, binby, shape):
+        from .xarray_lite import DataArrayLite
+        return DataArrayLite(np.asarray(data), dims=[_ensure_string_expression(b) for b in (binby if isinstance(binby, (list, tuple)) else [binby])])
+
+    # -- statistics entry points --------------------------------------
+    def count(self, expression=None, binby=[], limits=None, shape=DEFAULT_SHAPE, selection=False,
+              delay=False, edges=False, progress=None, array_type=None):
+        """Reference: dataframe.py count."""
+        return self._compute_agg("count", expression, binby, limits, shape, selection, delay, edges, progress, array_type)
+
+    def sum(self, expression, binby=[], limits=None, shape=DEFAULT_SHAPE, selection=False,
+            delay=False, progress=None, edges=False, array_type=None):
+        return self._compute_agg("sum", expression, binby, limits, shape, selection, delay, edges, progress, array_type)
+
+    def mean(self, expression, binby=[], limits=None, shape=DEFAULT_SHAPE, selection=False,
+             delay=False, progress=None, edges=False, array_type=None):
+        return self._compute_agg("mean", expression, binby, limits, shape, selection, delay, edges, progress, array_type)
+
+    def std(self, expression, binby=[], limits=None, shape=DEFAULT_SHAPE, selection=False,
+            delay=False, progress=None, array_type=None):
+        return self._compute_agg("std", expression, binby, limits, shape, selection, delay, False, progress, array_type)
+
+    def var(self, expression, binby=[], limits=None, shape=DEFAULT_SHAPE, selection=False,
+            delay=False, progress=None, array_type=None):
+        return self._compute_agg("var", expression, binby, limits, shape, selection, delay, False, progress, array_type)
+
+    def skew(self, expression, binby=[], limits=None, shape=DEFAULT_SHAPE, selection=False,
+             delay=False, progress=None, array_type=None):
+        return self._compute_agg("skew", expression, binby, limits, shape, selection, delay, False, progress, array_type)
+
+    def kurtosis(self, expression, binby=[], limits=None, shape=DEFAULT_SHAPE, selection=False,
+                 delay=False, progress=None, array_type=None):
+        return self._compute_agg("kurtosis", expression, binby, limits, shape, selection, delay, False, progress, array_type)
+
+    def min(self, expression, binby=[], limits=None, shape=DEFAULT_SHAPE, selection=False,
+            delay=False, progress=None, edges=False, array_type=None):
+        return self._compute_agg("min", expression, binby, limits, shape, selection, delay, edges, progress, array_type)
+
+    def max(self, expression, binby=[], limits=None, shape=DEFAULT_SHAPE, selection=False,
+            delay=False, progress=None, edges=False, array_type=None):
+        return self._compute_agg("max", expression, binby, limits, shape, selection, delay, edges, progress, array_type)
+
+    def first(self, expression, order_expression=None, binby=[], limits=None, shape=DEFAULT_SHAPE,
+              selection=False, delay=False, progress=None, edges=False, array_type=None):
+        binners_promise = self._create_binners(binby, limits, shape, selection=selection, delay=True)
+
+        @delayed
+        def compute(binners):
+            descriptor = agg_mod.first(_ensure_string_expression(expression),
+                                       _ensure_string_expression(order_expression) if order_expression is not None else None,
+                                       selection=selection, edges=edges)
+            tasks, result = descriptor.add_tasks(self, binners)
+            return result
+
+        return self._delay(delay, compute(binners_promise))
+
+    def last(self, expression, order_expression=None, binby=[], limits=None, shape=DEFAULT_SHAPE,
+             selection=False, delay=False, progress=None, edges=False, array_type=None):
+        binners_promise = self._create_binners(binby, limits, shape, selection=selection, delay=True)
+
+        @delayed
+        def compute(binners):
+            descriptor = agg_mod.last(_ensure_string_expression(expression),
+                                      _ensure_string_expression(order_expression) if order_expression is not None else None,
+                                      selection=selection, edges=edges)
+            tasks, result = descriptor.add_tasks(self, binners)
+            return result
+
+        return self._delay(delay, compute(binners_promise))
+
+    def minmax(self, expression, binby=[], limits=None, shape=DEFAULT_SHAPE, selection=False,
+               delay=False, progress=None):
+        """[min, max] in one pass (reference: dataframe.py minmax)."""
+        expression_waslist = isinstance(expression, (list, tuple))
+        expressions = list(expression) if expression_waslist else [expression]
+
+        @delayed
+        def finish(mins, maxs):
+            if expression_waslist:
+                return np.array([[np.asarray(a), np.asarray(b)] for a, b in zip(mins, maxs)])
+            return np.array([mins[0], maxs[0]])
+
+        mins = self.min(expressions, binby=binby, limits=limits, shape=shape, selection=selection, delay=True, progress=progress)
+        maxs = self.max(expressions, binby=binby, limits=limits, shape=shape, selection=selection, delay=True, progress=progress)
+        return self._delay(delay, finish(mins, maxs))
+
+    def mode(self, expression, binby=[], limits=None, shape=256, mode_shape=64, mode_limits=None,
+             progressbar=False, selection=None):
+        """Most common value via binned histogram argmax (reference:
+        dataframe.py mode)."""
+        expression = _ensure_string_expression(expression)
+        if binby:
+            raise NotImplementedError("mode with binby not yet supported")
+        if self.is_category(expression):
+            counts = self.count(binby=expression, selection=selection, array_type=None, shape=mode_shape)
+            labels = self.category_labels(expression)
+            return labels[int(np.argmax(counts))]
+        counts = self.count(binby=expression, limits=mode_limits, shape=mode_shape, selection=selection)
+        limits_ = self.limits(expression, mode_limits, selection=selection)
+        centers = np.linspace(limits_[0], limits_[1], mode_shape + 1)
+        centers = (centers[1:] + centers[:-1]) / 2
+        return centers[int(np.argmax(counts))]
+
+    def median_approx(self, expression, percentage=50., binby=[], limits=None, shape=DEFAULT_SHAPE,
+                      percentile_shape=16384, percentile_limits="minmax", selection=False, delay=False, progress=None):
+        """Reference: dataframe.py median_approx."""
+        return self.percentile_approx(expression, 50, binby=binby, limits=limits, shape=shape,
+                                      percentile_shape=percentile_shape, percentile_limits=percentile_limits,
+                                      selection=selection, delay=delay, progress=progress)
+
+    def percentile_approx(self, expression, percentage=50., binby=[], limits=None, shape=DEFAULT_SHAPE,
+                          percentile_shape=1024 * 16, percentile_limits="minmax", selection=False,
+                          delay=False, progress=None):
+        """Approximate percentile from a fine histogram + cumsum interpolation
+        (reference: dataframe.py:1632 re-implementing vaexfast
+        grid_find_edges:1680 as cumsum + linear interpolation)."""
+        expression = _ensure_string_expression(expression)
+        waslist = isinstance(percentage, (list, tuple))
+        percentages = list(percentage) if waslist else [percentage]
+        if binby:
+            binby_list = binby if isinstance(binby, (list, tuple)) else [binby]
+        else:
+            binby_list = []
+
+        @delayed
+        def compute(percentile_limits_):
+            vmin, vmax = percentile_limits_
+            counts = self.count(binby=list(binby_list) + [expression],
+                                limits=(limits if limits is not None else [None] * len(binby_list)) + [[vmin, vmax]] if binby_list else [[vmin, vmax]],
+                                shape=([shape] * len(binby_list)) + [percentile_shape] if binby_list else percentile_shape,
+                                selection=selection, delay=True, edges=True)
+
+            @delayed
+            def finish(counts_):
+                counts_ = np.asarray(counts_, dtype=np.float64)
+                # edges layout [nan, under, data..., over] on the last axis
+                data = counts_[..., 2:-1]
+                under = counts_[..., 1]
+                cum = np.cumsum(data, axis=-1)
+                total = cum[..., -1] + under
+                results = []
+                edges_vals = np.linspace(vmin, vmax, percentile_shape + 1)
+                for p in percentages:
+                    target = (under + cum[..., -1]) * (p / 100.0)
+                    # linear interpolation within the bin where cum crosses target
+                    cum_with_under = under[..., None] + np.concatenate([np.zeros_like(cum[..., :1]), cum], axis=-1)
+                    idx = np.apply_along_axis(lambda c: np.searchsorted(c, 0), -1, np.zeros_like(cum_with_under[..., :1]))
+                    # vectorized search
+                    flat_cum = cum_with_under.reshape(-1, percentile_shape + 1)
+                    flat_target = np.asarray(target).reshape(-1)
+                    out = np.empty(flat_cum.shape[0])
+                    for i in range(flat_cum.shape[0]):
+                        c = flat_cum[i]
+                        t = flat_target[i]
+                        if c[-1] <= 0:
+                            out[i] = np.nan
+                            continue
+                        j = int(np.searchsorted(c, t, side="left"))
+                        j = max(1, min(j, percentile_shape))
+                        c0, c1 = c[j - 1], c[j]
+                        frac = 0.0 if c1 == c0 else (t - c0) / (c1 - c0)
+                        out[i] = edges_vals[j - 1] + frac * (edges_vals[j] - edges_vals[j - 1])
+                    result = out.reshape(np.asarray(target).shape)
+                    results.append(result if result.shape else float(result))
+                if waslist:
+                    return np.array(results) if not binby_list else np.array(results)
+                return results[0]
+
+            return finish(counts)
+
+        limits_promise = self.limits(expression, percentile_limits, selection=selection, delay=True)
+        return self._delay(delay, compute(limits_promise))
+
+    def cov(self, x, y=None, binby=[], limits=None, shape=DEFAULT_SHAPE, selection=False, delay=False, progress=None):
+        """Covariance matrix (reference: dataframe.py cov)."""
+        if y is None:
+            expressions = list(x) if isinstance(x, (list, tuple)) else [x]
+        else:
+            expressions = [x, y]
+        expressions = [_ensure_string_expression(e) for e in expressions]
+        n = len(expressions)
+
+        @delayed
+        def finish(*blocks):
+            means = blocks[:n]
+            raw_mix = blocks[n:]
+            cov_matrix = np.zeros(np.shape(means[0]) + (n, n)) if np.ndim(means[0]) else np.zeros((n, n))
+            k = 0
+            for i in range(n):
+                for j in range(i, n):
+                    value = raw_mix[k] - np.asarray(means[i]) * np.asarray(means[j])
+                    if np.ndim(value):
+                        cov_matrix[..., i, j] = value
+                        cov_matrix[..., j, i] = value
+                    else:
+                        cov_matrix[i, j] = cov_matrix[j, i] = value
+                    k += 1
+            return cov_matrix
+
+        means = [self.mean(e, binby=binby, limits=limits, shape=shape, selection=selection, delay=True, progress=progress) for e in expressions]
+        raw_mix = []
+        for i in range(n):
+            for j in range(i, n):
+                raw_mix.append(self.mean(f"({expressions[i]}) * ({expressions[j]})", binby=binby, limits=limits,
+                                         shape=shape, selection=selection, delay=True, progress=progress))
+        return self._delay(delay, finish(*(means + raw_mix)))
+
+    def covar(self, x, y, binby=[], limits=None, shape=DEFAULT_SHAPE, selection=False, delay=False, progress=None):
+        """Covariance between x and y (reference: dataframe.py covar)."""
+        x = _ensure_string_expression(x)
+        y = _ensure_string_expression(y)
+
+        @delayed
+        def finish(mean_xy, mean_x, mean_y):
+            return np.asarray(mean_xy) - np.asarray(mean_x) * np.asarray(mean_y)
+
+        mean_xy = self.mean(f"({x}) * ({y})", binby=binby, limits=limits, shape=shape, selection=selection, delay=True)
+        mean_x = self.mean(x, binby=binby, limits=limits, shape=shape, selection=selection, delay=True)
+        mean_y = self.mean(y, binby=binby, limits=limits, shape=shape, selection=selection, delay=True)
+        return self._delay(delay, finish(mean_xy, mean_x, mean_y))
+
+    def correlation(self, x, y=None, binby=[], limits=None, shape=DEFAULT_SHAPE, sort=False,
+                    sort_key=np.abs, selection=False, delay=False, progress=None, array_type=None):
+        """Pearson correlation (reference: dataframe.py correlation)."""
+        if y is None:
+            if isinstance(x, (list, tuple)) and isinstance(x[0], (list, tuple)):
+                pairs = [(_ensure_string_expression(a), _ensure_string_expression(b)) for a, b in x]
+            else:
+                exprs = [_ensure_string_expression(e) for e in x]
+                pairs = [(a, b) for a in exprs for b in exprs]
+                matrix_shape = (len(exprs), len(exprs))
+
+                @delayed
+                def finish_matrix(values):
+                    return np.array(values).reshape(matrix_shape)
+                values = [self.correlation(a, b, binby=binby, limits=limits, shape=shape, selection=selection, delay=True) for a, b in pairs]
+                return self._delay(delay, finish_matrix(delayed_list(values)))
+        else:
+            pairs = [(_ensure_string_expression(x), _ensure_string_expression(y))]
+
+        results = []
+        for a, b in pairs:
+            @delayed
+            def finish(cov_ab, var_a, var_b):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    return cov_ab / np.sqrt(np.asarray(var_a) * np.asarray(var_b))
+
+            cov_ab = self.covar(a, b, binby=binby, limits=limits, shape=shape, selection=selection, delay=True)
+            var_a = self.var(a, binby=binby, limits=limits, shape=shape, selection=selection, delay=True)
+            var_b = self.var(b, binby=binby, limits=limits, shape=shape, selection=selection, delay=True)
+            results.append(finish(cov_ab, var_a, var_b))
+        if len(results) == 1:
+            return self._delay(delay, results[0])
+        return self._delay(delay, delayed_list(results))
+
+    def mutual_information(self, x, y=None, dimension=2, mi_limits=None, mi_shape=256, binby=[],
+                           limits=None, shape=DEFAULT_SHAPE, sort=False, selection=False, delay=False):
+        """Mutual information of the 2-D distribution p(x,y)
+        (reference: dataframe.py mutual_information, kld.py)."""
+        if y is None:
+            exprs = [_ensure_string_expression(e) for e in x]
+            pairs = [(a, b) for i, a in enumerate(exprs) for b in exprs[i + 1:]]
+        else:
+            pairs = [(_ensure_string_expression(x), _ensure_string_expression(y))]
+
+        @delayed
+        def compute_mi(counts):
+            counts = np.asarray(counts, dtype=np.float64)
+            total = counts.sum()
+            if total == 0:
+                return 0.0
+            pxy = counts / total
+            px = pxy.sum(axis=1, keepdims=True)
+            py = pxy.sum(axis=0, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                terms = pxy * np.log(pxy / (px * py))
+            return float(np.nansum(terms))
+
+        results = []
+        for a, b in pairs:
+            counts = self.count(binby=[a, b], limits=mi_limits, shape=mi_shape, selection=selection, delay=True)
+            results.append(compute_mi(counts))
+        if len(results) == 1:
+            out = self._delay(delay, results[0])
+            return out
+        out = self._delay(delay, delayed_list(results))
+        if sort and not delay:
+            order = np.argsort(out)[::-1]
+            return np.array(out)[order], [pairs[i] for i in order]
+        return out
+
+    # -- limits --------------------------------------------------------
+    def limits(self, expression, value=None, square=False, selection=None, delay=False, progress=None, shape=None):
+        """Find sensible [min, max] per expression; supports 'minmax',
+        explicit pairs, and percentage strings like '99.7%'
+        (reference: dataframe.py:1844 + limits_percentage:1795)."""
+        waslist = isinstance(expression, (list, tuple))
+        expressions = list(expression) if waslist else [expression]
+        expressions = [_ensure_string_expression(e) for e in expressions]
+        n = len(expressions)
+
+        values = value
+        if values is None:
+            values = "minmax"
+        # one limit spec for all, or per-expression list
+        if not isinstance(values, (list, tuple)) or (len(values) == 2 and not isinstance(values[0], (list, tuple, str, type(None))) and n != 2):
+            values = [values] * n
+        elif isinstance(values, (list, tuple)) and len(values) == 2 and n == 1 and all(isinstance(v, (int, float)) for v in values):
+            values = [values]
+        elif isinstance(values, (list, tuple)) and n > 1 and len(values) != n:
+            values = [values] * n
+        if isinstance(values, str):
+            values = [values] * n
+
+        promises = []
+        for expr, limit in zip(expressions, values):
+            if limit is None:
+                limit = "minmax"
+            if isinstance(limit, str):
+                if limit == "minmax":
+                    promises.append(self.minmax(expr, selection=selection, delay=True))
+                elif limit.endswith("%"):
+                    promises.append(self._limits_percentage(expr, float(limit[:-1]), selection=selection))
+                else:
+                    raise ValueError(f"cannot interpret limit {limit!r}")
+            else:
+                promises.append(Promise.fulfilled([limit[0], limit[1]]))
+
+        @delayed
+        def finish(limits_list):
+            limits_list = [np.array(l, dtype=np.float64) for l in limits_list]
+            for l in limits_list:
+                if l[0] == l[1]:  # degenerate range: widen (reference behavior)
+                    l[0], l[1] = l[0] - 1, l[1] + 1
+            if waslist:
+                return [list(l) for l in limits_list]
+            return list(limits_list[0])
+
+        return self._delay(delay, finish(delayed_list(promises)))
+
+    def _limits_percentage(self, expression, percentage, selection=None, square=False):
+        """Reference: dataframe.py:1795 — minmax pass, then a 1024-bin
+        histogram, then symmetric cumulative trimming."""
+        @delayed
+        def compute(minmax_):
+            vmin, vmax = float(minmax_[0]), float(minmax_[1])
+            if vmin == vmax:
+                return Promise.fulfilled([vmin - 1, vmax + 1])
+            shape_ = 1024
+            counts = self.count(binby=expression, limits=[vmin, vmax], shape=shape_, selection=selection, delay=True)
+
+            @delayed
+            def finish(counts_):
+                counts_ = np.asarray(counts_, dtype=np.float64)
+                total = counts_.sum()
+                if total == 0:
+                    return [vmin, vmax]
+                f = (1 - percentage / 100.0) / 2
+                cum = np.cumsum(counts_) / total
+                edges = np.linspace(vmin, vmax, shape_ + 1)
+                lo_idx = int(np.searchsorted(cum, f))
+                hi_idx = int(np.searchsorted(cum, 1 - f))
+                return [float(edges[lo_idx]), float(edges[min(hi_idx + 1, shape_)])]
+
+            return finish(counts)
+
+        return compute(self.minmax(expression, selection=selection, delay=True))
+
+    def limits_percentage(self, expression, percentage=99.73, square=False, selection=False, progress=None, delay=False):
+        promise = self._limits_percentage(expression, percentage, selection=selection)
+        return self._delay(delay, promise)
+
+    # -- unique / value_counts / isin ---------------------------------
+    def _hash_map_unique(self, expression, progress=None, selection=None, flatten=True, delay=False,
+                        limit=None, limit_raise=True, return_inverse=False):
+        """Reference: dataframe.py:500."""
+        expression = _ensure_string_expression(expression)
+        task = TaskHashmapUniqueCreate(self, expression, flatten=flatten, limit=limit,
+                                       limit_raise=limit_raise, selection=selection,
+                                       return_inverse=return_inverse)
+        task = self.executor.schedule(task)
+        return self._delay(delay, task)
+
+    def unique(self, expression, return_inverse=False, dropna=False, dropnan=False, dropmissing=False,
+               progress=False, selection=None, axis=None, delay=False, limit=None, limit_raise=True,
+               array_type="python"):
+        """Reference: dataframe.py unique."""
+        expression = _ensure_string_expression(expression)
+        if dropna:
+            dropnan = dropmissing = True
+
+        @delayed
+        def finish(hashmap):
+            keys = hashmap.keys()
+            if hasattr(keys, "to_pylist"):
+                keys = keys.to_pylist()
+            if dropmissing and hashmap.has_null:
+                if isinstance(keys, list):
+                    keys = [k for i, k in enumerate(keys) if i != hashmap.null_index]
+                else:
+                    sel = np.ones(len(keys), dtype=bool)
+                    sel[hashmap.null_index] = False
+                    keys = keys[sel]
+            if dropnan and hashmap.has_nan:
+                if isinstance(keys, np.ndarray) and keys.dtype.kind == "f":
+                    keys = keys[~np.isnan(keys)]
+                elif isinstance(keys, list):
+                    keys = [k for k in keys if not (isinstance(k, float) and np.isnan(k))]
+            if return_inverse:
+                codes = np.concatenate([hashmap.map_ordinal(chunk)
+                                        for _, _, chunk in self.evaluate_iterator_single(expression)]) if len(self) else np.empty(0, np.int64)
+                return _as_unique_array(keys, array_type), codes
+            return _as_unique_array(keys, array_type)
+
+        hashmap_promise = self._hash_map_unique(expression, selection=selection, delay=True,
+                                               limit=limit, limit_raise=limit_raise)
+        return self._delay(delay, finish(hashmap_promise))
+
+    def nunique(self, expression, dropna=False, dropnan=False, dropmissing=False, selection=None,
+                delay=False, limit=None, limit_raise=True, progress=None):
+        @delayed
+        def finish(values):
+            return len(values)
+        values = self.unique(expression, dropna=dropna, dropnan=dropnan, dropmissing=dropmissing,
+                             selection=selection, delay=True, limit=limit, limit_raise=limit_raise)
+        return self._delay(delay, finish(values))
+
+    def _value_counts(self, expression, dropna=False, dropnan=False, dropmissing=False):
+        """(keys_list, counts) using a hashmap pass + ordinal-binned count."""
+        expression = _ensure_string_expression(expression)
+        hashmap = self._hash_map_unique(expression)
+        var = self.add_variable("hashmap_", hashmap, unique=True)
+        n = hashmap.count
+        counts = self.count(binby=f"_ordinal_values({expression}, {var})",
+                            limits=[0, max(n, 1)], shape=max(n, 1))
+        keys = hashmap.keys()
+        keys_list = keys.tolist() if hasattr(keys, "tolist") else list(keys)
+        # replace masked entry with None
+        if hashmap.has_null and not isinstance(keys_list[hashmap.null_index], (str, type(None))):
+            keys_list[hashmap.null_index] = None
+        out_keys, out_counts = [], []
+        for i, (k, c) in enumerate(zip(keys_list, counts)):
+            if dropmissing and hashmap.has_null and i == hashmap.null_index:
+                continue
+            if dropnan and hashmap.has_nan and i == hashmap.nan_index:
+                continue
+            out_keys.append(k)
+            out_counts.append(int(c))
+        return out_keys, np.array(out_counts)
+
+    def evaluate_iterator_single(self, expression, chunk_size=None):
+        for i1, i2, chunks in self.evaluate_iterator([expression], chunk_size=chunk_size):
+            yield i1, i2, chunks[0]
+
+    # -- evaluation ----------------------------------------------------
+    def evaluate(self, expression, i1=None, i2=None, out=None, selection=None, filtered=True,
+                 array_type=None, parallel=True, chunk_size=None, progress=None):
+        """Materialize an expression on the host (reference: dataframe.py
+        evaluate)."""
+        expression = _ensure_string_expression(expression)
+        if isinstance(expression, (list, tuple)):
+            return [self.evaluate(e, i1=i1, i2=i2, selection=selection, filtered=filtered, array_type=array_type) for e in expression]
+        parts = []
+        for _, _, chunk in self._evaluate_iterator_raw([expression], i1=i1, i2=i2, selection=selection,
+                                                       filtered=filtered, chunk_size=chunk_size):
+            parts.append(chunk[0])
+        if not parts:
+            dt = DataType(np.dtype("float64"))
+            result = np.empty(0, dtype=np.float64)
+        else:
+            result = array_types.concat(parts) if len(parts) > 1 else parts[0]
+        return array_types.convert(result, array_type)
+
+    def _evaluate_iterator_raw(self, expressions, i1=None, i2=None, selection=None, filtered=True, chunk_size=None):
+        """Stream evaluated chunks (filtered rows compacted)."""
+        from .execution import chunk_size_for, _to_bool_mask
+        expressions = [_ensure_string_expression(e) for e in expressions]
+        start = self._index_start if i1 is None else self._index_start + i1
+        end = self._index_end if i2 is None else min(self._index_start + i2, self._index_end)
+        if start >= end:
+            return
+        deps = set()
+        for e in expressions:
+            deps |= Expression(self, e).root_columns()
+        use_filter = filtered and self.filtered
+        if use_filter:
+            deps |= self._selection_dependencies(FILTER_SELECTION_NAME)
+        if selection is not None:
+            deps |= self._selection_dependencies(selection)
+        chunk_size = chunk_size or chunk_size_for(end - start)
+        offset = 0
+        for i1_, i2_, chunks in self.dataset.chunk_iterator(sorted(deps), chunk_size, start=start, end=end):
+            scope = BlockScope(self, values=dict(chunks))
+            mask = None
+            if use_filter:
+                mask = _to_bool_mask(scope.evaluate(self._filter_expression()))
+            if selection is not None:
+                smask = _to_bool_mask(scope.evaluate(self._selection_expression(selection)))
+                mask = smask if mask is None else (mask & smask)
+            results = []
+            for e in expressions:
+                value = scope.evaluate(e)
+                if np.isscalar(value) or (isinstance(value, np.ndarray) and value.ndim == 0):
+                    value = np.full(i2_ - i1_, value)
+                if mask is not None:
+                    value = array_types.filter_array(value, mask)
+                results.append(value)
+            n = len(results[0]) if results else 0
+            yield offset, offset + n, results
+            offset += n
+
+    def evaluate_iterator(self, expression, s1=None, s2=None, i1=None, i2=None, chunk_size=None,
+                          parallel=True, selection=None, array_type=None, prefetch=True, progress=None):
+        """Reference: dataframe.py:3112 (prefetch overlap comes free from the
+        async device dispatch)."""
+        expressions = expression if isinstance(expression, (list, tuple)) else [expression]
+        single = not isinstance(expression, (list, tuple))
+        for o1, o2, results in self._evaluate_iterator_raw(expressions, i1=i1, i2=i2, selection=selection,
+                                                           chunk_size=chunk_size):
+            results = [array_types.convert(r, array_type) for r in results]
+            yield o1, o2, (results[0] if single else results)
+
+    # -- conversion ----------------------------------------------------
+    def to_pandas_df(self, column_names=None, selection=None, strings=True, virtual=True, index_name=None,
+                     parallel=True, chunk_size=None, array_type=None):
+        import pandas as pd
+        column_names = column_names or self.get_column_names(strings=strings, virtual=virtual)
+        data = {}
+        for name in column_names:
+            values = self.evaluate(name, selection=selection)
+            if array_types.is_arrow_array(values):
+                values = values.to_pandas()
+            data[name] = np.asarray(values) if not isinstance(values, np.ma.MaskedArray) else values
+        df = pd.DataFrame(data)
+        if index_name is not None and index_name in df:
+            df = df.set_index(index_name)
+        return df
+
+    def to_arrow_table(self, column_names=None, selection=None, strings=True, virtual=True,
+                       parallel=True, chunk_size=None, reduce_large=False):
+        import pyarrow as pa
+        column_names = column_names or self.get_column_names(strings=strings, virtual=virtual)
+        arrays = [array_types.to_arrow(self.evaluate(name, selection=selection)) for name in column_names]
+        return pa.table(arrays, names=column_names)
+
+    def to_dict(self, column_names=None, selection=None, strings=True, virtual=True, array_type=None):
+        column_names = column_names or self.get_column_names(strings=strings, virtual=virtual)
+        return {name: array_types.convert(self.evaluate(name, selection=selection), array_type) for name in column_names}
+
+    def to_items(self, column_names=None, selection=None, strings=True, virtual=True, array_type=None):
+        return list(self.to_dict(column_names, selection, strings, virtual, array_type).items())
+
+    def to_records(self, index=None, selection=None, column_names=None, strings=True, virtual=True, array_type="python"):
+        if index is not None:
+            row = {name: self.evaluate(name, index, index + 1)[0] for name in self.get_column_names(strings=strings, virtual=virtual)}
+            return {k: (v.as_py() if hasattr(v, "as_py") else (v.item() if hasattr(v, "item") else v)) for k, v in row.items()}
+        names = column_names or self.get_column_names(strings=strings, virtual=virtual)
+        columns = {name: self.evaluate(name, selection=selection) for name in names}
+        out = []
+        n = len(next(iter(columns.values()))) if columns else 0
+        lists = {name: (v.to_pylist() if hasattr(v, "to_pylist") else np.asarray(v).tolist()) for name, v in columns.items()}
+        for i in range(n):
+            out.append({name: lists[name][i] for name in names})
+        return out
+
+    def to_copy(self, column_names=None, selection=None, strings=True, virtual=True):
+        from . import from_arrays
+        return from_arrays(**self.to_dict(column_names=column_names, selection=selection, strings=strings, virtual=virtual))
+
+    def to_dask_array(self, chunks="auto"):
+        raise NotImplementedError("dask bridge not available in this environment")
+
+    # -- repr/head/tail -----------------------------------------------
+    def head(self, n=10):
+        return self[:min(n, len(self))].extract()
+
+    def tail(self, n=10):
+        N = len(self)
+        return self[max(0, N - n):N].extract()
+
+    def head_and_tail_print(self, n=5):
+        from .formatting import repr_html_table
+        return repr_html_table(self, n)
+
+    def __repr__(self):
+        return self._head_and_tail_table(format="plain")
+
+    def _repr_html_(self):
+        return self._head_and_tail_table(format="html")
+
+    def _head_and_tail_table(self, n=None, format="plain"):
+        from . import formatting
+        n = n or settings.display.max_rows
+        return formatting.table_string(self, n, format=format)
+
+    def __str__(self):
+        return self._head_and_tail_table(format="plain")
+
+    def describe(self, strings=True, virtual=True, selection=None):
+        """Summary stats per column (reference: dataframe.py describe)."""
+        import pandas as pd
+        columns = self.get_column_names(strings=strings, virtual=virtual)
+        data = dict(data_type=[], count=[], NA=[], mean=[], std=[], min=[], max=[])
+        n_total = len(self)
+        means = {}
+        stds = {}
+        mins = {}
+        maxs = {}
+        counts = {}
+        numeric = []
+        for name in columns:
+            dt = self.data_type(name)
+            if dt.is_numeric and not dt.is_temporal:
+                numeric.append(name)
+                counts[name] = self.count(name, selection=selection, delay=True)
+                means[name] = self.mean(name, selection=selection, delay=True)
+                stds[name] = self.std(name, selection=selection, delay=True)
+                mins[name] = self.min(name, selection=selection, delay=True)
+                maxs[name] = self.max(name, selection=selection, delay=True)
+            else:
+                counts[name] = self.count(name, selection=selection, delay=True)
+        self.execute()
+        for name in columns:
+            dt = self.data_type(name)
+            count = int(counts[name].get())
+            data["data_type"].append(str(dt))
+            data["count"].append(count)
+            data["NA"].append(n_total - count)
+            if name in numeric:
+                data["mean"].append(float(means[name].get()))
+                data["std"].append(float(stds[name].get()))
+                data["min"].append(_scalar(mins[name].get()))
+                data["max"].append(_scalar(maxs[name].get()))
+            else:
+                data["mean"].append("--")
+                data["std"].append("--")
+                data["min"].append("--")
+                data["max"].append("--")
+        return pd.DataFrame(data=data, index=columns).T
+
+    # -- length/slicing stubs (DataFrameLocal implements) -------------
+    def __len__(self):
+        raise NotImplementedError
+
+    def _invalidate_length(self):
+        self._length_cache = {}
+
+    def copy(self, column_names=None):
+        raise NotImplementedError
+
+    def trim(self, inplace=False):
+        df = self if inplace else self.copy()
+        return df
+
+    def _slice(self, start, stop):
+        raise NotImplementedError
+
+
+def _scalar(v):
+    v = np.asarray(v)
+    return v.item() if v.shape == () else v
+
+
+def _as_unique_array(keys, array_type):
+    if isinstance(keys, list):
+        values = keys
+        if array_type in ("python", "list"):
+            return values
+        import pyarrow as pa
+        return pa.array(values)
+    if array_type in ("python", "list"):
+        if np.ma.isMaskedArray(keys):
+            return [None if m else v.item() if hasattr(v, "item") else v for v, m in zip(keys.data, np.ma.getmaskarray(keys))]
+        return keys.tolist() if hasattr(keys, "tolist") else list(keys)
+    if array_type == "numpy" or array_type is None:
+        return keys
+    if array_type == "arrow":
+        return array_types.to_arrow(keys)
+    return keys
+
+
+def _encode_variable(v):
+    if isinstance(v, np.ndarray):
+        return dict(type="ndarray", data=v.tolist(), dtype=str(v.dtype))
+    if isinstance(v, (np.datetime64, np.timedelta64)):
+        return dict(type=type(v).__name__, data=str(v))
+    from .hash import HashMapUnique
+    if isinstance(v, HashMapUnique):
+        return dict(type="hashmap", data=v.encode(None))
+    return v
+
+
+def _decode_variable(v):
+    if isinstance(v, dict) and "type" in v:
+        if v["type"] == "ndarray":
+            return np.asarray(v["data"], dtype=v["dtype"])
+        if v["type"] == "datetime64":
+            return np.datetime64(v["data"])
+        if v["type"] == "timedelta64":
+            return np.timedelta64(v["data"])
+        if v["type"] == "hashmap":
+            from .hash import HashMapUnique
+            return HashMapUnique.decode(None, v["data"])
+    return v
+
+
+class DataFrameLocal(DataFrame):
+    """DataFrame backed by a local Dataset (reference: dataframe.py:5717)."""
+
+    def __init__(self, dataset=None, name=None):
+        super().__init__(name=name)
+        from .dataset import DatasetArrays
+        if dataset is None:
+            dataset = DatasetArrays({})
+        self.dataset = dataset
+        self.column_names = list(dataset)
+        self._index_start = 0
+        self._index_end = dataset.row_count
+
+    @property
+    def columns(self):
+        return self.dataset
+
+    @property
+    def _length_unfiltered(self):
+        return self._index_end - self._index_start
+
+    @property
+    def length_unfiltered(self):
+        return self._length_unfiltered
+
+    def length_original(self):
+        return self.dataset.row_count
+
+    def __len__(self):
+        if not self.filtered:
+            return self._length_unfiltered
+        key = self.fingerprint()
+        if key not in self._length_cache:
+            self._length_cache[key] = int(self.count())
+        return self._length_cache[key]
+
+    def count_nothing_selected(self):
+        return len(self)
+
+    def set_active_range(self, i1, i2):
+        self._index_start = i1
+        self._index_end = i2
+        self._invalidate_length()
+
+    def set_active_fraction(self, fraction):
+        n = int(self.dataset.row_count * fraction)
+        self.set_active_range(0, n)
+
+    def get_active_range(self):
+        return self._index_start, self._index_end
+
+    # -- copy ----------------------------------------------------------
+    def copy(self, column_names=None, treeshake=False):
+        df = DataFrameLocal(self.dataset, name=self.name)
+        df.virtual_columns = dict(self.virtual_columns)
+        df.variables = dict(self.variables)
+        df.functions = dict(self.functions)
+        df._categories = copy_mod.deepcopy(self._categories)
+        df._index_start = self._index_start
+        df._index_end = self._index_end
+        df.units = dict(self.units)
+        df.descriptions = dict(self.descriptions)
+        df.description = self.description
+        df._renamed_columns = list(self._renamed_columns)
+        for name, history in self.selection_histories.items():
+            df.selection_histories[name] = list(history)
+            df.selection_history_indices[name] = self.selection_history_indices[name]
+        if column_names is not None:
+            # keep hidden dependencies alive
+            needed = []
+            for name in column_names:
+                if name not in df.column_names and name not in df.virtual_columns:
+                    # an expression: add as virtual column
+                    df.add_virtual_column(name, name)
+            deps = set()
+            for name in column_names:
+                deps |= Expression(df, name).variables(include_virtual=True)
+            hidden_needed = [n for n in df.get_column_names(hidden=True) if n in deps and n not in column_names]
+            df.column_names = list(column_names) + hidden_needed
+        return df
+
+    def shallow_copy(self):
+        return self.copy()
+
+    def is_local(self):
+        return True
+
+    # -- columns -------------------------------------------------------
+    def add_column(self, name, data):
+        from .dataset import DatasetArrays, DatasetMerged
+        if np.isscalar(data):
+            from .column import ColumnVirtualConstant
+            data = ColumnVirtualConstant(data, self._length_unfiltered)
+        if len(data) != self.dataset.row_count:
+            if self.filtered and len(data) == len(self):
+                raise ValueError("cannot add a column to a filtered dataframe with filtered length; "
+                                 "use df.extract() first")
+            raise ValueError(f"array length {len(data)} does not match dataframe length {self.dataset.row_count}")
+        if name in self.dataset:
+            # replace: merge a renamed dataset
+            base = self.dataset.dropped(name)
+            self.dataset = base.merged(DatasetArrays({name: data}))
+        else:
+            if len(self.dataset):
+                self.dataset = self.dataset.merged(DatasetArrays({name: data}))
+            else:
+                self.dataset = DatasetArrays({name: data})
+                self._index_start = 0
+                self._index_end = self.dataset.row_count
+        if name not in self.column_names:
+            self.column_names.append(name)
+        self._invalidate_length() if False else None
+
+    def _rename_column(self, name, new_name):
+        self.dataset = self.dataset.renamed({name: new_name})
+        if name in self.column_names:
+            self.column_names[self.column_names.index(name)] = new_name
+        self._renamed_columns.append((name, new_name))
+
+    def _drop_column(self, name):
+        self.dataset = self.dataset.dropped(name)
+        self.column_names.remove(name)
+
+    # -- row ops -------------------------------------------------------
+    def _slice(self, start, stop):
+        df = self.copy()
+        if df.filtered:
+            # materialize filter indices for the requested range
+            indices = self._filtered_indices()
+            df = self._unfiltered_copy()
+            df.dataset = self.dataset.take(indices[start:stop])
+            df._index_start = 0
+            df._index_end = df.dataset.row_count
+            return df
+        df._index_start = self._index_start + start
+        df._index_end = self._index_start + stop
+        df._invalidate_length()
+        return df
+
+    def _unfiltered_copy(self):
+        df = self.copy()
+        if df.filtered:
+            history = df.selection_histories[FILTER_SELECTION_NAME]
+            df.selection_histories[FILTER_SELECTION_NAME] = []
+            df.selection_history_indices[FILTER_SELECTION_NAME] = -1
+            df._invalidate_length()
+        return df
+
+    def _filtered_indices(self):
+        """Row indices (into the unfiltered dataset) passing the filter."""
+        from .execution import _to_bool_mask, chunk_size_for
+        deps = sorted(self._selection_dependencies(FILTER_SELECTION_NAME))
+        indices = []
+        chunk_size = chunk_size_for(self._length_unfiltered)
+        for i1, i2, chunks in self.dataset.chunk_iterator(deps, chunk_size, start=self._index_start, end=self._index_end):
+            scope = BlockScope(self, values=dict(chunks))
+            mask = _to_bool_mask(scope.evaluate(self._filter_expression()))
+            local = np.nonzero(mask)[0] + (i1 + self._index_start)
+            indices.append(local)
+        return np.concatenate(indices) if indices else np.empty(0, dtype=np.int64)
+
+    def extract(self):
+        """Drop filtered-out rows & inactive range → compact dataframe
+        (reference: dataframe.py extract)."""
+        if self.filtered:
+            indices = self._filtered_indices()
+            df = self._unfiltered_copy()
+            df.dataset = self.dataset.take(indices)
+        else:
+            df = self.copy()
+            df.dataset = self.dataset.sliced(self._index_start, self._index_end)
+        df._index_start = 0
+        df._index_end = df.dataset.row_count
+        df._invalidate_length()
+        return df
+
+    def take(self, indices, filtered=True, dropfilter=True):
+        """Row subset by (filtered) positional indices (reference:
+        dataframe.py:4444)."""
+        df = self
+        indices = np.asarray(indices)
+        if self.filtered and filtered:
+            base = self._filtered_indices()
+            indices = base[indices]
+            df = self._unfiltered_copy()
+        else:
+            indices = indices + self._index_start
+        out = df._unfiltered_copy() if df.filtered and dropfilter else df.copy()
+        out.dataset = self.dataset.take(indices)
+        out._index_start = 0
+        out._index_end = out.dataset.row_count
+        out._invalidate_length()
+        return out
+
+    def sample(self, n=None, frac=None, replace=False, weights=None, random_state=None):
+        """Reference: dataframe.py sample."""
+        rng = np.random.RandomState(random_state) if not isinstance(random_state, np.random.RandomState) else random_state
+        N = len(self)
+        if n is None:
+            frac = 1 if frac is None else frac
+            n = int(round(frac * N))
+        p = None
+        if weights is not None:
+            w = np.asarray(self.evaluate(weights), dtype=np.float64)
+            p = w / w.sum()
+        indices = rng.choice(N, n, replace=replace, p=p)
+        return self.take(indices)
+
+    def shuffle(self, random_state=None):
+        return self.sample(frac=1, random_state=random_state)
+
+    def split(self, into=None, shuffle=False, random_state=None):
+        """Reference: dataframe.py split."""
+        df = self.shuffle(random_state=random_state) if shuffle else self
+        N = len(df)
+        if isinstance(into, int):
+            sizes = [N // into + (1 if i < N % into else 0) for i in range(into)]
+        else:
+            fracs = list(into)
+            sizes = [int(round(f * N)) for f in fracs]
+            sizes[-1] = N - sum(sizes[:-1])
+        out = []
+        offset = 0
+        for size in sizes:
+            out.append(df[offset:offset + size])
+            offset += size
+        return out
+
+    def split_random(self, into, random_state=None):
+        return self.split(into, shuffle=True, random_state=random_state)
+
+    def sort(self, by, ascending=True, kind="quicksort"):
+        """Materialized sort via argsort → lazy take (reference:
+        dataframe.py sort; device argsort in ops/sorting.py)."""
+        from .ops import sorting
+        by = _ensure_strings_from_expressions(by)
+        by_list = by if isinstance(by, list) else [by]
+        ascending_list = ascending if isinstance(ascending, list) else [ascending] * len(by_list)
+        keys = [self.evaluate(b) for b in by_list]
+        indices = sorting.lexsort_indices(keys, ascending_list)
+        return self.take(indices)
+
+    def fillna(self, value, column_names=None, prefix="__original_", inplace=False):
+        df = self if inplace else self.copy()
+        column_names = column_names or df.get_column_names()
+        for name in column_names:
+            dt = df.data_type(name)
+            if dt.is_numeric or dt.is_string:
+                df[name] = df[name].fillna(value)
+        return df
+
+    def dropna(self, drop_nan=True, drop_masked=True, column_names=None, how="any"):
+        """Reference: dataframe.py dropna."""
+        column_names = column_names or self.get_column_names()
+        parts = []
+        for name in column_names:
+            if drop_nan and drop_masked:
+                parts.append(f"notna({name})")
+            elif drop_nan:
+                parts.append(f"notnan({name})")
+            else:
+                parts.append(f"notmissing({name})")
+        joiner = " & " if how == "any" else " | "
+        return self.filter(joiner.join(f"({p})" for p in parts))
+
+    def dropnan(self, column_names=None):
+        return self.dropna(drop_nan=True, drop_masked=False, column_names=column_names)
+
+    def dropmissing(self, column_names=None):
+        return self.dropna(drop_nan=False, drop_masked=True, column_names=column_names)
+
+    def dropinf(self, column_names=None):
+        column_names = column_names or self.get_column_names(strings=False)
+        parts = [f"isfinite({name}) | isna({name})" for name in column_names
+                 if self.data_type(name).is_float]
+        if not parts:
+            return self.copy()
+        return self.filter(" & ".join(f"({p})" for p in parts))
+
+    def drop_filter(self, inplace=False):
+        df = self if inplace else self.copy()
+        df.selection_histories[FILTER_SELECTION_NAME] = []
+        df.selection_history_indices[FILTER_SELECTION_NAME] = -1
+        df._invalidate_length()
+        return df
+
+    # -- map_reduce (host path, powers join) ---------------------------
+    def map_reduce(self, map, reduce, arguments, progress=False, delay=False, info=False,
+                   to_numpy=True, ignore_filter=False, pre_filter=False, name="map reduce",
+                   selection=None):
+        """Reference: dataframe.py:431."""
+        task = TaskMapReduce(self, arguments, map, reduce, info=info, to_numpy=to_numpy,
+                             ignore_filter=ignore_filter, selection=selection,
+                             pre_filter=pre_filter, name=name)
+        task = self.executor.schedule(task)
+
+        @delayed
+        def finish(value):
+            return value
+
+        return self._delay(delay, finish(task))
+
+    def _index(self, expression, progress=False, delay=False, prime_growth=False, cardinality=None):
+        """Build a value→row multimap for joins (reference: dataframe.py:514)."""
+        from .join import RowIndex
+        expression = _ensure_string_expression(expression)
+        values = self.evaluate(expression)
+        return RowIndex.build(values)
+
+    # -- structure ops (delegated) ------------------------------------
+    def join(self, other, on=None, left_on=None, right_on=None, lprefix="", rprefix="",
+             lsuffix="", rsuffix="", how="left", allow_duplication=False, inplace=False, cardinality_other=None):
+        from .join import join as join_impl
+        return join_impl(self, other, on=on, left_on=left_on, right_on=right_on,
+                         lprefix=lprefix, rprefix=rprefix, lsuffix=lsuffix, rsuffix=rsuffix,
+                         how=how, allow_duplication=allow_duplication, inplace=inplace)
+
+    def groupby(self, by=None, agg=None, sort=False, ascending=True, assume_sparse="auto",
+                row_limit=None, copy=True, progress=None, delay=False):
+        from .groupby import GroupBy
+        groupby = GroupBy(self, by=by, sort=sort, ascending=ascending, row_limit=row_limit)
+        if agg is None:
+            return groupby
+        return groupby.agg(agg)
+
+    def binby(self, by=None, agg=None, sort=False, limits=None, shape=DEFAULT_SHAPE, delay=False, progress=None):
+        from .groupby import BinBy
+        binby = BinBy(self, by=by, sort=sort, limits=limits, shape=shape)
+        if agg is None:
+            return binby
+        return binby.agg(agg)
+
+    def rolling(self, window, trim=False, column=None, fill_value=None, edge="right"):
+        from .rolling import Rolling
+        return Rolling(self, window, trim=trim, columns=column, fill_value=fill_value, edge=edge)
+
+    def shift(self, periods, column=None, fill_value=None, trim=False, inplace=False):
+        from .shift import shift as shift_impl
+        return shift_impl(self, periods, column=column, fill_value=fill_value, trim=trim, inplace=inplace)
+
+    def diff(self, periods=1, column=None, fill_value=None, trim=False, inplace=False):
+        df = self if inplace else self.copy()
+        columns = column if column is not None else df.get_column_names(strings=False)
+        columns = [columns] if isinstance(columns, str) else list(columns)
+        shifted = df.shift(periods, column=columns, fill_value=fill_value, trim=trim)
+        for name in columns:
+            shifted[name] = df[name] - shifted[name]
+        return shifted
+
+    def concat(self, *others, resolver="flexible"):
+        from . import concat as concat_impl
+        return concat_impl([self] + list(others), resolver=resolver)
+
+    # -- materialize / export -----------------------------------------
+    def materialize(self, column=None, inplace=False, virtual_column=None):
+        """Evaluate virtual columns into real arrays (reference:
+        dataframe.py materialize)."""
+        df = self if inplace else self.copy()
+        if virtual_column is not None:
+            column = virtual_column
+        columns = [column] if isinstance(column, str) else (column or list(df.virtual_columns))
+        for name in columns:
+            values = df.evaluate(name, filtered=False)
+            del df.virtual_columns[name]
+            df.column_names.remove(name)
+            df.add_column(name, values)
+        return df
+
+    def export(self, path, progress=None, chunk_size=None, parallel=True, fs_options=None, fs=None, **kwargs):
+        """Dispatch by extension (reference: dataframe.py:6731)."""
+        path = str(path)
+        if path.endswith((".hdf5", ".h5")):
+            self.export_hdf5(path, progress=progress, chunk_size=chunk_size, **kwargs)
+        elif path.endswith((".arrow", ".ipc")):
+            self.export_arrow(path, progress=progress, chunk_size=chunk_size, **kwargs)
+        elif path.endswith(".feather"):
+            self.export_feather(path, progress=progress, **kwargs)
+        elif path.endswith((".parquet", ".pq")):
+            self.export_parquet(path, progress=progress, chunk_size=chunk_size, **kwargs)
+        elif path.endswith((".csv", ".txt")):
+            self.export_csv(path, progress=progress, chunk_size=chunk_size, **kwargs)
+        elif path.endswith(".json"):
+            self.export_json(path, progress=progress, **kwargs)
+        else:
+            raise ValueError(f"unknown extension for {path}")
+
+    def export_hdf5(self, path, progress=None, chunk_size=None, **kwargs):
+        from .io.hdf5 import export_hdf5
+        export_hdf5(self, path, chunk_size=chunk_size, progress=progress, **kwargs)
+
+    def export_arrow(self, path, progress=None, chunk_size=None, as_stream=False, **kwargs):
+        from .io.arrow import export_arrow
+        export_arrow(self, path, chunk_size=chunk_size, progress=progress, as_stream=as_stream)
+
+    def export_feather(self, path, progress=None, **kwargs):
+        from .io.arrow import export_feather
+        export_feather(self, path, **kwargs)
+
+    def export_parquet(self, path, progress=None, chunk_size=None, **kwargs):
+        from .io.arrow import export_parquet
+        export_parquet(self, path, chunk_size=chunk_size, progress=progress)
+
+    def export_csv(self, path, progress=None, chunk_size=None, **kwargs):
+        from .io.csv import export_csv
+        export_csv(self, path, chunk_size=chunk_size, progress=progress, **kwargs)
+
+    def export_json(self, path, progress=None, **kwargs):
+        import json
+        records = self.to_records()
+        with open(path, "w") as f:
+            json.dump(records, f, default=str)
+
+    # -- uncertainty propagation --------------------------------------
+    def propagate_uncertainties(self, columns, depending_variables=None, cov_suffix="_uncertainty"):
+        """Symbolic Jacobian error propagation (reference: dataframe.py:3648
+        via expresso.derivative)."""
+        for column in columns:
+            column = self[column.expression if isinstance(column, Expression) else column]
+            name = None
+            for vname, vexpr in self.virtual_columns.items():
+                if vexpr == column.expression or vname == column.expression:
+                    name = vname
+                    expr = vexpr if vexpr != vname else self.virtual_columns[vname]
+                    break
+            if name is None:
+                raise ValueError(f"{column} is not a virtual column")
+            expr = self.virtual_columns[name]
+            deps = [d for d in expresso.names(expr) if d in self.get_column_names(hidden=True)]
+            terms = []
+            for dep in deps:
+                err_col = dep + "_uncertainty"
+                if err_col not in self.get_column_names(hidden=True):
+                    err_col = "e_" + dep
+                    if err_col not in self.get_column_names(hidden=True):
+                        continue
+                d = expresso.derivative(expr, dep)
+                terms.append(f"(({d}) * ({err_col}))**2")
+            if terms:
+                self.add_virtual_column(name + cov_suffix, f"sqrt({' + '.join(terms)})")
+        return self
+
+
+class DataFrameConcatenated(DataFrameLocal):
+    """Reference: dataframe.py DataFrameConcatenated — built on the lazily
+    concatenated dataset."""
+
+    def __init__(self, dfs, resolver="flexible"):
+        dfs = list(dfs)
+        datasets = [df.extract().dataset for df in dfs]
+        dataset = datasets[0].concat(*datasets[1:], resolver=resolver)
+        super().__init__(dataset)
+        # merge virtual columns present in all
+        first = dfs[0]
+        for name, expr in first.virtual_columns.items():
+            if all(df.virtual_columns.get(name) == expr for df in dfs):
+                self.add_virtual_column(name, expr)

@@ -1,0 +1,522 @@
+"""The streaming executor: one compiled device pass over chunked columns.
+
+TPU-native re-design of /root/reference/packages/vaex-core/vaex/execution.py
+(Executor:172, ExecutorLocal.execute_generator:311): tasks are collected and
+deduplicated, aggregations sharing a grid are fused, and a single XLA program
+per run streams host chunks → device (the reference instead fans chunks over
+a CPU thread pool with per-thread C++ task-parts, execution.py:432-435).
+
+The device step is jit-compiled once per (task set, dtypes, chunk bucket) and
+re-used across chunks; accumulator buffers are donated so grids update in
+place in HBM.  Chunk dispatch is asynchronous (JAX), so host-side chunk
+preparation of chunk i+1 overlaps device compute of chunk i — the double
+buffering the reference implements with prefetch threads
+(dataframe.py:3112-3166).
+
+Multi-chip: when the executor is constructed with a mesh of >1 devices, rows
+of each chunk are sharded over the mesh with `shard_map`, each device updates
+a local grid replica, and replicas are reduced with `psum` when the pass
+finishes (SURVEY.md §2.3 split-K reduction → psum).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import array_types, cache, settings, utils
+from .datatype import DataType
+from .dispatch import MV
+from .scopes import BlockScope, DeviceScope, expression_is_device_compatible
+from .tasks import Task, TaskAggregation, TaskHashmapUniqueCreate, TaskMapReduce
+from .ops import gridagg
+
+logger = logging.getLogger("vaex_tpu.execution")
+
+_main_executor = None
+
+
+def get_main_executor():
+    global _main_executor
+    if _main_executor is None:
+        _main_executor = ExecutorLocal()
+    return _main_executor
+
+
+class UserAbort(Exception):
+    pass
+
+
+def _bucket_length(n):
+    """Pad length for a chunk: next power of two, min 128 — bounds the number
+    of distinct compiled programs (SURVEY.md §7 recompilation control)."""
+    n = max(int(n), 1)
+    L = 128
+    while L < n:
+        L *= 2
+    return L
+
+
+def chunk_size_for(row_count, n_devices=1):
+    """Auto chunk size (reference: execution.py:283-292): large enough to
+    keep the device busy, clamped to [size_min, size_max]."""
+    if settings.chunk.size is not None:
+        return settings.chunk.size
+    chunk_size = max(settings.chunk.size_min, min(settings.chunk.size_max, row_count))
+    # multiple of 8 keeps hdf5 string null-bitmaps aligned & tiles friendly
+    return (chunk_size + 7) // 8 * 8
+
+
+class _AggTaskPlan:
+    """Device-side plan for one TaskAggregation."""
+
+    def __init__(self, task, op, value_expr, order_expr, selection_expr, value_as_validity=False):
+        self.task = task
+        self.op = op
+        self.value_expr = value_expr          # str or None
+        self.order_expr = order_expr          # str or None (first/last)
+        self.selection_expr = selection_expr  # str or None
+        # for non-numeric (string) values: value_expr is `notna(orig)` and
+        # only gates inclusion — counting non-null strings without shipping
+        # string bytes to the device
+        self.value_as_validity = value_as_validity
+
+
+class Run:
+    """Dependency analysis of one batch of tasks (reference: execution.py:43)."""
+
+    def __init__(self, df, tasks):
+        self.df = df
+        self.tasks = tasks
+        self.dataset_deps = set()
+        for task in tasks:
+            self.dataset_deps |= task.dependencies()
+        self.dataset_deps = sorted(self.dataset_deps)
+
+
+class Executor:
+    def __init__(self):
+        self.tasks = []
+        self.signal_begin = []
+        self.signal_end = []
+
+    def schedule(self, task):
+        """Queue a task; dedupe by fingerprint; probe the result cache
+        (reference: execution.py:218 + cache probe cache.py:351)."""
+        if task.cacheable and task.requires_fingerprint and cache.is_on():
+            fp = task.fingerprint()
+            value = cache.get(fp)
+            if value is not None:
+                logger.debug("cache hit for %s", fp)
+                task.fulfill(value)
+                return task
+        # dedupe identical pending tasks
+        if task.requires_fingerprint:
+            fp = task.fingerprint()
+            for other in self.tasks:
+                if other.requires_fingerprint and other.isPending and other.fingerprint() == fp:
+                    other.then(task.fulfill, task.reject)
+                    return task
+        self.tasks.append(task)
+        return task
+
+
+class ExecutorLocal(Executor):
+    def __init__(self, mesh=None):
+        super().__init__()
+        self.mesh = mesh
+        self._program_cache = {}
+        self._executing = False
+        self.passes = 0  # number of full passes over data (reference: execution.py:273)
+        self._local = threading.local()
+
+    # ------------------------------------------------------------------
+    def execute(self):
+        # delayed DAGs can schedule follow-up tasks when earlier ones
+        # fulfill (e.g. limits → binned aggregation, reference two-pass
+        # pattern dataframe.py:1844); loop until the queue drains
+        for _ in range(100):
+            if not any(t.isPending and not t.cancelled for t in self.tasks):
+                break
+            for _ in self.execute_generator():
+                pass
+
+    async def execute_async(self):
+        self.execute()
+
+    def _pop_tasks(self):
+        tasks = [t for t in self.tasks if t.isPending and not t.cancelled]
+        self.tasks = []
+        by_df = {}
+        for task in tasks:
+            key = task.df.fingerprint() if task.df is not None else None
+            by_df.setdefault(key, []).append(task)
+        return by_df
+
+    def execute_generator(self):
+        if self._executing:
+            raise RuntimeError(
+                "nested execute call: you may not call execute() from within a "
+                "progress callback or delayed function (reference guard: "
+                "execution.py:330-341)")
+        self._executing = True
+        try:
+            by_df = self._pop_tasks()
+            for _, tasks in by_df.items():
+                yield from self._execute_run(tasks)
+        finally:
+            self._executing = False
+
+    # ------------------------------------------------------------------
+    def _execute_run(self, tasks):
+        df = tasks[0].df
+        run = Run(df, tasks)
+        self.passes += 1
+
+        agg_tasks = [t for t in tasks if isinstance(t, TaskAggregation)]
+        hashmap_tasks = [t for t in tasks if isinstance(t, TaskHashmapUniqueCreate)]
+        mapreduce_tasks = [t for t in tasks if isinstance(t, TaskMapReduce)]
+
+        row_count = df._length_unfiltered
+        chunk_size = chunk_size_for(row_count)
+
+        plans, device_inputs, host_exprs = self._plan_device(df, agg_tasks)
+        need_filter = df.filtered
+        filter_on_device = need_filter and expression_is_device_compatible(df, df._filter_expression())
+
+        # initialize states
+        states = []
+        for plan in plans:
+            ncells = int(np.prod([b.shape for b in plan.task.binners])) if plan.task.binners else 1
+            states.append(plan.op.init(ncells))
+
+        from .hash import _HashmapBuilder
+        program = None
+        L_current = None
+        hashmap_builders = [_HashmapBuilder(t) for t in hashmap_tasks]
+        mr_values = {id(t): [] for t in mapreduce_tasks}
+
+        i_chunk = 0
+        start = df._index_start
+        end = df._index_end
+        total = end - start
+        try:
+            for i1, i2, chunks in df.dataset.chunk_iterator(run.dataset_deps, chunk_size, start=start, end=end):
+                n = i2 - i1
+                host_scope = None
+
+                def get_host_scope():
+                    nonlocal host_scope
+                    if host_scope is None:
+                        host_scope = BlockScope(df, values=dict(chunks))
+                    return host_scope
+
+                filter_mask_host = None
+                if need_filter and (not filter_on_device or mapreduce_tasks or hashmap_tasks):
+                    fm = get_host_scope().evaluate(df._filter_expression())
+                    filter_mask_host = _to_bool_mask(fm)
+
+                # ---- device aggregation path
+                if plans:
+                    L = _bucket_length(n)
+                    inputs, masks = self._prepare_device_inputs(
+                        df, chunks, device_inputs, host_exprs, L, get_host_scope,
+                        filter_mask_host if (need_filter and not filter_on_device) else None)
+                    if program is None or L != L_current:
+                        program = self._get_program(df, plans, inputs, masks, L,
+                                                    filter_on_device, need_filter)
+                        L_current = L
+                    states = program(tuple(states), inputs, masks,
+                                     np.int64(n), np.int64(i1))
+
+                # ---- host paths
+                if hashmap_tasks or mapreduce_tasks:
+                    for builder in hashmap_builders:
+                        builder.process(get_host_scope(), i1, i2, filter_mask_host)
+                    for t in mapreduce_tasks:
+                        self._process_mapreduce(t, get_host_scope(), chunks, i1, i2,
+                                                filter_mask_host, mr_values[id(t)])
+
+                i_chunk += 1
+                fraction = (i2) / total if total else 1.0
+                for task in tasks:
+                    if not task.signal_progress(fraction):
+                        raise UserAbort("user aborted")
+                yield fraction
+
+            # ---- reduce + fulfill
+            states = jax.tree_util.tree_map(np.asarray, states)
+            for plan, state in zip(plans, states):
+                raw = plan.op.finalize(state)
+                grid_flat = np.asarray(raw)[:-1]  # drop void cell
+                shape = tuple(b.shape for b in plan.task.binners)
+                grid = grid_flat.reshape(shape) if shape else grid_flat[0]
+                desc = plan.task.aggregation_description
+                if shape:
+                    grid = grid[desc.get_result_slicing(plan.task.binners)]
+                self._fulfill(plan.task, grid)
+            for builder in hashmap_builders:
+                self._fulfill(builder.task, builder.finish())
+            for t in mapreduce_tasks:
+                self._fulfill(t, t.reduce(mr_values[id(t)]))
+        except Exception as e:  # noqa: BLE001
+            for task in tasks:
+                if task.isPending:
+                    task.reject(e)
+            if not isinstance(e, UserAbort):
+                raise
+
+    def _fulfill(self, task, value):
+        if task.cacheable and task.requires_fingerprint and cache.is_on():
+            cache.set(task.fingerprint(), value)
+        task.fulfill(value)
+
+    # ------------------------------------------------------------------
+    def _plan_device(self, df, agg_tasks):
+        """Build per-task device plans and collect required inputs.
+
+        Returns (plans, leaf_columns, host_exprs): host_exprs are expressions
+        that must be evaluated host-side per chunk (strings, UDFs) and shipped
+        as ready arrays keyed by their expression string.
+        """
+        plans = []
+        leaf_columns = set()
+        host_exprs = set()
+
+        def classify(expr):
+            if expr is None or expr == "*":
+                return
+            if expression_is_device_compatible(df, expr):
+                from .expression import Expression
+                for name in Expression(df, expr).root_columns():
+                    dt = df.data_type(name)
+                    if dt.is_numeric or dt.is_bool or dt.is_temporal:
+                        leaf_columns.add(name)
+                    else:
+                        host_exprs.add(expr)
+                        return
+            else:
+                host_exprs.add(expr)
+
+        for task in agg_tasks:
+            desc = task.aggregation_description
+            short = desc.short_name
+            value_expr = None
+            order_expr = None
+            value_as_validity = False
+            if short == "count":
+                value_expr = None if desc.expression == "*" else desc.expression
+                if value_expr is not None:
+                    dt = df.data_type(value_expr)
+                    if not (dt.is_numeric or dt.is_bool or dt.is_temporal):
+                        value_expr = f"notna({value_expr})"
+                        value_as_validity = True
+                        dtype = np.dtype(bool)
+                    else:
+                        dtype = dt.device_dtype
+                else:
+                    dtype = None
+                op = gridagg.AggOpCount(dtype)
+            elif short in ("sum", "summoment", "min", "max"):
+                value_expr = desc.expression
+                dtype = df.data_type(value_expr).device_dtype
+                if short == "summoment":
+                    op = gridagg.AggOpSumMoment(dtype, moment=desc.agg_args.get("moment", 2))
+                else:
+                    op = gridagg.make_agg_op(short, dtype)
+            elif short in ("first", "last"):
+                value_expr = desc.expressions[0]
+                order_expr = desc.expressions[1] if len(desc.expressions) > 1 else None
+                dtype = df.data_type(value_expr).device_dtype
+                op = gridagg.AggOpFirst(dtype, inverted=(short == "last"))
+            else:
+                raise NotImplementedError(f"aggregation {short!r} has no device op")
+            selection_expr = df._selection_expression(desc.selection)
+            for e in [value_expr, order_expr, selection_expr]:
+                classify(e)
+            for b in task.binners:
+                classify(b.expression)
+            plans.append(_AggTaskPlan(task, op, value_expr, order_expr, selection_expr,
+                                      value_as_validity=value_as_validity))
+
+        if df.filtered and expression_is_device_compatible(df, df._filter_expression()):
+            classify(df._filter_expression())
+        return plans, sorted(leaf_columns), sorted(host_exprs)
+
+    def _prepare_device_inputs(self, df, chunks, leaf_columns, host_exprs, L, get_host_scope, filter_mask_host):
+        inputs = {}
+        masks = {}
+        for name in leaf_columns:
+            values, valid = array_types.extract_mask(chunks[name])
+            values = _device_view(values)
+            inputs[name] = _pad_to(values, L)
+            if valid is not None:
+                masks[name] = _pad_to(~valid, L, fill=True)
+        for expr in host_exprs:
+            result = get_host_scope().evaluate(expr)
+            values, valid = array_types.extract_mask(result)
+            values = _device_view(np.asarray(values))
+            inputs[expr] = _pad_to(values, L)
+            if valid is not None:
+                masks[expr] = _pad_to(~np.asarray(valid), L, fill=True)
+        if filter_mask_host is not None:
+            inputs["__filter_mask__"] = _pad_to(filter_mask_host, L, fill=False)
+        return inputs, masks
+
+    def _get_program(self, df, plans, inputs, masks, L, filter_on_device, need_filter):
+        key = utils.fingerprint(
+            [(p.task.spec(), p.value_expr, p.order_expr, p.selection_expr) for p in plans],
+            {k: str(v.dtype) for k, v in inputs.items()},
+            {k: str(v.dtype) for k, v in masks.items()},
+            L, filter_on_device, need_filter,
+            df._filter_expression() if need_filter else None,
+            dict(df.virtual_columns),
+            # variables are baked into the trace as constants
+            {k: utils._fingerprint_normalize(v) for k, v in df.variables.items()},
+            settings.compute.precision,
+            "v1",
+        )
+        if key in self._program_cache:
+            return self._program_cache[key]
+        program = _compile_pass(df, plans, filter_on_device and need_filter,
+                                (not filter_on_device) and need_filter, self.mesh, L)
+        self._program_cache[key] = program
+        return program
+
+    def _process_mapreduce(self, task, host_scope, chunks, i1, i2, filter_mask, out_values):
+        blocks = [host_scope.evaluate(e) for e in task.expressions]
+        if task.pre_filter and filter_mask is not None and not task.ignore_filter:
+            blocks = [array_types.filter_array(b, filter_mask) for b in blocks]
+        if task.selection is not None:
+            sel_expr = task.df._selection_expression(task.selection)
+            sel_mask = _to_bool_mask(host_scope.evaluate(sel_expr))
+            if task.pre_filter and filter_mask is not None:
+                sel_mask = sel_mask[filter_mask]
+            blocks = [array_types.filter_array(b, sel_mask) for b in blocks]
+        if task.to_numpy:
+            blocks = [array_types.to_numpy(b) for b in blocks]
+        out_values.append(task.map(i1, i2, *blocks))
+
+
+# ---------------------------------------------------------------------------
+
+
+def _device_view(values):
+    """Host ndarray → dtype the device accepts (temporals as int64)."""
+    values = np.asarray(values)
+    if values.dtype.kind in "Mm":
+        return values.view(np.int64)
+    if values.dtype.kind in "SU":
+        raise TypeError("string columns cannot be shipped to the device directly")
+    if not values.dtype.isnative:
+        values = values.astype(values.dtype.newbyteorder("="))
+    return values
+
+
+def _pad_to(values, L, fill=0):
+    values = np.asarray(values)
+    n = len(values)
+    if n == L:
+        return values
+    out = np.full(L, fill, dtype=values.dtype)
+    out[:n] = values
+    return out
+
+
+def _to_bool_mask(ar):
+    """Filter/selection result → plain bool array (missing = False,
+    reference semantics: masked selection values don't select)."""
+    if np.ma.isMaskedArray(ar):
+        return np.asarray(ar.filled(False)).astype(bool)
+    if array_types.is_arrow_array(ar):
+        import pyarrow as pa
+        ar = ar.combine_chunks() if isinstance(ar, pa.ChunkedArray) else ar
+        return np.asarray(ar.fill_null(False)).astype(bool)
+    return np.asarray(ar).astype(bool)
+
+
+def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
+    """Build the jitted device step for one run.
+
+    step(states, inputs, masks, n_valid, i1) -> states
+    """
+    filter_expr = df._filter_expression() if filter_on_device else None
+
+    def step(states, inputs, masks, n_valid, i1):
+        rows = jax.lax.broadcasted_iota(jnp.int64, (L, 1), 0).squeeze(-1)
+        row_valid = rows < n_valid
+        scope = DeviceScope(df, values=inputs, masks=masks)
+
+        base_include = row_valid
+        if filter_expr is not None:
+            fmv = scope.evaluate(filter_expr)
+            fmask = fmv.values.astype(bool)
+            if fmv.mask is not None:
+                fmask = fmask & ~fmv.mask
+            base_include = base_include & fmask
+        if filter_host_mask:
+            base_include = base_include & inputs["__filter_mask__"].astype(bool)
+
+        # flat indices per distinct binner tuple
+        flat_cache = {}
+
+        def get_flat(binners):
+            key = tuple(binners)
+            if key not in flat_cache:
+                bins = []
+                for b in binners:
+                    mv = scope.evaluate(b.expression)
+                    bins.append(b.to_bins(mv.values, mv.mask))
+                flat_cache[key] = gridagg.flat_index(binners, bins)
+            return flat_cache[key]
+
+        new_states = []
+        for plan, state in zip(plans, states):
+            binners = plan.task.binners
+            if binners:
+                flat = get_flat(binners)
+            else:
+                flat = jnp.zeros((L,), dtype=jnp.int32)
+            include = base_include
+            if plan.selection_expr is not None:
+                smv = scope.evaluate(plan.selection_expr)
+                smask = smv.values.astype(bool)
+                if smv.mask is not None:
+                    smask = smask & ~smv.mask
+                include = include & smask
+            value = None
+            order_key = None
+            if plan.value_expr is not None:
+                vmv = scope.evaluate(plan.value_expr)
+                value = vmv.values
+                if plan.value_as_validity:
+                    include = include & value.astype(bool)
+                    value = None
+                else:
+                    # all primitive aggs skip missing & nan values
+                    # (reference: agg_sum.cpp:98-126, agg_count.cpp:44-67)
+                    if vmv.mask is not None:
+                        include = include & ~vmv.mask
+                    if jnp.issubdtype(value.dtype, jnp.floating):
+                        include = include & ~jnp.isnan(value)
+            if isinstance(plan.op, gridagg.AggOpFirst):
+                if plan.order_expr is not None:
+                    omv = scope.evaluate(plan.order_expr)
+                    okey = omv.values.astype(jnp.int64)
+                else:
+                    okey = i1 + rows
+                order_key = -okey if plan.op.inverted else okey
+            new_states.append(plan.op.update(state, flat, value, include, order_key=order_key))
+        return tuple(new_states)
+
+    jitted = jax.jit(step, donate_argnums=0)
+
+    def run_step(states, inputs, masks, n_valid, i1):
+        return jitted(states, inputs, masks, n_valid, i1)
+
+    return run_step

@@ -1,0 +1,368 @@
+"""Unique-value key tables: the groupby/isin/unique backbone.
+
+TPU-native re-design of the reference C++ hash containers
+(/root/reference/packages/vaex-core/src/hash_primitives.hpp:345-760 via
+vaex/hash.py:63): instead of sharded open-addressing hashmaps built on CPU
+threads, the key table is built incrementally on the host (vectorized
+first-occurrence unique per chunk) and shipped to the device as a **sorted
+key array + permutation**, so mapping values→ordinal codes inside compiled
+passes is a binary search (`jnp.searchsorted`) — static shapes, MXU-friendly,
+no device hashing (SURVEY.md §2.2 'TPU-first' plan).
+
+Code layout matches the reference HashMapUnique: codes [0, n) in
+first-occurrence order, missing/null occupies one slot (null_index), NaN one
+slot (nan_index), unknown values map to -1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+except ImportError:  # pragma: no cover
+    pa = None
+    pc = None
+
+from . import array_types, utils
+from .datatype import DataType
+
+
+class HashMapUnique:
+    """Reference: vaex/hash.py:63."""
+
+    def __init__(self, dtype, limit=None):
+        self.dtype = DataType(dtype)
+        self.limit = limit
+        self._is_string = self.dtype.is_string or self.dtype.is_object
+        if self._is_string:
+            self._keys = []          # python list of str/None
+            self._codes = {}         # str -> code
+        else:
+            self._keys = np.empty(0, dtype=self.dtype.numpy if not self.dtype.is_temporal else np.dtype("int64"))
+        self.null_index = -1
+        self.nan_index = -1
+        self._sorted_cache = None
+        self._fingerprint = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_keys(cls, keys, dtype=None, fingerprint=""):
+        dtype = array_types.data_type(keys) if dtype is None else DataType(dtype)
+        hm = cls(dtype)
+        hm.add(keys)
+        hm._fingerprint = fingerprint
+        return hm
+
+    def __len__(self):
+        return self.count
+
+    @property
+    def count(self):
+        base = len(self._keys)
+        extra = (1 if self.null_index != -1 else 0) + (1 if self.nan_index != -1 else 0)
+        return base + extra
+
+    def _keys_without_specials(self):
+        return self._keys
+
+    @property
+    def has_null(self):
+        return self.null_index != -1
+
+    @property
+    def has_nan(self):
+        return self.nan_index != -1
+
+    @property
+    def fingerprint(self):
+        if self._fingerprint is None:
+            if self._is_string:
+                self._fingerprint = utils.fingerprint("hashmap", self._keys, self.null_index, self.nan_index)
+            else:
+                self._fingerprint = utils.fingerprint("hashmap", utils.hash_array_data(self._keys),
+                                                      self.null_index, self.nan_index)
+        return self._fingerprint
+
+    # ------------------------------------------------------------------
+    def add(self, ar):
+        """Incremental, order-preserving unique update (reference: the
+        parallel hashmap build, hash_primitives.hpp:98-260)."""
+        self._sorted_cache = None
+        self._fingerprint = None
+        if self._is_string:
+            self._add_strings(ar)
+        else:
+            self._add_numeric(ar)
+        if self.limit is not None and self.count > self.limit:
+            from . import RowLimitException
+            raise RowLimitException(f"number of unique values exceeds limit {self.limit}")
+
+    def _add_numeric(self, ar):
+        values, valid = array_types.extract_mask(array_types.to_numpy(ar))
+        values = np.asarray(values)
+        if values.dtype.kind in "Mm":
+            values = values.view(np.int64)
+        if valid is not None and not valid.all():
+            if self.null_index == -1:
+                self.null_index = -2  # placeholder, fixed in _finalize_indices
+            values = values[valid]
+        elif valid is not None:
+            pass
+        if values.dtype.kind == "f":
+            nanmask = np.isnan(values)
+            if nanmask.any():
+                if self.nan_index == -1:
+                    self.nan_index = -2
+                values = values[~nanmask]
+        import pandas as pd
+        chunk_unique = pd.unique(values)
+        if len(self._keys):
+            sorted_existing = np.sort(self._keys)
+            pos = np.searchsorted(sorted_existing, chunk_unique)
+            pos = np.clip(pos, 0, len(sorted_existing) - 1)
+            new_mask = sorted_existing[pos] != chunk_unique
+            new_keys = chunk_unique[new_mask]
+        else:
+            new_keys = chunk_unique
+        if len(new_keys):
+            self._keys = np.concatenate([self._keys, new_keys.astype(self._keys.dtype, copy=False)])
+
+    def _add_strings(self, ar):
+        from .dispatch import StringOps
+        if isinstance(ar, StringOps):
+            ar = ar.ar
+        if isinstance(ar, np.ndarray):
+            ar = pa.array(ar.astype(object))
+        if isinstance(ar, pa.ChunkedArray):
+            ar = ar.combine_chunks()
+        if pa.types.is_dictionary(ar.type):
+            ar = ar.dictionary_decode()
+        if ar.null_count and self.null_index == -1:
+            self.null_index = -2
+        uniques = pc.unique(ar.drop_null())
+        for v in uniques.to_pylist():
+            if v not in self._codes:
+                self._codes[v] = len(self._keys)
+                self._keys.append(v)
+
+    def merge(self, others):
+        for other in others:
+            if self._is_string:
+                for v in other._keys:
+                    if v not in self._codes:
+                        self._codes[v] = len(self._keys)
+                        self._keys.append(v)
+            else:
+                self._add_numeric(other._keys)
+            if other.null_index != -1 and self.null_index == -1:
+                self.null_index = -2
+            if other.nan_index != -1 and self.nan_index == -1:
+                self.nan_index = -2
+        self._finalize_indices()
+
+    def _finalize_indices(self):
+        """Assign final slots: base keys first, then nan, then null —
+        matching the reference convention of appending special bins after the
+        real keys (binner_ordinal layout [bins..., null, nan])."""
+        n = len(self._keys)
+        if self.nan_index == -2:
+            self.nan_index = n
+            n += 1
+        if self.null_index == -2:
+            self.null_index = n
+            n += 1
+
+    # ------------------------------------------------------------------
+    def keys(self, mask=True):
+        """Key array including special slots (reference: hash.py keys())."""
+        self._finalize_indices()
+        if self._is_string:
+            out = list(self._keys)
+            total = self.count
+            full = [None] * total
+            for i, v in enumerate(out):
+                full[i] = v
+            if self.has_nan:
+                full[self.nan_index] = float("nan")
+            return pa.array(full, type=pa.large_string() if not self.has_nan else None) if not self.has_nan else np.array(full, dtype=object)
+        dtype = self._keys.dtype
+        total = self.count
+        if self.has_nan and dtype.kind != "f":
+            dtype = np.dtype("float64")
+        out = np.zeros(total, dtype=dtype)
+        out[:len(self._keys)] = self._keys
+        maskarr = np.zeros(total, dtype=bool)
+        if self.has_nan:
+            out[self.nan_index] = np.nan
+        if self.has_null:
+            maskarr[self.null_index] = True
+        if self.dtype.is_temporal:
+            out = out.view(self.dtype.numpy) if out.dtype == np.int64 else out.astype("int64").view(self.dtype.numpy)
+        if mask and self.has_null:
+            return np.ma.MaskedArray(out, mask=maskarr)
+        return out
+
+    def _ensure_sorted(self):
+        if self._sorted_cache is None:
+            self._finalize_indices()
+            if self._is_string:
+                self._sorted_cache = True  # strings map through dict/index_in
+            else:
+                order = np.argsort(self._keys, kind="stable")
+                self._sorted_cache = (self._keys[order], order.astype(np.int64))
+        return self._sorted_cache
+
+    def map_ordinal(self, values):
+        """values → codes; null→null_index, nan→nan_index, unknown→-1
+        (reference: hash.py map())."""
+        self._finalize_indices()
+        if self._is_string:
+            return self._map_strings(values)
+        from .dispatch import StringOps
+        if isinstance(values, StringOps):
+            values = values.ar
+        values_np, valid = array_types.extract_mask(array_types.to_numpy(values))
+        values_np = np.asarray(values_np)
+        if values_np.dtype.kind in "Mm":
+            values_np = values_np.view(np.int64)
+        sorted_keys, perm = self._ensure_sorted()
+        if len(sorted_keys):
+            pos = np.searchsorted(sorted_keys, values_np)
+            pos_c = np.clip(pos, 0, len(sorted_keys) - 1)
+            found = sorted_keys[pos_c] == values_np
+            codes = np.where(found, perm[pos_c], -1).astype(np.int64)
+        else:
+            codes = np.full(len(values_np), -1, dtype=np.int64)
+        if values_np.dtype.kind == "f":
+            nanmask = np.isnan(values_np)
+            codes[nanmask] = self.nan_index
+        if valid is not None:
+            codes[~valid] = self.null_index
+        return codes
+
+    def _map_strings(self, values):
+        from .dispatch import StringOps
+        ar = values.ar if isinstance(values, StringOps) else values
+        if isinstance(ar, np.ndarray):
+            ar = pa.array(ar.astype(object))
+        if isinstance(ar, pa.ChunkedArray):
+            ar = ar.combine_chunks()
+        if pa.types.is_dictionary(ar.type):
+            ar = ar.dictionary_decode()
+        key_arr = pa.array(self._keys, type=ar.type if len(self._keys) else None)
+        indices = pc.index_in(ar, value_set=key_arr)
+        codes = np.asarray(indices.fill_null(-1)).astype(np.int64)
+        if ar.null_count:
+            nulls = np.asarray(ar.is_null())
+            codes[nulls] = self.null_index
+        return codes
+
+    def map_ordinal_device(self, mv):
+        """Device-side mapping: binary search against the sorted key table
+        (constants in the compiled program)."""
+        import jax.numpy as jnp
+        from .dispatch import MV
+        self._finalize_indices()
+        if self._is_string:
+            raise NotImplementedError("string mapping happens host-side (dictionary-encode at ingest)")
+        sorted_keys, perm = self._ensure_sorted()
+        values = mv.values if isinstance(mv, MV) else mv
+        mask = mv.mask if isinstance(mv, MV) else None
+        if values.dtype != sorted_keys.dtype:
+            values = values.astype(sorted_keys.dtype)
+        skeys = jnp.asarray(sorted_keys)
+        jperm = jnp.asarray(perm)
+        if len(sorted_keys):
+            pos = jnp.searchsorted(skeys, values)
+            pos_c = jnp.clip(pos, 0, len(sorted_keys) - 1)
+            found = skeys[pos_c] == values
+            codes = jnp.where(found, jperm[pos_c], -1)
+        else:
+            codes = jnp.full(values.shape, -1, dtype=jnp.int64)
+        if jnp.issubdtype(values.dtype, jnp.floating):
+            codes = jnp.where(jnp.isnan(values), self.nan_index, codes)
+        if mask is not None:
+            codes = jnp.where(mask, self.null_index, codes)
+        return MV(codes, None)
+
+    def isin(self, values):
+        codes = self.map_ordinal(values)
+        return codes >= 0
+
+    def sorted(self, keys=None, ascending=True, indices=None, return_keys=False):
+        """New hashmap with keys sorted; codes remap via .map_ordinal
+        (reference: hash.py:258)."""
+        self._finalize_indices()
+        if self._is_string:
+            order = np.argsort(np.array(self._keys, dtype=object), kind="stable")
+            if not ascending:
+                order = order[::-1]
+            new = HashMapUnique(self.dtype)
+            for i in order:
+                v = self._keys[i]
+                new._codes[v] = len(new._keys)
+                new._keys.append(v)
+        else:
+            order = np.argsort(self._keys, kind="stable")
+            if not ascending:
+                order = order[::-1]
+            new = HashMapUnique(self.dtype)
+            new._keys = self._keys[order]
+        new.null_index = -2 if self.has_null else -1
+        new.nan_index = -2 if self.has_nan else -1
+        new._finalize_indices()
+        if return_keys:
+            return new, new.keys()
+        return new
+
+    def encode(self, encoding):
+        keys = self._keys if not self._is_string else list(self._keys)
+        return dict(dtype=str(self.dtype), keys=np.asarray(keys).tolist() if not self._is_string else keys,
+                    null_index=self.null_index, nan_index=self.nan_index)
+
+    @classmethod
+    def decode(cls, encoding, spec):
+        hm = cls(np.dtype(spec["dtype"]) if spec["dtype"] not in ("string", "object") else np.dtype(object))
+        if hm._is_string:
+            hm._keys = list(spec["keys"])
+            hm._codes = {v: i for i, v in enumerate(hm._keys)}
+        else:
+            hm._keys = np.asarray(spec["keys"])
+        hm.null_index = spec["null_index"]
+        hm.nan_index = spec["nan_index"]
+        return hm
+
+
+class _HashmapBuilder:
+    """Executor-side incremental builder for TaskHashmapUniqueCreate."""
+
+    def __init__(self, task):
+        self.task = task
+        dtype = task.df.data_type(task.expression)
+        self.hashmap = HashMapUnique(dtype, limit=task.limit if task.limit_raise else None)
+        self.soft_limit = task.limit if not task.limit_raise else None
+        self._limited = False
+
+    def process(self, host_scope, i1, i2, filter_mask):
+        from . import array_types as at
+        values = host_scope.evaluate(self.task.expression)
+        if self.task.pre_filter and filter_mask is not None:
+            values = at.filter_array(values, filter_mask)
+        if self.task.selection is not None:
+            sel_expr = self.task.df._selection_expression(self.task.selection)
+            from .execution import _to_bool_mask
+            sel = _to_bool_mask(host_scope.evaluate(sel_expr))
+            if self.task.pre_filter and filter_mask is not None:
+                sel = sel[filter_mask]
+            values = at.filter_array(values, sel)
+        if self._limited:
+            return
+        self.hashmap.add(values)
+        if self.soft_limit is not None and self.hashmap.count > self.soft_limit:
+            self._limited = True
+
+    def finish(self):
+        self.hashmap._finalize_indices()
+        return self.hashmap

@@ -1,0 +1,5 @@
+"""File format support: importing this package registers all openers
+(reference: entry_points 'vaex.dataset.opener', /root/reference/packages/
+vaex-core/vaex/dataset.py:64)."""
+
+from . import hdf5, arrow, csv  # noqa: F401  (register openers)

@@ -1,0 +1,83 @@
+"""Sorting kernels.
+
+TPU-native counterpart of the reference's numpy-based sort
+(/root/reference/packages/vaex-core/vaex/dataframe.py:4700 sort): key columns
+are staged to the device and sorted with XLA's sort (bitonic-style on TPU);
+multi-key sorts compose via stable iterative passes, matching numpy.lexsort
+semantics.  Host fallback for strings/objects.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import array_types
+
+
+def lexsort_indices(keys, ascendings):
+    """argsort by multiple keys; keys[0] is the primary key (numpy.lexsort
+    takes them reversed).  Stable."""
+    import jax.numpy as jnp
+
+    n = len(keys[0])
+    host = any(_needs_host(k) for k in keys)
+    if host:
+        cols = []
+        for key, asc in zip(reversed(keys), reversed(ascendings)):
+            ar = _to_sortable_host(key)
+            if not asc:
+                ar = _invert_order_host(ar)
+            cols.append(ar)
+        return np.lexsort(cols)
+    indices = jnp.arange(n, dtype=jnp.int64)
+    # iterate from least-significant key to most-significant, stable sort each
+    for key, asc in zip(reversed(keys), reversed(ascendings)):
+        values = jnp.asarray(_device_key(key))
+        values = values[indices]
+        if not asc:
+            values = _invert_order_device(values)
+        order = jnp.argsort(values, stable=True)
+        indices = indices[order]
+    return np.asarray(indices)
+
+
+def _needs_host(key):
+    dt = array_types.data_type(key)
+    return dt.is_string or dt.is_object or dt.is_list or dt.is_struct
+
+
+def _to_sortable_host(key):
+    if array_types.is_arrow_array(key):
+        import pyarrow as pa
+        ar = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+        return np.asarray(ar.to_pandas())
+    return np.asarray(key)
+
+
+def _invert_order_host(ar):
+    if ar.dtype.kind in "OUS":
+        # rank-invert for objects
+        uniq, inv = np.unique(ar, return_inverse=True)
+        return len(uniq) - 1 - inv
+    return -np.asarray(ar, dtype=np.float64 if ar.dtype.kind == "b" else ar.dtype)
+
+
+def _device_key(key):
+    values, valid = array_types.extract_mask(array_types.to_numpy(key))
+    values = np.asarray(values)
+    if values.dtype.kind in "Mm":
+        values = values.view(np.int64)
+    if valid is not None:
+        # missing sorts last (reference numpy.ma behavior)
+        if values.dtype.kind == "f":
+            values = np.where(valid, values, np.inf)
+        else:
+            values = np.where(valid, values, np.iinfo(values.dtype).max if values.dtype.kind in "iu" else values)
+    return values
+
+
+def _invert_order_device(values):
+    import jax.numpy as jnp
+    if values.dtype == jnp.bool_:
+        return ~values
+    return -values

@@ -1,0 +1,174 @@
+"""Per-chunk evaluation scopes: the expression interpreter.
+
+TPU-native counterpart of /root/reference/packages/vaex-core/vaex/scopes.py
+(_BlockScope:63): an expression string is evaluated against a namespace of
+column chunks + virtual columns + variables + registered functions.  Two
+modes share one mechanism:
+
+* :class:`BlockScope` — host chunks (numpy / numpy.ma / Arrow) for
+  ``df.evaluate`` and string/temporal paths;
+* :class:`DeviceScope` — traced jnp chunks wrapped in masked ``MV`` pairs;
+  evaluating inside a ``jax.jit`` trace *is* the compilation of the
+  expression graph into one fused XLA program (the design translation of the
+  reference's per-chunk ``eval``, SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import dispatch, expresso, functions as functions_mod
+
+
+class _Namespace(dict):
+    def __init__(self, scope):
+        super().__init__()
+        self.scope = scope
+
+    def __missing__(self, name):
+        value = self.scope.resolve(name)
+        self[name] = value
+        return value
+
+
+class ScopeBase:
+    def __init__(self, df, values=None, variables=None):
+        self.df = df
+        self.values = dict(values or {})   # pre-bound column chunks (raw)
+        self.variables = dict(variables or {})
+        self._namespace = _Namespace(self)
+        self._evaluating = []
+
+    def functions(self):
+        raise NotImplementedError
+
+    def wrap_chunk(self, chunk):
+        raise NotImplementedError
+
+    def wrap_variable(self, value):
+        return value
+
+    def resolve(self, name):
+        if name in self.values:
+            return self.wrap_chunk(self.values[name])
+        if name in self.df.virtual_columns:
+            if name in self._evaluating:
+                raise RuntimeError(f"recursive virtual column {name!r}")
+            self._evaluating.append(name)
+            try:
+                return self.evaluate(self.df.virtual_columns[name])
+            finally:
+                self._evaluating.pop()
+        if name in self.df.variables:
+            return self.wrap_variable(self.df.get_variable(name))
+        if name in self.variables:
+            return self.wrap_variable(self.variables[name])
+        fns = self.functions()
+        if name in fns:
+            return fns[name]
+        if name in self.df.functions:
+            return self.bind_user_function(self.df.functions[name])
+        raise NameError(f"unknown name {name!r} in expression")
+
+    def bind_user_function(self, f):
+        return f
+
+    def evaluate(self, expression):
+        expression = str(expression)
+        if expression in self._namespace:
+            return self._namespace[expression]
+        try:
+            code = compile(expression, "<expression>", "eval")
+            result = eval(code, {"__builtins__": {}}, self._namespace)
+        except NameError:
+            raise
+        return result
+
+
+class BlockScope(ScopeBase):
+    """Host evaluation (reference: vaex/scopes.py:63)."""
+
+    def functions(self):
+        return functions_mod.host_namespace()
+
+    def wrap_chunk(self, chunk):
+        return dispatch.wrap_host(chunk)
+
+    def bind_user_function(self, f):
+        from .serialize import UserFunction
+        if isinstance(f, UserFunction):
+            return f.host_callable()
+        return f
+
+    def evaluate(self, expression):
+        result = super().evaluate(expression)
+        return dispatch.unwrap_host(result)
+
+
+class DeviceScope(ScopeBase):
+    """Traced device evaluation: chunks are jnp arrays (wrapped in MV with
+    optional validity), functions come from the jnp registry.  Evaluated
+    inside jax.jit — the result is part of the compiled pass program."""
+
+    def __init__(self, df, values=None, masks=None, variables=None):
+        super().__init__(df, values=values, variables=variables)
+        self.masks = dict(masks or {})
+        # pre-seed: inputs may be keyed by column name OR by a full expression
+        # string (host-precomputed expressions shipped to the device)
+        for name, value in self.values.items():
+            self._namespace[name] = dispatch.MV(value, self.masks.get(name))
+
+    def functions(self):
+        return functions_mod.device_namespace()
+
+    def wrap_chunk(self, chunk):
+        return dispatch.MV(chunk, None)
+
+    def wrap_variable(self, value):
+        # keep numpy arrays as-is: they become XLA constants where used
+        # (jnp.asarray here would create a tracer under jax>=0.9 constant
+        # tracking, breaking host-side introspection like np.asarray)
+        if isinstance(value, np.ndarray):
+            return dispatch.MV(value, None)
+        return value
+
+    def bind_user_function(self, f):
+        from .serialize import UserFunction
+        if isinstance(f, UserFunction):
+            if not f.traceable:
+                raise NotImplementedError(f"user function {f.name!r} is not jax-traceable")
+            return dispatch.wrap_device_function(f.f)
+        return dispatch.wrap_device_function(f)
+
+    def evaluate(self, expression):
+        """Returns MV(values, mask)."""
+        result = super().evaluate(expression)
+        if not isinstance(result, dispatch.MV):
+            import jax.numpy as jnp
+            result = dispatch.MV(jnp.asarray(result), None)
+        return result
+
+
+def expression_is_device_compatible(df, expression) -> bool:
+    """True when all functions used have device (jnp) implementations and all
+    leaf columns are numeric/temporal — the executor then keeps the whole
+    expression inside the compiled pass; otherwise it evaluates on the host
+    and ships only the result (the reference always interprets on host)."""
+    from .expression import Expression
+    expr = expression if isinstance(expression, Expression) else Expression(df, expression)
+    expr = expr.expand()
+    for fname in expresso.function_names(expr.expression):
+        if fname in df.functions:
+            from .serialize import UserFunction
+            f = df.functions[fname]
+            if not (isinstance(f, UserFunction) and f.traceable):
+                return False
+        elif not functions_mod.has_device_impl(fname):
+            return False
+    for name in expr.variables():
+        if name in df.variables or name in df.dataset:
+            if name in df.dataset:
+                dt = df.data_type(name)
+                if not (dt.is_numeric or dt.is_bool or dt.is_temporal or dt.is_dictionary):
+                    return False
+    return True

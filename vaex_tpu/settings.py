@@ -1,0 +1,127 @@
+"""Typed settings for vaex_tpu, sourced from environment variables.
+
+TPU-native re-design of the reference settings system
+(/root/reference/packages/vaex-core/vaex/settings.py:26-200): same concepts
+(chunk sizes, cache, progress, display), but flat dataclasses configured via
+``VAEX_TPU_*`` env vars instead of a mini-pydantic clone + yaml.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+
+def _env(name: str, default, typ=None):
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    typ = typ or type(default)
+    if typ is bool:
+        return raw.lower() in ("1", "true", "yes", "on")
+    return typ(raw)
+
+
+@dataclasses.dataclass
+class Chunk:
+    """Chunk sizing for the streaming executor.
+
+    Mirrors reference semantics (/root/reference/packages/vaex-core/vaex/
+    settings.py:83 and execution.py:283-292): chunk size is clamped to
+    [size_min, size_max]; on TPU chunks are additionally padded up to a
+    power-of-two bucket to bound XLA recompiles.
+    """
+
+    size: Optional[int] = None          # explicit chunk size overrides auto
+    size_min: int = 1024
+    size_max: int = 1024 * 1024 * 8     # rows per device pass
+
+    def __post_init__(self):
+        self.size = _env("VAEX_TPU_CHUNK_SIZE", self.size, int)
+        self.size_min = _env("VAEX_TPU_CHUNK_SIZE_MIN", self.size_min)
+        self.size_max = _env("VAEX_TPU_CHUNK_SIZE_MAX", self.size_max)
+
+
+@dataclasses.dataclass
+class Cache:
+    """Task-result cache (reference: vaex/cache.py:272-371)."""
+
+    type: Optional[str] = None          # None/'memory'/'disk'
+    path: str = os.path.expanduser("~/.vaex_tpu/cache")
+    memory_size_limit: str = "1GB"
+    disk_size_limit: str = "10GB"
+
+    def __post_init__(self):
+        self.type = _env("VAEX_TPU_CACHE", self.type, str)
+        self.path = _env("VAEX_TPU_CACHE_PATH", self.path)
+
+
+@dataclasses.dataclass
+class Memory:
+    """Memory tracking (reference: vaex/settings.py:57-64, memory.py)."""
+
+    tracker: str = "default"
+    limit: Optional[str] = None
+
+    def __post_init__(self):
+        self.tracker = _env("VAEX_TPU_MEMORY_TRACKER", self.tracker)
+        self.limit = _env("VAEX_TPU_MEMORY_LIMIT", self.limit, str)
+
+
+@dataclasses.dataclass
+class Display:
+    max_rows: int = 10
+    max_columns: int = 200
+
+    def __post_init__(self):
+        self.max_rows = _env("VAEX_TPU_DISPLAY_MAX_ROWS", self.max_rows)
+        self.max_columns = _env("VAEX_TPU_DISPLAY_MAX_COLUMNS", self.max_columns)
+
+
+@dataclasses.dataclass
+class Compute:
+    """TPU execution knobs (no reference equivalent; TPU-specific).
+
+    - device: 'auto' picks TPU when available, else cpu.
+    - precision: accumulation precision for float sums.
+        'float64'  - reference parity (emulated f64 on TPU, slower)
+        'float32'  - fastest, lowest accuracy
+        'compensated' - Kahan/two-float f32 pairs, ~f64 accuracy at f32 speed
+    - onehot_grid_limit: grids up to this many cells may use the MXU
+      one-hot-matmul binning strategy instead of scatter-add.
+    """
+
+    device: str = "auto"
+    precision: str = "float64"
+    onehot_grid_limit: int = 4096
+    sharding: str = "auto"              # 'auto'/'none': shard chunks over mesh
+
+    def __post_init__(self):
+        self.device = _env("VAEX_TPU_DEVICE", self.device)
+        self.precision = _env("VAEX_TPU_PRECISION", self.precision)
+        self.onehot_grid_limit = _env("VAEX_TPU_ONEHOT_GRID_LIMIT", self.onehot_grid_limit)
+        self.sharding = _env("VAEX_TPU_SHARDING", self.sharding)
+
+
+@dataclasses.dataclass
+class Settings:
+    chunk: Chunk = dataclasses.field(default_factory=Chunk)
+    cache: Cache = dataclasses.field(default_factory=Cache)
+    memory: Memory = dataclasses.field(default_factory=Memory)
+    display: Display = dataclasses.field(default_factory=Display)
+    compute: Compute = dataclasses.field(default_factory=Compute)
+    progress_type: str = _env("VAEX_TPU_PROGRESS_TYPE", "simple")
+    progress_force: bool = _env("VAEX_TPU_PROGRESS", False, bool)
+    aliases_path: str = os.path.expanduser("~/.vaex_tpu/aliases.yaml")
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
+
+
+main = Settings()
+chunk = main.chunk
+cache = main.cache
+memory = main.memory
+display = main.display
+compute = main.compute
