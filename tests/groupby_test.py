@@ -1,0 +1,199 @@
+import numpy as np
+import pytest
+
+import vaex_tpu as vaex
+
+
+@pytest.fixture
+def df_g():
+    rng = np.random.RandomState(0)
+    n = 100
+    g = rng.randint(0, 5, n)
+    h = rng.randint(0, 3, n)
+    v = rng.rand(n)
+    import pyarrow as pa
+    s = pa.array([["alpha", "beta", "gamma"][i] for i in h])
+    return vaex.from_arrays(g=g, h=h, v=v, s=s), g, h, v
+
+
+def test_groupby_single_sum(df_g):
+    df, g, h, v = df_g
+    res = df.groupby("g", agg={"v": "sum"})
+    import pandas as pd
+    expected = pd.DataFrame({"g": g, "v": v}).groupby("g")["v"].sum()
+    got = {int(k): s for k, s in zip(res.evaluate("g"), res.evaluate("v"))}
+    for k in expected.index:
+        assert got[int(k)] == pytest.approx(expected[k])
+
+
+def test_groupby_count(df_g):
+    df, g, h, v = df_g
+    res = df.groupby("g", agg="count")
+    got = {int(k): int(c) for k, c in zip(res.evaluate("g"), res.evaluate("count"))}
+    expected = {int(k): int((g == k).sum()) for k in np.unique(g)}
+    assert got == expected
+
+
+def test_groupby_sorted(df_g):
+    df, g, h, v = df_g
+    res = df.groupby("g", agg="count", sort=True)
+    keys = list(res.evaluate("g"))
+    assert keys == sorted(keys)
+
+
+def test_groupby_multi_key(df_g):
+    df, g, h, v = df_g
+    res = df.groupby(["g", "h"], agg={"v": "sum"})
+    import pandas as pd
+    expected = pd.DataFrame({"g": g, "h": h, "v": v}).groupby(["g", "h"])["v"].sum()
+    assert len(res) == len(expected)
+    got = {(int(a), int(b)): s for a, b, s in zip(res.evaluate("g"), res.evaluate("h"), res.evaluate("v"))}
+    for (a, b), val in expected.items():
+        assert got[(a, b)] == pytest.approx(val)
+
+
+def test_groupby_string_key(df_g):
+    df, g, h, v = df_g
+    res = df.groupby("s", agg={"v": "mean"})
+    import pandas as pd
+    expected = pd.DataFrame({"s": [["alpha", "beta", "gamma"][i] for i in h], "v": v}).groupby("s")["v"].mean()
+    keys = res.evaluate("s")
+    keys = keys.to_pylist() if hasattr(keys, "to_pylist") else list(keys)
+    got = dict(zip(keys, res.evaluate("v")))
+    for k, val in expected.items():
+        assert got[k] == pytest.approx(val)
+
+
+def test_groupby_multiple_aggs(df_g):
+    df, g, h, v = df_g
+    res = df.groupby("g", agg={"v": ["sum", "mean", "min", "max"]})
+    names = res.get_column_names()
+    assert "v_sum" in names and "v_mean" in names and "v_min" in names and "v_max" in names
+
+
+def test_groupby_agg_objects(df_g):
+    df, g, h, v = df_g
+    res = df.groupby("g", agg={"total": vaex.agg.sum("v"), "n": vaex.agg.count()})
+    assert "total" in res.get_column_names()
+    assert int(res.sum("n")) == 100
+
+
+def test_groupby_iteration(df_g):
+    df, g, h, v = df_g
+    groups = dict(df.groupby("g"))
+    assert set(int(k) for k in groups) == set(np.unique(g))
+    for k, dfk in groups.items():
+        assert len(dfk) == int((g == int(k)).sum())
+
+
+def test_groupby_row_limit(df_g):
+    df, g, h, v = df_g
+    with pytest.raises(vaex.RowLimitException):
+        df.groupby("v", row_limit=10)
+
+
+def test_binby_returns_dataarray(df_g):
+    df, g, h, v = df_g
+    res = df.binby("v", agg="count", shape=10, limits=[0, 1])
+    assert res.shape == (10,)
+    assert np.asarray(res).sum() == 100
+
+
+def test_binby_category_key(df_g):
+    df, g, h, v = df_g
+    res = df.binby("s", agg={"v": vaex.agg.mean("v")})
+    assert res.shape[0] == 3
+
+
+def test_groupby_masked_key():
+    m = np.ma.MaskedArray([0, 1, 0, 1, 2], mask=[0, 0, 0, 0, 1])
+    df = vaex.from_arrays(k=m, v=np.arange(5.0))
+    res = df.groupby("k", agg={"v": "sum"})
+    # groups: 0 -> 0+2, 1 -> 1+3, null -> 4
+    vals = dict()
+    keys = res.evaluate("k")
+    sums = res.evaluate("v")
+    keys_list = [None if np.ma.is_masked(k) else int(k) for k in keys]
+    got = dict(zip(keys_list, sums))
+    assert got[0] == 2.0
+    assert got[1] == 4.0
+    assert got[None] == 4.0
+
+
+def test_join_basic():
+    left = vaex.from_arrays(key=np.array([1, 2, 3, 4]), a=np.array([10.0, 20, 30, 40]))
+    right = vaex.from_arrays(key=np.array([2, 3, 5]), b=np.array([200.0, 300, 500]))
+    res = left.join(right, on="key")
+    assert len(res) == 4
+    b = res.evaluate("b")
+    assert np.ma.isMaskedArray(b)
+    assert b.tolist() == [None, 200.0, 300.0, None]
+
+
+def test_join_inner():
+    left = vaex.from_arrays(key=np.array([1, 2, 3, 4]), a=np.array([10.0, 20, 30, 40]))
+    right = vaex.from_arrays(key=np.array([2, 3, 5]), b=np.array([200.0, 300, 500]))
+    res = left.join(right, on="key", how="inner")
+    assert len(res) == 2
+    assert res.evaluate("a").tolist() == [20.0, 30.0]
+    assert np.asarray(res.evaluate("b")).tolist() == [200.0, 300.0]
+
+
+def test_join_string_key():
+    import pyarrow as pa
+    left = vaex.from_arrays(key=pa.array(["a", "b", "c"]), x=np.array([1.0, 2, 3]))
+    right = vaex.from_arrays(key=pa.array(["b", "c", "d"]), y=np.array([20.0, 30, 40]))
+    res = left.join(right, on="key")
+    y = res.evaluate("y")
+    assert y.tolist() == [None, 20.0, 30.0]
+
+
+def test_join_duplicates():
+    left = vaex.from_arrays(key=np.array([1, 2]), a=np.array([10.0, 20]))
+    right = vaex.from_arrays(key=np.array([2, 2, 3]), b=np.array([200.0, 201, 300]))
+    with pytest.raises(ValueError):
+        left.join(right, on="key")
+    res = left.join(right, on="key", allow_duplication=True)
+    assert len(res) == 3
+    assert sorted(np.asarray(res.evaluate("a")).tolist()) == [10.0, 20.0, 20.0]
+
+
+def test_join_suffixes():
+    left = vaex.from_arrays(key=np.array([1, 2]), v=np.array([1.0, 2]))
+    right = vaex.from_arrays(key=np.array([1, 2]), v=np.array([10.0, 20]))
+    res = left.join(right, on="key", rsuffix="_r")
+    assert "v_r" in res.get_column_names()
+    assert np.asarray(res.evaluate("v_r")).tolist() == [10.0, 20.0]
+
+
+def test_shift():
+    df = vaex.from_arrays(x=np.arange(5.0))
+    shifted = df.shift(1)
+    vals = shifted.evaluate("x")
+    assert np.isnan(np.asarray(vals)[0])
+    assert np.asarray(vals)[1:].tolist() == [0, 1, 2, 3]
+    shifted2 = df.shift(-2, fill_value=-1.0)
+    assert np.asarray(shifted2.evaluate("x")).tolist() == [2, 3, 4, -1, -1]
+
+
+def test_diff():
+    df = vaex.from_arrays(x=np.arange(5.0) ** 2)
+    d = df.diff(1)
+    vals = np.asarray(d.evaluate("x"))
+    assert vals[1:].tolist() == [1, 3, 5, 7]
+
+
+def test_rolling_sum():
+    df = vaex.from_arrays(x=np.arange(5.0))
+    r = df.rolling(2, column=["x"]).sum()
+    vals = np.asarray(r.evaluate("x"))
+    assert vals[1:].tolist() == [1.0, 3.0, 5.0, 7.0]
+
+
+def test_sort():
+    df = vaex.from_arrays(x=np.array([3.0, 1.0, 2.0]), y=np.array([30, 10, 20]))
+    s = df.sort("x")
+    assert np.asarray(s.evaluate("x")).tolist() == [1.0, 2.0, 3.0]
+    assert np.asarray(s.evaluate("y")).tolist() == [10, 20, 30]
+    s2 = df.sort("x", ascending=False)
+    assert np.asarray(s2.evaluate("x")).tolist() == [3.0, 2.0, 1.0]

@@ -1733,10 +1733,21 @@ class DataFrameLocal(DataFrame):
     def diff(self, periods=1, column=None, fill_value=None, trim=False, inplace=False):
         df = self if inplace else self.copy()
         columns = column if column is not None else df.get_column_names(strings=False)
-        columns = [columns] if isinstance(columns, str) else list(columns)
-        shifted = df.shift(periods, column=columns, fill_value=fill_value, trim=trim)
+        columns = [columns] if isinstance(columns, str) else [_ensure_string_expression(c) for c in columns]
+        df = df.extract() if df.filtered else df
+        # alias each column so only the alias gets shifted, then diff against it
+        aliases = {}
         for name in columns:
-            shifted[name] = df[name] - shifted[name]
+            alias = f"__{name}_diff_shift"
+            if name in df.virtual_columns:
+                df.add_column(alias, df.evaluate(name, filtered=False))
+            else:
+                df.add_column(alias, df.dataset[name])
+            aliases[name] = alias
+        shifted = df.shift(periods, column=list(aliases.values()), fill_value=fill_value, trim=trim)
+        for name, alias in aliases.items():
+            shifted.add_virtual_column(name, f"({name}) - ({alias})" if name not in shifted.virtual_columns
+                                       else f"({shifted.virtual_columns[name]}) - ({alias})")
         return shifted
 
     def concat(self, *others, resolver="flexible"):

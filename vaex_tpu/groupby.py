@@ -1,0 +1,527 @@
+"""GroupBy / BinBy: SQL-like aggregation on binned grids.
+
+TPU-native counterpart of /root/reference/packages/vaex-core/vaex/groupby.py
+(Grouper:226, GrouperCategory:398, BinnerInteger:147, GrouperCombined:330,
+GroupBy.agg:878, BinBy.agg:836): group keys are discovered with a key-table
+pass (hash.py), values map to ordinal codes on the device via sorted-table
+binary search (`_ordinal_values`), and every aggregation runs on a
+BinnerOrdinal grid with edges — exactly the `_EXPERIMENTAL_BINNER_HASH`
+evolution the reference was heading toward (SURVEY.md §2.2 note).
+
+Multi-key grids use the dense cartesian product when the cell count is
+modest, else keys are combined into one int64 expression
+(Σ code_i × multiplier_i) and re-grouped sparsely — the reference `_combine`
+path (groupby.py:526)."""
+
+from __future__ import annotations
+
+import collections.abc
+from functools import reduce
+
+import numpy as np
+
+try:
+    import pyarrow as pa
+except ImportError:  # pragma: no cover
+    pa = None
+
+from . import agg as agg_mod
+from . import array_types, utils
+from .delayed import delayed, delayed_list
+from .ops.gridagg import BinnerOrdinal
+
+_COMBINE_CELL_LIMIT = 2**24
+
+
+def _str(e):
+    from .expression import Expression
+    return e.expression if isinstance(e, Expression) else str(e)
+
+
+class BinnerBase:
+    pass
+
+
+class Grouper(BinnerBase):
+    """Hashmap-discovered groups (reference: groupby.py:226)."""
+
+    def __init__(self, df, expression, sort=False, ascending=True, row_limit=None):
+        self.df = df
+        self.expression = _str(expression)
+        self.label = self.expression
+        hashmap = df._hash_map_unique(self.expression, limit=row_limit)
+        if sort:
+            hashmap = hashmap.sorted(ascending=ascending)
+        self.hashmap = hashmap
+        self.N = hashmap.count
+        self.bin_values = hashmap.keys()
+        self.dense = False
+        self.sort_indices = None
+
+    def create_binner(self, df):
+        self.var_name = df.add_variable("hashmap_", self.hashmap, unique=True)
+        self.binby_expression = f"_ordinal_values({self.expression}, {self.var_name})"
+        self.binner = BinnerOrdinal(self.binby_expression, max(self.N, 1))
+
+    def extract_center(self, dim, ar):
+        slices = [slice(None)] * np.ndim(ar)
+        slices[dim] = slice(0, max(self.N, 1) if self.N else 1)
+        out = ar[tuple(slices)]
+        if self.N == 0:
+            slices[dim] = slice(0, 0)
+            out = ar[tuple(slices)]
+        return out
+
+    def labels_take(self, indices):
+        return _take_labels(self.bin_values, indices)
+
+
+class GrouperCategory(BinnerBase):
+    """Categorical fast path: no discovery pass (reference: groupby.py:398)."""
+
+    def __init__(self, df, expression, sort=False, ascending=True, row_limit=None):
+        self.df = df
+        self.expression = _str(expression)
+        self.label = self.expression
+        labels = df.category_labels(self.expression)
+        self.min_value = df.category_offset(self.expression)
+        self.N = df.category_count(self.expression)
+        if row_limit is not None and self.N > row_limit:
+            from . import RowLimitException
+            raise RowLimitException(f"number of unique values {self.N} exceeds row_limit {row_limit}")
+        self.sort_indices = None
+        if sort:
+            order = np.argsort(np.asarray(labels, dtype=object), kind="stable")
+            if not ascending:
+                order = order[::-1]
+            self._order = order
+            labels = [labels[i] for i in order]
+            # remap: code -> position after sort
+            self._remap = np.empty(self.N, dtype=np.int64)
+            self._remap[order] = np.arange(self.N)
+        else:
+            self._order = None
+        self.bin_values = _labels_array(labels)
+        self.dense = True
+
+    def create_binner(self, df):
+        expr = self.expression
+        if df.is_category(expr) and df.data_type(expr).is_dictionary:
+            expr = f"index_values({expr})"
+        self.binby_expression = expr
+        self.binner = BinnerOrdinal(self.binby_expression, self.N, self.min_value)
+
+    def extract_center(self, dim, ar):
+        slices = [slice(None)] * np.ndim(ar)
+        slices[dim] = slice(0, self.N)
+        out = ar[tuple(slices)]
+        if self._order is not None:
+            # bins are in storage code order; reorder to sorted labels
+            out = np.take(out, self._order, axis=dim)
+        return out
+
+    def labels_take(self, indices):
+        return _take_labels(self.bin_values, indices)
+
+
+class BinnerInteger(BinnerBase):
+    """Small-int fast path for uint8/int8/bool (reference: groupby.py:147)."""
+
+    def __init__(self, df, expression, sort=False, ascending=True, row_limit=None):
+        self.df = df
+        self.expression = _str(expression)
+        self.label = self.expression
+        dtype = df.data_type(self.expression)
+        if dtype.numpy == np.dtype(bool):
+            self.min_value, self.N = 0, 2
+            self.bin_values = np.array([False, True])
+        elif dtype.numpy == np.dtype("uint8"):
+            self.min_value, self.N = 0, 256
+            self.bin_values = np.arange(256, dtype=np.uint8)
+        else:  # int8
+            self.min_value, self.N = -128, 256
+            self.bin_values = np.arange(-128, 128, dtype=np.int8)
+        self.dense = False  # mask empty bins like the sparse path
+        self.sort_indices = None
+
+    def create_binner(self, df):
+        expr = self.expression
+        dtype = self.df.data_type(self.expression)
+        if dtype.numpy == np.dtype(bool):
+            expr = f"_astype({self.expression}, 'uint8')"
+        self.binby_expression = expr
+        self.binner = BinnerOrdinal(expr, self.N, self.min_value)
+
+    def extract_center(self, dim, ar):
+        slices = [slice(None)] * np.ndim(ar)
+        slices[dim] = slice(0, self.N)
+        return ar[tuple(slices)]
+
+    def labels_take(self, indices):
+        return _take_labels(self.bin_values, indices)
+
+
+class Binner(BinnerBase):
+    """Scalar-range binner for binby (reference: groupby.py Binner)."""
+
+    def __init__(self, df, expression, limits=None, shape=128):
+        from .ops.gridagg import BinnerScalar
+        self.df = df
+        self.expression = _str(expression)
+        self.label = self.expression
+        if limits is None or isinstance(limits, str):
+            limits = df.limits(self.expression, limits)
+        vmin, vmax = limits
+        self.N = shape
+        centers = np.linspace(vmin, vmax, shape + 1)
+        self.bin_values = (centers[1:] + centers[:-1]) / 2
+        self.binner = BinnerScalar(self.expression, vmin, vmax, shape)
+        self.dense = True
+        self.sort_indices = None
+
+    def create_binner(self, df):
+        pass
+
+    def extract_center(self, dim, ar):
+        slices = [slice(None)] * np.ndim(ar)
+        slices[dim] = slice(2, -1)
+        return ar[tuple(slices)]
+
+    def labels_take(self, indices):
+        return _take_labels(self.bin_values, indices)
+
+
+class GrouperCombined(Grouper):
+    """Multi-key sparse path: one int64 combined key (reference:
+    groupby.py:330 + _combine:526).  Labels decoded by div/mod."""
+
+    def __init__(self, df, parents, sort=False, ascending=True, row_limit=None):
+        Ns = [p.N for p in parents]
+        multipliers = np.cumprod([1] + Ns[::-1][:-1])[::-1].astype(np.int64)
+        terms = []
+        for p, mult in zip(parents, multipliers):
+            code = f"_astype(({p.binby_expression}), 'int64')"
+            if getattr(p, "min_value", 0):
+                code = f"(({code}) - {p.min_value})"
+            terms.append(f"({code}) * {mult}" if mult != 1 else code)
+        expression = " + ".join(terms)
+        super().__init__(df, expression, sort=False, row_limit=row_limit)
+        self.parents = parents
+        self.multipliers = multipliers
+        self.labels = None
+        # combined keys (int64) decode into parent labels
+        combined = np.asarray(self.bin_values)
+        if np.ma.isMaskedArray(combined):
+            combined = combined.data
+        self.parent_indices = []
+        rem = combined.astype(np.int64)
+        for mult in multipliers:
+            idx = rem // mult
+            rem = rem % mult
+            self.parent_indices.append(idx)
+        if sort:
+            order = np.lexsort([idx for idx in reversed(self.parent_indices)])
+            if not ascending:
+                order = order[::-1]
+            self._sort_hashmap(order)
+            self.parent_indices = [idx[order] for idx in self.parent_indices]
+
+    def _sort_hashmap(self, order):
+        from .hash import HashMapUnique
+        keys = np.asarray(self.hashmap._keys)[order]
+        new = HashMapUnique(self.hashmap.dtype)
+        new._keys = keys
+        new.null_index = -2 if self.hashmap.has_null else -1
+        new.nan_index = -2 if self.hashmap.has_nan else -1
+        new._finalize_indices()
+        self.hashmap = new
+        self.bin_values = new.keys()
+
+
+def _labels_array(labels):
+    if any(isinstance(l, str) for l in labels):
+        return pa.array(labels)
+    return np.asarray(labels)
+
+
+def _take_labels(bin_values, indices):
+    if array_types.is_arrow_array(bin_values):
+        return bin_values.take(pa.array(np.asarray(indices, dtype=np.int64)))
+    bv = bin_values
+    if isinstance(bv, list):
+        bv = _labels_array(bv)
+    if np.ma.isMaskedArray(bv):
+        return bv[np.asarray(indices)]
+    return np.take(bv, np.asarray(indices))
+
+
+def make_grouper(df, by, sort=False, ascending=True, row_limit=None):
+    if isinstance(by, BinnerBase):
+        return by
+    expr = _str(by)
+    if df.is_category(expr):
+        return GrouperCategory(df, expr, sort=sort, ascending=ascending, row_limit=row_limit)
+    dtype = df.data_type(expr)
+    if not dtype.is_string and dtype.numpy in (np.dtype("uint8"), np.dtype("int8"), np.dtype(bool)):
+        return BinnerInteger(df, expr, sort=sort, ascending=ascending, row_limit=row_limit)
+    return Grouper(df, expr, sort=sort, ascending=ascending, row_limit=row_limit)
+
+
+class GroupByBase:
+    def __init__(self, df, by, sort=False, ascending=True, row_limit=None, combine="auto"):
+        self.df_original = df
+        self.df = df.copy()
+        if by is None:
+            by = []
+        if isinstance(by, (str,)) or not isinstance(by, collections.abc.Iterable):
+            by = [by]
+        by = list(by)
+        sorts = sort if isinstance(sort, (list, tuple)) else [sort] * len(by)
+        ascendings = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(by)
+        self.by = [make_grouper(self.df, b, sort=s, ascending=a, row_limit=row_limit)
+                   for b, s, a in zip(by, sorts, ascendings)]
+        for g in self.by:
+            g.create_binner(self.df)
+        self.combine = False
+        cells = int(np.prod([g.N for g in self.by])) if self.by else 0
+        if len(self.by) >= 2 and cells > 0:
+            rows = self.df.length_unfiltered
+            occupancy = rows / cells
+            if (combine is True) or (combine == "auto" and (cells > _COMBINE_CELL_LIMIT or occupancy < 10)):
+                combined = GrouperCombined(self.df, self.by, sort=sorts[0] if sorts else False,
+                                           ascending=ascendings[0] if ascendings else True,
+                                           row_limit=row_limit)
+                combined.create_binner(self.df)
+                self.parents = self.by
+                self.by = [combined]
+                self.combine = True
+        self.binners = tuple(g.binner for g in self.by)
+        self.dims = [g.label for g in (self.parents if self.combine else self.by)]
+        self.shape = [g.N for g in self.by]
+        self.dense = all(getattr(g, "dense", False) for g in self.by)
+
+    @property
+    def groupby_expression(self):
+        return [g.expression for g in self.by]
+
+    def _agg_grids(self, actions):
+        """Run all aggregations on the grid; returns dict name → promise."""
+        df = self.df
+        grids = {}
+        self._counts_promise = None
+
+        def add(aggregate, column_name=None, override_name=None):
+            if column_name is None or override_name is not None:
+                column_name = aggregate.pretty_name(override_name, df)
+            aggregate.edges = True
+            tasks, result = aggregate.add_tasks(df, self.binners)
+            grids[column_name] = result
+            if (isinstance(aggregate, agg_mod.AggregatorDescriptorBasic)
+                    and aggregate.short_name == "count" and aggregate.expression == "*"
+                    and aggregate.selection in (None, False)):
+                self._counts_promise = result
+
+        if isinstance(actions, collections.abc.Mapping):
+            actions = list(actions.items())
+        elif isinstance(actions, str) or not isinstance(actions, collections.abc.Iterable):
+            actions = [actions]
+
+        for item in actions:
+            override_name = None
+            if isinstance(item, tuple):
+                name, aggregates = item
+            else:
+                name, aggregates = None, item
+            if isinstance(aggregates, str) or not isinstance(aggregates, collections.abc.Iterable):
+                aggregates = [aggregates]
+            elif name is not None:
+                override_name = name
+            for aggregate in aggregates:
+                if isinstance(aggregate, str) and aggregate == "count":
+                    add(agg_mod.count(), "count" if name is None else name)
+                else:
+                    if isinstance(aggregate, str):
+                        aggregate = agg_mod.aggregates[aggregate]
+                    if callable(aggregate) and not isinstance(aggregate, agg_mod.AggregatorDescriptor):
+                        if name is None:
+                            for column_name in df.get_column_names():
+                                if column_name not in self.groupby_expression and column_name not in self.dims:
+                                    add(aggregate(column_name), override_name=override_name)
+                        else:
+                            add(aggregate(name), name, override_name=override_name)
+                    else:
+                        add(aggregate, name, override_name=override_name)
+        return grids
+
+    def _extract_center(self, array):
+        for i, by in enumerate(self.by):
+            array = by.extract_center(i, np.asarray(array))
+        return array
+
+    def __len__(self):
+        counts = self._count_grid()
+        return int((counts > 0).sum())
+
+    def _count_grid(self):
+        tasks, result = agg_mod.count(edges=True).add_tasks(self.df, self.binners)
+        self.df.execute()
+        return self._extract_center(np.asarray(result.get()))
+
+    def __iter__(self):
+        counts = self._count_grid()
+        mask = counts > 0
+        coords = [np.asarray(g.bin_values if not array_types.is_arrow_array(g.bin_values) else g.bin_values.to_pylist(), dtype=object)
+                  for g in self.by]
+        mesh = np.meshgrid(*[np.arange(len(c)) for c in coords], indexing="ij")
+        for flat_idx in zip(*[m[mask] for m in mesh]):
+            values = tuple(coords[d][i] for d, i in enumerate(flat_idx))
+            yield values if len(values) > 1 else values[0], self.get_group(list(values))
+
+    @property
+    def groups(self):
+        for group, df in self:
+            yield group
+
+    def get_group(self, group):
+        if not isinstance(group, (list, tuple)):
+            group = [group]
+        exprs = []
+        for g, value in zip(self.by, group):
+            if isinstance(value, str):
+                exprs.append(f'({g.expression} == {value!r})')
+            else:
+                exprs.append(f'({g.expression} == {value})')
+        return self.df.filter(" & ".join(exprs))
+
+
+class GroupBy(GroupByBase):
+    """Reference: groupby.py GroupBy."""
+
+    def agg(self, actions, delay=False):
+        grids = self._agg_grids(actions)
+        counts_promise = self._counts_promise
+        if counts_promise is None:
+            tasks, counts_promise = agg_mod.count(edges=True).add_tasks(self.df, self.binners)
+            own_counts = True
+        else:
+            own_counts = False
+
+        @delayed
+        def finish(counts, *values):
+            names = list(grids.keys())
+            arrays = {name: np.asarray(v) for name, v in zip(names, values)}
+            arrays = {k: self._extract_center(np.atleast_1d(v)) for k, v in arrays.items()}
+            counts = self._extract_center(np.atleast_1d(np.asarray(counts)))
+            columns = {}
+            if self.combine:
+                combined = self.by[0]
+                mask = counts > 0
+                indices = np.nonzero(mask)[0]
+                for parent, pidx in zip(combined.parents, combined.parent_indices):
+                    columns[parent.label] = parent.labels_take(pidx[indices])
+                for key, value in arrays.items():
+                    columns[key] = value[mask]
+            elif self.dense and len(self.by) == 1:
+                columns[self.by[0].label] = _as_column(self.by[0].bin_values)
+                for key, value in arrays.items():
+                    columns[key] = value
+            else:
+                mask = counts > 0
+                if mask.all():
+                    indices_nd = [np.ravel(m) for m in np.meshgrid(*[np.arange(g.N) for g in self.by], indexing="ij")]
+                    for g, idx in zip(self.by, indices_nd):
+                        columns[g.label] = g.labels_take(idx)
+                    for key, value in arrays.items():
+                        columns[key] = value.ravel()
+                else:
+                    where = np.where(mask)
+                    for g, idx in zip(self.by, where):
+                        columns[g.label] = g.labels_take(idx)
+                    for key, value in arrays.items():
+                        columns[key] = value[mask]
+            from . import from_arrays
+            return from_arrays(**columns)
+
+        promise = finish(counts_promise, *[grids[name] for name in grids])
+        if delay:
+            return promise
+        self.df.execute()
+        return promise.get()
+
+    def describe(self, expression=None):
+        if expression is None:
+            expression = [c for c in self.df.get_column_names() if c not in self.groupby_expression]
+        columns = [expression] if isinstance(expression, str) else list(expression)
+        actions = {}
+        for col in columns:
+            actions[f"{col}_count"] = agg_mod.count(col)
+            actions[f"{col}_mean"] = agg_mod.mean(col)
+            actions[f"{col}_std"] = agg_mod.std(col)
+            actions[f"{col}_min"] = agg_mod.min(col)
+            actions[f"{col}_max"] = agg_mod.max(col)
+        return self.agg(actions)
+
+
+class BinBy(GroupByBase):
+    """Returns labeled N-d arrays (reference: groupby.py BinBy.agg:836)."""
+
+    def __init__(self, df, by, sort=False, ascending=True, limits=None, shape=128):
+        if by is None:
+            by = []
+        if isinstance(by, (str,)) or not isinstance(by, collections.abc.Iterable):
+            by = [by]
+        by = list(by)
+        limits_list = limits if isinstance(limits, (list, tuple)) and len(by) > 1 else [limits] * len(by)
+        shapes = shape if isinstance(shape, (list, tuple)) else [shape] * len(by)
+        resolved = []
+        for b, lim, shp in zip(by, limits_list, shapes):
+            if isinstance(b, BinnerBase):
+                resolved.append(b)
+                continue
+            expr = _str(b)
+            if df.is_category(expr):
+                resolved.append(GrouperCategory(df, expr, sort=sort))
+            else:
+                dtype = df.data_type(expr)
+                if dtype.is_string:
+                    resolved.append(Grouper(df, expr, sort=sort))
+                else:
+                    resolved.append(Binner(df, expr, limits=lim, shape=shp))
+        super().__init__(df, resolved, sort=sort, ascending=ascending, combine=False)
+
+    def agg(self, actions, delay=False):
+        from .xarray_lite import wrap
+        grids = self._agg_grids(actions)
+
+        @delayed
+        def finish(*values):
+            names = list(grids.keys())
+            arrays = {name: self._extract_center(np.atleast_1d(np.asarray(v))) for name, v in zip(names, values)}
+            coords1d = [_coords_list(g.bin_values) for g in self.by]
+            if len(arrays) == 1 and (isinstance(actions, str) or isinstance(actions, agg_mod.AggregatorDescriptor)
+                                     or (isinstance(actions, collections.abc.Mapping) and len(actions) == 1)):
+                key0 = names[0]
+                return wrap(arrays[key0], dims=self.dims, coords=dict(zip(self.dims, coords1d)))
+            stacked = np.stack([arrays[k] for k in names])
+            return wrap(stacked, dims=["statistic"] + self.dims,
+                        coords={"statistic": names, **dict(zip(self.dims, coords1d))})
+
+        promise = finish(*[grids[name] for name in grids])
+        if delay:
+            return promise
+        self.df.execute()
+        return promise.get()
+
+
+def _as_column(bin_values):
+    if isinstance(bin_values, list):
+        return _labels_array(bin_values)
+    return bin_values
+
+
+def _coords_list(bin_values):
+    if array_types.is_arrow_array(bin_values):
+        return bin_values.to_pylist()
+    if np.ma.isMaskedArray(bin_values):
+        return [None if m else v for v, m in zip(bin_values.data, np.ma.getmaskarray(bin_values))]
+    return np.asarray(bin_values).tolist()

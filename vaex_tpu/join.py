@@ -1,0 +1,163 @@
+"""Joins: hash-free sort-merge lookup with lazy indexed columns.
+
+TPU-native counterpart of /root/reference/packages/vaex-core/vaex/join.py:125
+(+ df._index, dataframe.py:514): the reference builds a C++ ``index_hash``
+multimap over the right side and fills a per-row lookup array in a parallel
+pass; here the right keys are ordinal-encoded through a key table (hash.py)
+and sorted once, so the left-side lookup is a vectorized binary search
+(classic sort-merge join — the TPU-friendly formulation, SURVEY.md §2.2).
+Result columns stay lazy ``ColumnIndexed`` views: the right table is never
+materialized (README claim: sub-second joins on 10⁹ rows)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import array_types
+from .column import ColumnIndexed
+from .dataset import DatasetArrays, DatasetMerged
+from .hash import HashMapUnique
+
+
+class RowIndex:
+    """value → row(s) multimap over one column (reference: C++ index_hash,
+    src/hash_primitives.hpp:732)."""
+
+    def __init__(self, hashmap, sorted_codes, order):
+        self.hashmap = hashmap          # value → ordinal code
+        self.sorted_codes = sorted_codes  # right codes, sorted
+        self.order = order              # argsort: position → right row
+        counts = np.bincount(sorted_codes[sorted_codes >= 0], minlength=hashmap.count) if len(sorted_codes) else np.zeros(0, np.int64)
+        self.has_duplicates = bool((counts > 1).any())
+
+    @classmethod
+    def build(cls, values):
+        hashmap = HashMapUnique.from_keys(values)
+        codes = hashmap.map_ordinal(values)
+        order = np.argsort(codes, kind="stable").astype(np.int64)
+        return cls(hashmap, codes[order], order)
+
+    def __len__(self):
+        return len(self.order)
+
+    def lookup_first(self, values):
+        """(right_row or -1) per value — first match."""
+        codes = self.hashmap.map_ordinal(values)
+        start = np.searchsorted(self.sorted_codes, codes, side="left")
+        start_c = np.minimum(start, max(len(self.sorted_codes) - 1, 0))
+        found = (codes >= 0) & (len(self.sorted_codes) > 0)
+        if len(self.sorted_codes):
+            found = found & (self.sorted_codes[start_c] == codes)
+        rows = np.where(found, self.order[start_c] if len(self.order) else 0, -1)
+        return rows.astype(np.int64)
+
+    def lookup_ranges(self, values):
+        """(start, count) ranges into self.order per value (for duplicates)."""
+        codes = self.hashmap.map_ordinal(values)
+        start = np.searchsorted(self.sorted_codes, codes, side="left")
+        end = np.searchsorted(self.sorted_codes, codes, side="right")
+        count = np.where(codes >= 0, end - start, 0)
+        return start, count
+
+
+def join(df, other, on=None, left_on=None, right_on=None, lprefix="", rprefix="",
+         lsuffix="", rsuffix="", how="left", allow_duplication=False, inplace=False,
+         cardinality_other=None):
+    """Reference: vaex/join.py:125."""
+    left = df if inplace else df.copy()
+    right = other
+
+    if how == "right":
+        # swap (reference: join.py same trick)
+        return join(other, df, on=on, left_on=right_on or on, right_on=left_on or on,
+                    lprefix=rprefix, rprefix=lprefix, lsuffix=rsuffix, rsuffix=lsuffix,
+                    how="left", allow_duplication=allow_duplication)
+
+    left_on = left_on or on
+    right_on = right_on or on
+
+    left = left.extract()
+    right = right.extract()
+
+    if left_on is None:
+        # no key: row-number join; lengths must be compatible
+        if len(left) != len(right):
+            raise ValueError(f"cannot join dataframes of different length without a key: {len(left)} vs {len(right)}")
+        lookup = np.arange(len(left), dtype=np.int64)
+        masked = False
+    else:
+        right_values = right.evaluate(str(right_on))
+        index = RowIndex.build(right_values)
+        left_values = left.evaluate(str(left_on))
+
+        if index.has_duplicates:
+            starts, counts = index.lookup_ranges(left_values)
+            if (counts > 1).any():
+                if not allow_duplication:
+                    raise ValueError("joining with duplicate keys in the right table requires allow_duplication=True")
+                keep = np.maximum(counts, 0 if how == "inner" else 1)
+                left_take = np.repeat(np.arange(len(left), dtype=np.int64), keep)
+                # per expanded row: which match (0..count-1); unmatched (count==0 in left join) get -1
+                offsets = np.concatenate([[0], np.cumsum(keep)])
+                within = np.arange(len(left_take), dtype=np.int64) - offsets[left_take]
+                has_match = counts[left_take] > 0
+                pos = starts[left_take] + within
+                pos = np.where(has_match, np.minimum(pos, len(index.order) - 1 if len(index.order) else 0), 0)
+                lookup = np.where(has_match, index.order[pos] if len(index.order) else 0, -1)
+                left = left.take(left_take, filtered=False)
+                masked = bool((lookup == -1).any())
+            else:
+                lookup = index.lookup_first(left_values)
+                masked = bool((lookup == -1).any())
+        else:
+            lookup = index.lookup_first(left_values)
+            masked = bool((lookup == -1).any())
+
+        if how == "inner":
+            matched = lookup != -1
+            if not matched.all():
+                left = left.take(np.nonzero(matched)[0], filtered=False)
+                lookup = lookup[matched]
+            masked = False
+
+    # resolve column name collisions
+    left_names = left.get_column_names(hidden=True)
+    right_names = right.get_column_names()
+    right_dataset_cols = {}
+    renames = {}
+    for name in right_names:
+        if name == str(right_on) and str(left_on) == str(right_on) and not (lprefix or rprefix or lsuffix or rsuffix):
+            continue  # identical key column: keep left's
+        new_name = rprefix + name + rsuffix
+        if new_name in left_names or (new_name == name and name in left_names):
+            if not (lprefix or lsuffix or rprefix or rsuffix):
+                raise NameError(f"duplicate column name {name!r}; use lsuffix/rsuffix")
+        if new_name != name:
+            renames[name] = new_name
+        right_dataset_cols[new_name] = name
+
+    if lprefix or lsuffix:
+        left_renames = {name: lprefix + name + lsuffix for name in left.get_column_names()}
+        for old, new in left_renames.items():
+            if old != new:
+                left.rename(old, new)
+
+    # materialize right columns as lazy indexed views
+    new_cols = {}
+    for new_name, orig_name in right_dataset_cols.items():
+        if orig_name in right.virtual_columns:
+            values = right.evaluate(orig_name)
+            col = ColumnIndexed(values, lookup, masked=masked)
+        else:
+            col = ColumnIndexed.index(right.dataset[orig_name], lookup, masked=masked)
+        new_cols[new_name] = col
+
+    if new_cols:
+        left.dataset = left.dataset.merged(DatasetArrays(new_cols))
+        for name in new_cols:
+            if name not in left.column_names:
+                left.column_names.append(name)
+    left._index_start = 0
+    left._index_end = left.dataset.row_count
+    left._invalidate_length()
+    return left
