@@ -16,6 +16,12 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 
+import jax
+
+# the environment's sitecustomize registers the axon TPU backend and
+# overrides JAX_PLATFORMS; force CPU explicitly for fast deterministic tests
+jax.config.update("jax_platforms", "cpu")
+
 import contextlib
 
 import numpy as np

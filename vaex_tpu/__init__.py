@@ -15,6 +15,14 @@ import jax
 # hot kernels opt into f32/bf16 explicitly (settings.compute.precision).
 jax.config.update("jax_enable_x64", True)
 
+# persistent XLA compile cache: pass programs compile once per machine
+import os as _os
+if not _os.environ.get("VAEX_TPU_NO_COMPILE_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.environ.get("VAEX_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/vaex_tpu_xla")))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 
 from . import dataset as _dataset_mod  # noqa: E402

@@ -141,16 +141,41 @@ class AggregatorDescriptorMean(AggregatorDescriptorMulti):
         return tasks_sum + tasks_count, finish(result_sum, result_count)
 
 
+def _moment_pivot(df, expression):
+    """Sampled pivot for shifted-moment computation: var/skew/kurtosis are
+    shift-invariant, and centering the values before Σx^k avoids the
+    catastrophic cancellation of raw moments (critical under
+    precision='mixed' where per-chunk partials are f32)."""
+    try:
+        n = min(4096, df._length_unfiltered)
+        sample = df.evaluate(str(expression), 0, n, filtered=False)
+        values = np.asarray(sample, dtype=np.float64)
+        if np.ma.isMaskedArray(sample):
+            values = sample.compressed().astype(np.float64)
+        pivot = float(np.nanmean(values)) if len(values) else 0.0
+        if not np.isfinite(pivot):
+            return 0.0
+        return pivot
+    except Exception:  # noqa: BLE001
+        return 0.0
+
+
 class AggregatorDescriptorVar(AggregatorDescriptorMulti):
     """Reference: vaex/agg.py:422 (population variance, ddof applied by
-    frontend only in the scalar API like the reference)."""
+    frontend only in the scalar API like the reference).  Moments are
+    computed on pivot-shifted values for numerical stability (shift
+    invariance of the variance)."""
 
     def __init__(self, name, expressions, short_name="var", ddof=0, selection=None, edges=False):
         super().__init__(name, expressions, short_name, selection=selection, edges=edges)
         self.ddof = ddof
 
     def add_tasks(self, df, binners, progress=None):
-        expression = df[str(self.expressions[0])].astype("float64")
+        from . import settings
+        pivot = _moment_pivot(df, self.expressions[0])
+        expression = df[f"(({self.expressions[0]}) - {pivot!r})"]
+        if settings.compute.precision == "float64" or df.data_type(self.expressions[0]).is_integer                 or df.data_type(self.expressions[0]).is_bool:
+            expression = expression.astype("float64")
         sum_moment = _sum_moment(str(expression), 2, selection=self.selection, edges=self.edges)
         sum_ = sum(str(expression), selection=self.selection, edges=self.edges)
         count_ = count(str(expression), selection=self.selection, edges=self.edges)
@@ -181,7 +206,11 @@ class AggregatorDescriptorSkew(AggregatorDescriptorMulti):
     """Reference: vaex/agg.py:461."""
 
     def add_tasks(self, df, binners, progress=None):
-        expression = df[str(self.expressions[0])].astype("float64")
+        from . import settings
+        pivot = _moment_pivot(df, self.expressions[0])
+        expression = df[f"(({self.expressions[0]}) - {pivot!r})"]
+        if settings.compute.precision == "float64" or not df.data_type(self.expressions[0]).is_float:
+            expression = expression.astype("float64")
         aggs = [_sum_moment(str(expression), k, selection=self.selection, edges=self.edges) for k in (1, 2, 3)]
         aggs.append(count(str(expression), selection=self.selection, edges=self.edges))
         tasks, results = [], []
@@ -206,7 +235,11 @@ class AggregatorDescriptorKurtosis(AggregatorDescriptorMulti):
     """Reference: vaex/agg.py:491."""
 
     def add_tasks(self, df, binners, progress=None):
-        expression = df[str(self.expressions[0])].astype("float64")
+        from . import settings
+        pivot = _moment_pivot(df, self.expressions[0])
+        expression = df[f"(({self.expressions[0]}) - {pivot!r})"]
+        if settings.compute.precision == "float64" or not df.data_type(self.expressions[0]).is_float:
+            expression = expression.astype("float64")
         aggs = [_sum_moment(str(expression), k, selection=self.selection, edges=self.edges) for k in (1, 2, 3, 4)]
         aggs.append(count(str(expression), selection=self.selection, edges=self.edges))
         tasks, results = [], []

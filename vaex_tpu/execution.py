@@ -44,20 +44,26 @@ _main_executor = None
 def get_main_executor():
     global _main_executor
     if _main_executor is None:
-        _main_executor = ExecutorLocal()
+        _main_executor = ExecutorLocal(mesh="auto")
     return _main_executor
+
+
+def set_main_executor(executor):
+    global _main_executor
+    _main_executor = executor
 
 
 class UserAbort(Exception):
     pass
 
 
-def _bucket_length(n):
+def _bucket_length(n, n_shards=1):
     """Pad length for a chunk: next power of two, min 128 — bounds the number
-    of distinct compiled programs (SURVEY.md §7 recompilation control)."""
+    of distinct compiled programs (SURVEY.md §7 recompilation control).
+    Always a multiple of n_shards so rows split evenly over the mesh."""
     n = max(int(n), 1)
     L = 128
-    while L < n:
+    while L < n or L % n_shards:
         L *= 2
     return L
 
@@ -70,6 +76,49 @@ def chunk_size_for(row_count, n_devices=1):
     chunk_size = max(settings.chunk.size_min, min(settings.chunk.size_max, row_count))
     # multiple of 8 keeps hdf5 string null-bitmaps aligned & tiles friendly
     return (chunk_size + 7) // 8 * 8
+
+
+class DeviceColumnCache:
+    """HBM-resident column chunks, keyed by (dataset, column, range, pad).
+
+    The TPU-native analogue of the reference keeping hot mmap pages in the OS
+    page cache: the first pass over a column pays the host→HBM transfer, every
+    later aggregation reads straight from HBM.  LRU-bounded by byte budget
+    (VAEX_TPU_DEVICE_CACHE_BYTES, default 8 GiB — half of a v5e's HBM)."""
+
+    def __init__(self, limit_bytes=None):
+        import collections
+        import os
+        if limit_bytes is None:
+            limit_bytes = int(utils.parse_memory_size(
+                os.environ.get("VAEX_TPU_DEVICE_CACHE_BYTES", "8GB")))
+        self.limit_bytes = limit_bytes
+        self._data = collections.OrderedDict()
+        self._total = 0
+
+    def get(self, key):
+        entry = self._data.get(key)
+        if entry is None:
+            return None
+        self._data.move_to_end(key)
+        return entry[0]
+
+    def put(self, key, value):
+        if key in self._data:
+            return
+        nbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in value if a is not None)
+        self._data[key] = (value, nbytes)
+        self._total += nbytes
+        while self._total > self.limit_bytes and len(self._data) > 1:
+            _, (_, old_bytes) = self._data.popitem(last=False)
+            self._total -= old_bytes
+
+    def clear(self):
+        self._data.clear()
+        self._total = 0
+
+
+_device_cache = DeviceColumnCache()
 
 
 class _AggTaskPlan:
@@ -129,6 +178,9 @@ class Executor:
 class ExecutorLocal(Executor):
     def __init__(self, mesh=None):
         super().__init__()
+        if mesh == "auto":
+            from .parallel.mesh import default_mesh
+            mesh = default_mesh()
         self.mesh = mesh
         self._program_cache = {}
         self._executing = False
@@ -189,11 +241,16 @@ class ExecutorLocal(Executor):
         need_filter = df.filtered
         filter_on_device = need_filter and expression_is_device_compatible(df, df._filter_expression())
 
-        # initialize states
+        # initialize states (one grid replica per mesh device)
+        n_shards = int(np.prod(self.mesh.devices.shape)) if self.mesh is not None else 1
         states = []
         for plan in plans:
             ncells = int(np.prod([b.shape for b in plan.task.binners])) if plan.task.binners else 1
-            states.append(plan.op.init(ncells))
+            state = plan.op.init(ncells)
+            if n_shards > 1:
+                from .parallel.mesh import replicate_state
+                state = replicate_state(state, n_shards)
+            states.append(state)
 
         from .hash import _HashmapBuilder
         program = None
@@ -205,8 +262,36 @@ class ExecutorLocal(Executor):
         start = df._index_start
         end = df._index_end
         total = end - start
+
+        # columns the host side must see (string exprs, hashmap/mapreduce
+        # tasks, host-evaluated filters); everything else can come straight
+        # from the HBM column cache without touching the host storage layer
+        host_cols = set()
+        from .expression import Expression
+        for expr in host_exprs:
+            host_cols |= Expression(df, expr).root_columns()
+        if need_filter and (not filter_on_device or mapreduce_tasks or hashmap_tasks):
+            host_cols |= df._selection_dependencies("__filter__")
+        for t in hashmap_tasks + mapreduce_tasks:
+            host_cols |= t.dependencies()
+        ds_fp = df.dataset.fingerprint
+        boundaries = []
+        pos = start
+        while pos < end:
+            nxt = min(pos + chunk_size, end)
+            boundaries.append((pos, nxt))
+            pos = nxt
+        fully_cached = set()
+        for name in device_inputs:
+            if name in host_cols:
+                continue
+            keys = [(ds_fp, name, b1, b2, _bucket_length(b2 - b1, n_shards)) for b1, b2 in boundaries]
+            if all(_device_cache.get(k) is not None for k in keys):
+                fully_cached.add(name)
+        read_deps = [c for c in run.dataset_deps if c not in fully_cached]
+
         try:
-            for i1, i2, chunks in df.dataset.chunk_iterator(run.dataset_deps, chunk_size, start=start, end=end):
+            for i1, i2, chunks in df.dataset.chunk_iterator(read_deps, chunk_size, start=start, end=end):
                 n = i2 - i1
                 host_scope = None
 
@@ -223,10 +308,11 @@ class ExecutorLocal(Executor):
 
                 # ---- device aggregation path
                 if plans:
-                    L = _bucket_length(n)
+                    L = _bucket_length(n, n_shards)
                     inputs, masks = self._prepare_device_inputs(
                         df, chunks, device_inputs, host_exprs, L, get_host_scope,
-                        filter_mask_host if (need_filter and not filter_on_device) else None)
+                        filter_mask_host if (need_filter and not filter_on_device) else None,
+                        cache_key_base=(ds_fp, start + i1, start + i2))
                     if program is None or L != L_current:
                         program = self._get_program(df, plans, inputs, masks, L,
                                                     filter_on_device, need_filter)
@@ -251,6 +337,9 @@ class ExecutorLocal(Executor):
 
             # ---- reduce + fulfill
             states = jax.tree_util.tree_map(np.asarray, states)
+            if n_shards > 1 and plans:
+                from .parallel.mesh import merge_replicas
+                states = jax.tree_util.tree_map(np.asarray, merge_replicas(plans, states))
             for plan, state in zip(plans, states):
                 raw = plan.op.finalize(state)
                 grid_flat = np.asarray(raw)[:-1]  # drop void cell
@@ -348,15 +437,31 @@ class ExecutorLocal(Executor):
             classify(df._filter_expression())
         return plans, sorted(leaf_columns), sorted(host_exprs)
 
-    def _prepare_device_inputs(self, df, chunks, leaf_columns, host_exprs, L, get_host_scope, filter_mask_host):
+    def _prepare_device_inputs(self, df, chunks, leaf_columns, host_exprs, L, get_host_scope,
+                               filter_mask_host, cache_key_base=None):
+        import jax as _jax
         inputs = {}
         masks = {}
         for name in leaf_columns:
+            key = None
+            if cache_key_base is not None:
+                ds_fp, a1, a2 = cache_key_base
+                key = (ds_fp, name, a1, a2, L)
+                cached = _device_cache.get(key)
+                if cached is not None:
+                    inputs[name], mask = cached
+                    if mask is not None:
+                        masks[name] = mask
+                    continue
             values, valid = array_types.extract_mask(chunks[name])
             values = _device_view(values)
-            inputs[name] = _pad_to(values, L)
-            if valid is not None:
-                masks[name] = _pad_to(~valid, L, fill=True)
+            dev_values = _jax.device_put(_pad_to(values, L))
+            dev_mask = _jax.device_put(_pad_to(~valid, L, fill=True)) if valid is not None else None
+            inputs[name] = dev_values
+            if dev_mask is not None:
+                masks[name] = dev_mask
+            if key is not None:
+                _device_cache.put(key, (dev_values, dev_mask))
         for expr in host_exprs:
             result = get_host_scope().evaluate(expr)
             values, valid = array_types.extract_mask(result)
@@ -446,10 +551,18 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
     step(states, inputs, masks, n_valid, i1) -> states
     """
     filter_expr = df._filter_expression() if filter_on_device else None
+    n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    L_local = L // n_shards
 
-    def step(states, inputs, masks, n_valid, i1):
-        rows = jax.lax.broadcasted_iota(jnp.int64, (L, 1), 0).squeeze(-1)
-        row_valid = rows < n_valid
+    def step(states, inputs, masks, n_valid, i1, row_offset=0):
+        # 32-bit row indices: 64-bit emulation makes remote XLA compiles ~20x
+        # slower; L_local < 2^31 always, and n_valid/row_offset fit i32 within
+        # one chunk.  Global row order keys (first/last) are rebuilt as
+        # i1 + rows in i64 only where needed.
+        rows32 = jax.lax.broadcasted_iota(jnp.int32, (L_local, 1), 0).squeeze(-1)
+        rows32 = rows32 + row_offset.astype(jnp.int32) if not isinstance(row_offset, int) else rows32 + np.int32(row_offset)
+        row_valid = rows32 < n_valid.astype(jnp.int32)
+        rows = rows32
         scope = DeviceScope(df, values=inputs, masks=masks)
 
         base_include = row_valid
@@ -481,7 +594,7 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
             if binners:
                 flat = get_flat(binners)
             else:
-                flat = jnp.zeros((L,), dtype=jnp.int32)
+                flat = jnp.zeros((L_local,), dtype=jnp.int32)
             include = base_include
             if plan.selection_expr is not None:
                 smv = scope.evaluate(plan.selection_expr)
@@ -509,12 +622,20 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
                     omv = scope.evaluate(plan.order_expr)
                     okey = omv.values.astype(jnp.int64)
                 else:
-                    okey = i1 + rows
+                    okey = i1 + rows.astype(jnp.int64)
                 order_key = -okey if plan.op.inverted else okey
             new_states.append(plan.op.update(state, flat, value, include, order_key=order_key))
         return tuple(new_states)
 
-    jitted = jax.jit(step, donate_argnums=0)
+    if mesh is not None and n_shards > 1:
+        from .parallel.mesh import shard_pass
+
+        def make(states, inputs, masks, n_valid, i1):
+            return shard_pass(step, mesh, L_local)(states, inputs, masks, n_valid, i1)
+
+        jitted = jax.jit(make, donate_argnums=0)
+    else:
+        jitted = jax.jit(step, donate_argnums=0)
 
     def run_step(states, inputs, masks, n_valid, i1):
         return jitted(states, inputs, masks, n_valid, i1)
