@@ -1,0 +1,168 @@
+"""Server/remote execution tests — in-process dummy transport AND a real
+websocket server on a port (reference strategy: tests/common.py:75-153)."""
+
+import numpy as np
+import pytest
+
+import vaex_tpu as vaex
+from vaex_tpu.server.dummy import create_client_server
+
+
+@pytest.fixture
+def server_df():
+    x = np.arange(100, dtype=np.float64)
+    import pyarrow as pa
+    s = pa.array([["a", "b", "c", "d"][i % 4] for i in range(100)])
+    return vaex.from_arrays(x=x, y=x**2, g=(np.arange(100) % 5), s=s)
+
+
+@pytest.fixture
+def client(server_df):
+    client, server = create_client_server({"test": server_df})
+    return client
+
+
+def test_list(client):
+    assert client.dataset_names == ["test"]
+
+
+def test_remote_metadata(client):
+    df = client["test"]
+    assert len(df) == 100
+    assert set(df.get_column_names()) == {"x", "y", "g", "s"}
+    assert df.data_type("x").numpy == np.float64
+
+
+def test_remote_aggregation(client, server_df):
+    df = client["test"]
+    assert df.count() == 100
+    assert df.sum("x") == server_df.sum("x")
+    assert df.mean("y") == pytest.approx(server_df.mean("y"))
+    assert df.minmax("x").tolist() == [0, 99]
+
+
+def test_remote_binby(client):
+    df = client["test"]
+    counts = df.count(binby="x", limits=[0, 100], shape=10)
+    assert counts.tolist() == [10] * 10
+
+
+def test_remote_virtual_and_selection(client):
+    df = client["test"]
+    df["z"] = df.x * 2
+    assert df.sum("z") == 2 * sum(range(100))
+    assert df.count(selection="x > 49") == 50
+
+
+def test_remote_filter(client):
+    df = client["test"]
+    dff = df[df.x > 10]
+    assert dff.count() == 89
+
+
+def test_remote_evaluate(client):
+    df = client["test"]
+    values = df.evaluate("x", 0, 5)
+    assert np.asarray(values).tolist() == [0, 1, 2, 3, 4]
+    s = df.evaluate("s", 0, 4)
+    assert list(map(str, np.asarray(s) if not hasattr(s, "to_pylist") else s.to_pylist())) == ["a", "b", "c", "d"]
+
+
+def test_remote_unique_groupby(client, server_df):
+    df = client["test"]
+    assert sorted(df.unique("g")) == [0, 1, 2, 3, 4]
+    res = df.groupby("g", agg={"y": "sum"}, sort=True)
+    expected = server_df.groupby("g", agg={"y": "sum"}, sort=True)
+    assert np.asarray(res.evaluate("y")).tolist() == np.asarray(expected.evaluate("y")).tolist()
+
+
+def test_remote_error(client):
+    df = client["test"]
+    from vaex_tpu.server.client import RemoteError
+    with pytest.raises((RemoteError, NameError)):
+        df.sum("nonexistent_column")
+
+
+def test_real_websocket_server(server_df):
+    import socket
+    sock = socket.socket()
+    sock.bind(("localhost", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    server = vaex.serve({"ws": server_df}, port=port)
+    try:
+        client = vaex.connect(f"ws://localhost:{port}")
+        df = client["ws"]
+        assert df.count() == 100
+        assert df.sum("x") == sum(range(100))
+        counts = df.count(binby="x", limits=[0, 100], shape=4)
+        assert counts.tolist() == [25, 25, 25, 25]
+        client.close()
+    finally:
+        server.stop()
+
+
+def test_token_auth(server_df):
+    import socket
+    sock = socket.socket()
+    sock.bind(("localhost", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    server = vaex.serve({"ws": server_df}, port=port, token="secret")
+    try:
+        from vaex_tpu.server.client import RemoteError
+        with pytest.raises((RemoteError, PermissionError)):
+            vaex.connect(f"ws://localhost:{port}")  # no token
+        client = vaex.connect(f"ws://localhost:{port}", token="secret")
+        assert client["ws"].count() == 100
+        client.close()
+    finally:
+        server.stop()
+
+
+def test_rest_endpoints(server_df):
+    import asyncio
+    from aiohttp.test_utils import TestClient, TestServer
+    from vaex_tpu.server.rest import make_app
+
+    async def run():
+        app = make_app({"rest": server_df})
+        async with TestClient(TestServer(app)) as client:
+            resp = await client.get("/")
+            data = await resp.json()
+            assert data["datasets"] == ["rest"]
+            resp = await client.get("/histogram/rest", params={"expression": "x", "shape": 4, "min": 0, "max": 100})
+            data = await resp.json()
+            assert data["values"] == [25, 25, 25, 25]
+            resp = await client.get("/heatmap/rest", params={"expression_x": "x", "expression_y": "y", "shape": 8})
+            data = await resp.json()
+            assert len(data["values"]) == 8
+
+    asyncio.new_event_loop().run_until_complete(run())
+
+
+def test_encoding_roundtrip():
+    from vaex_tpu import encoding as enc_mod
+    enc = enc_mod.Encoding()
+    ar = np.arange(10, dtype=np.float32)
+    spec = enc.encode("ndarray", ar)
+    data = enc_mod.serialize({"v": spec}, enc)
+    spec2, enc2 = enc_mod.deserialize(data)
+    out = enc2.decode("ndarray", spec2["v"])
+    assert out.tolist() == ar.tolist()
+    # masked
+    m = np.ma.MaskedArray([1, 2, 3], mask=[0, 1, 0])
+    enc = enc_mod.Encoding()
+    spec = enc.encode("ndarray", m)
+    data = enc_mod.serialize({"v": spec}, enc)
+    spec2, enc2 = enc_mod.deserialize(data)
+    out = enc2.decode("ndarray", spec2["v"])
+    assert out.tolist() == [1, None, 3]
+    # arrow
+    import pyarrow as pa
+    enc = enc_mod.Encoding()
+    spec = enc.encode("array", pa.array(["x", None, "z"]))
+    data = enc_mod.serialize({"v": spec}, enc)
+    spec2, enc2 = enc_mod.deserialize(data)
+    out = enc2.decode("array", spec2["v"])
+    assert out.to_pylist() == ["x", None, "z"]

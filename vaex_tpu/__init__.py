@@ -172,6 +172,20 @@ def string_column(strings):
     return pa.array(strings)
 
 
+def connect(url, token=None):
+    """Connect to a vaex_tpu server: `vaex_tpu.connect('ws://host:port')`
+    (reference: vaex/__init__.py:649)."""
+    from .server.client import connect as _connect
+    return _connect(url, token=token)
+
+
+def serve(dataframes, host="localhost", port=8765, token=None):
+    """Start a websocket server for the given {name: df} mapping
+    (the `server` name is taken by the subpackage)."""
+    from .server.server import start_server
+    return start_server(dataframes, host=host, port=port, token=token)
+
+
 _examples = {}
 
 

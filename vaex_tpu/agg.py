@@ -79,6 +79,9 @@ class AggregatorDescriptorBasic(AggregatorDescriptor):
         self._prepare_types(df)
         task = TaskAggregation(df, binners, self)
         task = df.executor.schedule(task)
+        if progress is not None and progress is not False:
+            from . import progress as progress_mod
+            progress_mod.tree(progress).add_task(task, repr(self))
 
         @delayed
         def finish(value):
