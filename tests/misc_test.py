@@ -1,0 +1,207 @@
+"""viz / geo / CLI / interchange protocol / state / cache tests."""
+
+import numpy as np
+import pytest
+
+import vaex_tpu as vaex
+
+
+def test_viz_histogram(df_local, tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    ax = df_local.viz.histogram("x", shape=8)
+    assert ax is not None
+    plt.close("all")
+    ax = df_local.viz.heatmap("x", "y", shape=16)
+    plt.close("all")
+    ax = df_local.viz.scatter("x", "y")
+    plt.close("all")
+
+
+def test_geo_spherical_roundtrip():
+    rng = np.random.RandomState(0)
+    n = 100
+    alpha = rng.uniform(0, 360, n)
+    delta = rng.uniform(-89, 89, n)
+    distance = rng.uniform(1, 10, n)
+    df = vaex.from_arrays(alpha=alpha, delta=delta, distance=distance)
+    df = df.geo.spherical2cartesian("alpha", "delta", "distance")
+    df = df.geo.cartesian2spherical(alpha="alpha2", delta="delta2", distance="distance2")
+    d2 = np.asarray(df.evaluate("distance2"))
+    assert d2 == pytest.approx(distance)
+    delta2 = np.asarray(df.evaluate("delta2"))
+    assert delta2 == pytest.approx(delta)
+
+
+def test_geo_polar():
+    df = vaex.from_arrays(x=np.array([1.0, 0.0]), y=np.array([0.0, 2.0]))
+    df = df.geo.cartesian2polar()
+    assert np.asarray(df.evaluate("r_polar")).tolist() == [1.0, 2.0]
+    assert np.asarray(df.evaluate("phi_polar")) == pytest.approx([0.0, 90.0])
+
+
+def test_geo_inside_polygon():
+    df = vaex.from_arrays(x=np.array([0.5, 5.0]), y=np.array([0.5, 5.0]))
+    expr = df.geo.inside_polygon("x", "y", [0, 1, 1, 0], [0, 0, 1, 1])
+    assert np.asarray(df.evaluate(expr)).tolist() == [True, False]
+
+
+def test_rotation():
+    df = vaex.from_arrays(x=np.array([1.0]), y=np.array([0.0]))
+    df = df.geo.rotation_2d("x", "y", "xr", "yr", 90)
+    assert float(df.evaluate("xr")[0]) == pytest.approx(0, abs=1e-12)
+    assert float(df.evaluate("yr")[0]) == pytest.approx(1)
+
+
+def test_cli_convert_and_meta(tmp_path, capsys):
+    from vaex_tpu.__main__ import main
+    df = vaex.from_arrays(x=np.arange(10.0), y=np.arange(10.0) ** 2)
+    src = str(tmp_path / "in.hdf5")
+    dst = str(tmp_path / "out.parquet")
+    df.export(src)
+    assert main(["convert", src, dst]) == 0
+    df2 = vaex.open(dst)
+    assert df2.sum("x") == 45
+    assert main(["meta", dst]) == 0
+    out = capsys.readouterr().out
+    assert '"rows": 10' in out
+    assert main(["settings"]) == 0
+
+
+def test_interchange_protocol(df_local):
+    import pandas as pd
+    df = df_local[["x", "i", "s"]]
+    xchg = df.__dataframe__()
+    assert xchg.num_rows() == 10
+    assert xchg.num_columns() == 3
+    pdf = pd.api.interchange.from_dataframe(df)
+    assert pdf["x"].tolist() == list(np.arange(10.0))
+    assert pdf["s"][0] == "apple"
+
+
+def test_cache_hits(df_local):
+    from vaex_tpu import cache
+    with cache.temporary("memory"):
+        before = dict(cache.log_stats)
+        df_local.sum("x")
+        df_local.sum("x")  # second call should hit
+        assert cache.log_stats["hit"] > before.get("hit", 0)
+
+
+def test_cache_disk(df_local, tmp_path):
+    from vaex_tpu import cache, settings
+    old_path = settings.cache.path
+    settings.cache.path = str(tmp_path / "cache")
+    try:
+        with cache.temporary("disk"):
+            v1 = df_local.sum("x")
+            v2 = df_local.sum("x")
+            assert v1 == v2 == 45
+    finally:
+        settings.cache.path = old_path
+
+
+def test_state_roundtrip(df_local, tmp_path):
+    df = df_local.copy()
+    df["r"] = df.x * 2
+    df.select("x > 3")
+    state = df.state_get()
+    fresh = vaex.from_arrays(**{name: df_local.evaluate(name, filtered=False)
+                                for name in ["x", "y", "i", "m", "f"]})
+    fresh.state_set(state)
+    assert "r" in fresh.get_column_names()
+    assert np.asarray(fresh.evaluate("r")).tolist() == list(np.arange(10.0) * 2)
+    assert fresh.count(selection=True) == 6
+    # file roundtrip
+    path = str(tmp_path / "state.json")
+    df.state_write(path)
+    fresh2 = vaex.from_arrays(x=np.arange(10.0), y=np.arange(10.0)**2, i=np.arange(10, dtype=np.int32),
+                              m=np.arange(10), f=np.arange(10.0))
+    fresh2.state_load(path)
+    assert "r" in fresh2.get_column_names()
+
+
+def test_state_with_udf(df_local):
+    df = df_local.copy()
+    double = df.add_function("double", lambda ar: ar * 2)
+    df["d"] = double(df.x)
+    state = df.state_get()
+    fresh = vaex.from_arrays(x=np.arange(10.0))
+    fresh.state_set(state)
+    assert np.asarray(fresh.evaluate("d")).tolist() == list(np.arange(10.0) * 2)
+
+
+def test_propagate_uncertainties():
+    df = vaex.from_arrays(x=np.array([1.0, 2.0]), x_uncertainty=np.array([0.1, 0.2]))
+    df["y"] = df.x ** 2
+    df.propagate_uncertainties([df.y])
+    # dy = 2x dx
+    expected = 2 * np.array([1.0, 2.0]) * np.array([0.1, 0.2])
+    assert np.asarray(df.evaluate("y_uncertainty")) == pytest.approx(expected)
+
+
+def test_progress_callback(df_local):
+    fractions = []
+    df_local.sum("x", progress=lambda f: fractions.append(f) or True)
+    assert fractions and fractions[-1] == 1.0
+
+
+def test_progress_cancel(df_local, small_buffer_fixture):
+    from vaex_tpu.execution import UserAbort
+    with small_buffer_fixture(df_local, 3):
+        result = df_local.sum("x", progress=lambda f: False, delay=True)
+        df_local.execute()
+        assert result.isRejected or result.isPending
+
+
+def test_mutual_information(df_local):
+    mi = df_local.mutual_information("x", "y", mi_shape=16)
+    assert mi > 0
+
+
+def test_percentile_approx(df_local):
+    # approximate by design (binned cum-grid, like the reference); tight on
+    # large uniform data, loose on 10 rows
+    x = np.arange(10.0)
+    p50 = df_local.percentile_approx("x", 50, percentile_shape=1024)
+    assert p50 == pytest.approx(np.percentile(x, 50), abs=1.0)
+    rng = np.random.RandomState(0)
+    big = rng.normal(0, 1, 100_000)
+    dfb = vaex.from_arrays(v=big)
+    for p in [10, 50, 90]:
+        got = dfb.percentile_approx("v", p, percentile_shape=1024 * 16)
+        assert got == pytest.approx(np.percentile(big, p), abs=0.01)
+
+
+def test_median_approx(df_local):
+    assert df_local.median_approx("x") == pytest.approx(4.5, abs=1.0)
+
+
+def test_mode():
+    df = vaex.from_arrays(x=np.array([1.0, 2, 2, 3, 2, 5]))
+    assert df.mode("x", mode_shape=8) == pytest.approx(2, abs=0.5)
+
+
+def test_correlation_cov(df_local):
+    x = np.arange(10.0)
+    y = x ** 2
+    corr = df_local.correlation("x", "y")
+    expected = np.corrcoef(x, y)[0, 1]
+    assert corr == pytest.approx(expected, rel=1e-6)
+    cov = df_local.covar("x", "y")
+    assert cov == pytest.approx(np.cov(x, y, bias=True)[0, 1], rel=1e-6)
+    matrix = df_local.cov(["x", "y"])
+    assert matrix[0, 0] == pytest.approx(x.var(), rel=1e-6)
+
+
+def test_describe(df_local):
+    desc = df_local.describe()
+    assert desc.loc["count", "x"] == 10
+    assert desc.loc["NA", "m"] == 2
+
+
+def test_dropna(df_local):
+    assert len(df_local.dropna(column_names=["m"])) == 8
+    assert len(df_local.dropnan(column_names=["f"])) == 9
+    assert len(df_local.dropmissing(column_names=["m"])) == 8

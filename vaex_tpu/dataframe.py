@@ -63,8 +63,7 @@ class DataFrame:
         self.name = name or "dataframe"
         self._executor = executor
         self.virtual_columns = {}
-        self.variables = {"pi": np.pi, "e": np.e, "km_in_au": 149597870.700 / 1.49597870700e8}
-        self.variables = {"pi": np.pi, "e": np.e}
+        self.variables = {"pi": np.pi, "e": np.e, "nan": np.nan, "inf": np.inf}
         self.functions = {}
         self.selection_histories = collections.defaultdict(list)
         self.selection_history_indices = collections.defaultdict(lambda: -1)
@@ -140,6 +139,14 @@ class DataFrame:
     def __getattr__(self, name):
         if name.startswith("_"):
             raise AttributeError(name)
+        if name not in _dataframe_accessors and name in ("ml", "viz", "widget", "graphql", "geo"):
+            # lazy accessor registration (reference: entry_points
+            # 'vaex.dataframe.accessor', __init__.py:735-808)
+            import importlib
+            try:
+                importlib.import_module(f"vaex_tpu.{name}")
+            except ImportError:
+                pass
         if name in _dataframe_accessors:
             acc = _dataframe_accessors[name](self)
             setattr(self, name, acc)
@@ -195,6 +202,11 @@ class DataFrame:
 
     def keys(self):
         return self.get_column_names()
+
+    def __dataframe__(self, nan_as_null=False, allow_copy=True):
+        """DataFrame interchange protocol (reference: dataframe.py:264)."""
+        from .dataframe_protocol import make_dataframe_interchange
+        return make_dataframe_interchange(self, nan_as_null=nan_as_null, allow_copy=allow_copy)
 
     def _function_names(self):
         from . import functions as functions_mod
@@ -1444,6 +1456,7 @@ class DataFrameLocal(DataFrame):
     # -- copy ----------------------------------------------------------
     def copy(self, column_names=None, treeshake=False):
         df = DataFrameLocal(self.dataset, name=self.name)
+        df.column_names = list(self.column_names)
         df.virtual_columns = dict(self.virtual_columns)
         df.variables = dict(self.variables)
         df.functions = dict(self.functions)

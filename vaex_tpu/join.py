@@ -120,27 +120,25 @@ def join(df, other, on=None, left_on=None, right_on=None, lprefix="", rprefix=""
                 lookup = lookup[matched]
             masked = False
 
-    # resolve column name collisions
+    # resolve column name collisions: prefixes/suffixes apply only to names
+    # that clash (reference: join.py suffix semantics); the identical key
+    # column is kept once (left's copy)
     left_names = left.get_column_names(hidden=True)
     right_names = right.get_column_names()
     right_dataset_cols = {}
-    renames = {}
     for name in right_names:
-        if name == str(right_on) and str(left_on) == str(right_on) and not (lprefix or rprefix or lsuffix or rsuffix):
+        if name == str(right_on) and str(left_on) == str(right_on):
             continue  # identical key column: keep left's
-        new_name = rprefix + name + rsuffix
-        if new_name in left_names or (new_name == name and name in left_names):
-            if not (lprefix or lsuffix or rprefix or rsuffix):
-                raise NameError(f"duplicate column name {name!r}; use lsuffix/rsuffix")
-        if new_name != name:
-            renames[name] = new_name
+        if name in left_names:
+            new_name = rprefix + name + rsuffix
+            if new_name == name:
+                if lprefix or lsuffix:
+                    left.rename(name, lprefix + name + lsuffix)
+                else:
+                    raise NameError(f"duplicate column name {name!r}; use lsuffix/rsuffix")
+        else:
+            new_name = name
         right_dataset_cols[new_name] = name
-
-    if lprefix or lsuffix:
-        left_renames = {name: lprefix + name + lsuffix for name in left.get_column_names()}
-        for old, new in left_renames.items():
-            if old != new:
-                left.rename(old, new)
 
     # materialize right columns as lazy indexed views
     new_cols = {}

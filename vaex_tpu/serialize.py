@@ -10,7 +10,11 @@ device passes.
 from __future__ import annotations
 
 import base64
-import pickle
+
+try:
+    import cloudpickle as pickle  # lambdas & closures (reference uses vaex.serialize pickle)
+except ImportError:  # pragma: no cover
+    import pickle
 
 
 class UserFunction:
