@@ -205,3 +205,43 @@ def test_dropna(df_local):
     assert len(df_local.dropna(column_names=["m"])) == 8
     assert len(df_local.dropnan(column_names=["f"])) == 9
     assert len(df_local.dropmissing(column_names=["m"])) == 8
+
+
+def test_native_module():
+    from vaex_tpu import native
+    if not native.available:
+        import pytest
+        pytest.skip("native extension not built")
+    s = native.NativeOrderedSet.create(np.int64)
+    assert s.update(np.array([5, 3, 5, 7], dtype=np.int64)) == 3
+    assert s.keys().tolist() == [5, 3, 7]
+    assert s.map(np.array([3, 9], dtype=np.int64)).tolist() == [1, -1]
+    out = native.pad_to(np.arange(3, dtype=np.float64), 6, 0)
+    assert out.tolist() == [0, 1, 2, 0, 0, 0]
+    bits = np.packbits(np.array([1, 0, 1], dtype=np.uint8), bitorder="little")
+    assert native.unpack_bitmap(bits.tobytes(), 3).tolist() == [True, False, True]
+
+
+def test_pallas_hist2d_interpret():
+    """Numeric parity of the MXU one-hot kernel vs numpy (interpret mode)."""
+    import jax
+    from jax.experimental import pallas as pl
+    import vaex_tpu.ops.pallas_gridagg as pg
+    rng = np.random.RandomState(0)
+    N, nx, ny = 3000, 16, 16
+    bx = rng.randint(-1, nx, N).astype(np.int32)
+    by = rng.randint(0, ny, N).astype(np.int32)
+    v = rng.rand(N).astype(np.float32)
+    orig = pl.pallas_call
+    pl.pallas_call = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    try:
+        count, total = pg.hist2d_count_sum(np.asarray(bx), np.asarray(by), np.asarray(v), nx, ny, tile=256)
+    finally:
+        pl.pallas_call = orig
+    mask = bx >= 0
+    expected = np.zeros((nx, ny))
+    np.add.at(expected, (bx[mask], by[mask]), 1)
+    assert np.array_equal(np.asarray(count), expected)
+    expected_sum = np.zeros((nx, ny))
+    np.add.at(expected_sum, (bx[mask], by[mask]), v[mask])
+    assert np.allclose(np.asarray(total), expected_sum, atol=1e-4)

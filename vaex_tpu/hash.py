@@ -39,8 +39,15 @@ class HashMapUnique:
         if self._is_string:
             self._keys = []          # python list of str/None
             self._codes = {}         # str -> code
+            self._native = None
         else:
-            self._keys = np.empty(0, dtype=self.dtype.numpy if not self.dtype.is_temporal else np.dtype("int64"))
+            np_dtype = self.dtype.numpy if not self.dtype.is_temporal else np.dtype("int64")
+            self._keys = np.empty(0, dtype=np_dtype)
+            # C++ incremental ordered set (src/vaex_native.cpp) when built:
+            # persistent across chunks, no per-chunk sort-merge
+            from .native import NativeOrderedSet
+            target = np_dtype if np_dtype.kind != "b" else np.dtype("int32")
+            self._native = NativeOrderedSet.create(target) if np_dtype.kind in "iuf" and np_dtype.itemsize >= 4 else None
         self.null_index = -1
         self.nan_index = -1
         self._sorted_cache = None
@@ -116,6 +123,14 @@ class HashMapUnique:
                 if self.nan_index == -1:
                     self.nan_index = -2
                 values = values[~nanmask]
+        if self._native is not None and len(self._native) != len(self._keys):
+            # keys were reordered externally (e.g. sorted()); the native set
+            # no longer mirrors them — fall back to the numpy merge path
+            self._native = None
+        if self._native is not None:
+            self._native.update(values)
+            self._keys = self._native.keys().astype(self._keys.dtype, copy=False)
+            return
         import pandas as pd
         chunk_unique = pd.unique(values)
         if len(self._keys):
