@@ -16,7 +16,7 @@ BASELINE_ROWS_PER_S = 1e9
 
 
 def main():
-    n = int(os.environ.get("BENCH_ROWS", 1 << 27))  # 134M rows default
+    n = int(os.environ.get("BENCH_ROWS", 1 << 24))  # 16M rows default (cold remote-compile latency on the tunnel dominates bigger sizes)
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
 
     import vaex_tpu as vaex

@@ -1,0 +1,79 @@
+"""widget / graphql / astro ecosystem tests."""
+
+import numpy as np
+import pytest
+
+import vaex_tpu as vaex
+
+
+def test_widget_models(df_local):
+    axis = df_local.widget.axis_model("x", shape=16)
+    axis._debug_wait_for_status("ready")
+    assert axis.min == 0 and axis.max == 9
+    model = df_local.widget.grid_model([axis])
+    model._debug_wait_for_status("ready")
+    assert model.grid.sum() in (9, 10)  # max value may land in overflow edge
+    # reactive recompute on shape change
+    grids = []
+    model.on_grid(lambda g: grids.append(g))
+    axis.shape = 8
+    assert grids and grids[-1].shape == (8,)
+
+
+def test_widget_views(df_local):
+    w = df_local.widget.histogram("x", shape=8)
+    assert w.model.grid is not None
+    h = df_local.widget.heatmap("x", "y", shape=8)
+    assert h.model.grid.shape == (8, 8)
+    c = df_local.widget.counter_processed()
+    assert "10" in c.label.value
+
+
+def test_graphql_agg(df_local):
+    out = df_local.graphql.query({"agg": {"count": True, "mean": ["x"], "max": ["y"]}})
+    assert out["count"] == 10
+    assert out["x_mean"] == pytest.approx(4.5)
+    assert out["y_max"] == 81
+
+
+def test_graphql_where_groupby():
+    df = vaex.from_arrays(g=np.arange(20) % 4, v=np.arange(20.0))
+    out = df.graphql.query({"where": {"v": {"_gte": 4}},
+                            "groupby": ["g"],
+                            "agg": {"count": True, "sum": ["v"]}})
+    assert len(out["g"]) == 4
+    total = sum(out["v_sum"])
+    assert total == sum(range(4, 20))
+
+
+def test_graphql_rows(df_local):
+    out = df_local.graphql.query({"select": ["x"], "limit": 3, "offset": 2})
+    assert out["x"] == [2.0, 3.0, 4.0]
+
+
+def test_fits_roundtrip(tmp_path):
+    from vaex_tpu.astro import export_fits
+    df = vaex.from_arrays(x=np.arange(10.0), i=np.arange(10, dtype=np.int32),
+                          b=(np.arange(10) % 2 == 0))
+    path = str(tmp_path / "test.fits")
+    export_fits(df, path)
+    df2 = vaex.open(path)
+    assert len(df2) == 10
+    assert np.asarray(df2.evaluate("x")).tolist() == list(np.arange(10.0))
+    assert np.asarray(df2.evaluate("i")).tolist() == list(range(10))
+    assert np.asarray(df2.evaluate("b")).tolist() == [True, False] * 5
+    # aggregation over big-endian mmap'd columns
+    assert df2.sum("x") == 45
+
+
+def test_astro_eq2gal():
+    # the galactic north pole must map to b=90
+    df = vaex.from_arrays(ra=np.array([192.85948]), dec=np.array([27.12825]))
+    df = df.astro.eq2gal()
+    assert float(df.evaluate("b")[0]) == pytest.approx(90.0, abs=1e-3)  # arcsin near pole amplifies f64 eps
+    # galactic center: ra/dec of Sgr A* → l≈359.94, b≈-0.05
+    df2 = vaex.from_arrays(ra=np.array([266.41683]), dec=np.array([-29.00781]))
+    df2 = df2.astro.eq2gal()
+    assert float(df2.evaluate("b")[0]) == pytest.approx(-0.046, abs=0.05)
+    l = float(df2.evaluate("l")[0])
+    assert min(abs(l - 359.944), abs(l + 0.056)) < 0.1

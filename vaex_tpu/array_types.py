@@ -204,4 +204,12 @@ def convert(ar, type_wanted):
         if dt.is_string or dt.is_list or dt.is_struct:
             return to_arrow(ar)
         return to_numpy(ar)
+    if type_wanted in ("python", "list"):
+        if hasattr(ar, "to_pylist"):
+            return ar.to_pylist()
+        ar = to_numpy(ar)
+        if np.ma.isMaskedArray(ar):
+            return [None if m else v.item() if hasattr(v, "item") else v
+                    for v, m in zip(ar.data, np.ma.getmaskarray(ar))]
+        return ar.tolist()
     raise ValueError(f"unknown array type {type_wanted!r}")
