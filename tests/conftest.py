@@ -66,12 +66,23 @@ def df_local():
     return create_base_df()
 
 
-@pytest.fixture(params=["plain", "sliced", "concat", "filtered_all"])
-def df(request):
-    """Backend-parametrized dataframe with identical logical content."""
+@pytest.fixture(params=["plain", "sliced", "concat", "filtered_all", "hdf5", "arrow"])
+def df(request, tmp_path_factory):
+    """Backend-parametrized dataframe with identical logical content
+    (reference fixture matrix: tests/common.py:225-241 — local / trimmed /
+    fragmented / filtered / file-backed)."""
     base = create_base_df()
     if request.param == "plain":
         return base
+    if request.param in ("hdf5", "arrow"):
+        # file-backed (mmap path); object column not supported by writers
+        d = tmp_path_factory.mktemp("dfbackend")
+        path = str(d / f"df.{request.param}")
+        src = base.drop("name")
+        src.export(path)
+        df = vaex.open(path)
+        df.add_column("name", np.array(list("abcdefghij"), dtype=object))
+        return df
     if request.param == "sliced":
         # build a longer df and slice the middle out so active-range logic runs
         x = np.concatenate([[-1, -2], np.arange(10, dtype=np.float64), [-3]])

@@ -245,3 +245,71 @@ def test_pallas_hist2d_interpret():
     expected_sum = np.zeros((nx, ny))
     np.add.at(expected_sum, (bx[mask], by[mask]), v[mask])
     assert np.allclose(np.asarray(total), expected_sum, atol=1e-4)
+
+
+def test_open_convert(tmp_path):
+    df = vaex.from_arrays(x=np.arange(10.0))
+    csv_path = str(tmp_path / "c.csv")
+    df.export_csv(csv_path)
+    df2 = vaex.open(csv_path, convert=True)
+    import os
+    assert os.path.exists(csv_path + ".hdf5")
+    assert df2.sum("x") == 45
+    # second open reuses the converted file
+    df3 = vaex.open(csv_path, convert=True)
+    assert df3.sum("x") == 45
+
+
+def test_file_module(tmp_path):
+    from vaex_tpu import file as file_mod
+    assert not file_mod.is_remote("/tmp/x.hdf5")
+    assert file_mod.is_remote("s3://bucket/x.hdf5")
+    base, opts = file_mod.split_options("s3://b/k?anon=true&region=x")
+    assert base == "s3://b/k" and opts == {"anon": "true", "region": "x"}
+    fp1 = file_mod.fingerprint("/tmp/nonexistent-xyz")
+    assert isinstance(fp1, str)
+    # memory:// via fsspec roundtrip
+    import fsspec
+    with fsspec.open("memory://test/data.bin", "wb") as f:
+        f.write(b"hello")
+    local = file_mod.fetch_local("memory://test/data.bin")
+    assert open(local, "rb").read() == b"hello"
+
+
+def test_prefetch_iterator(df_local):
+    chunks = list(df_local.evaluate_iterator("x", chunk_size=3, prefetch=True))
+    total = np.concatenate([np.asarray(c) for _, _, c in chunks])
+    assert total.tolist() == list(np.arange(10.0))
+
+
+def test_events_signal():
+    from vaex_tpu.events import Signal
+    s = Signal("test")
+    got = []
+    s.connect(lambda v: got.append(v))
+    s.emit(42)
+    assert got == [42]
+
+
+def test_itertools():
+    from vaex_tpu.itertools import buffer, pmap
+    assert list(buffer(iter(range(5)))) == [0, 1, 2, 3, 4]
+    assert list(pmap(lambda v: v * 2, range(5))) == [0, 2, 4, 6, 8]
+    def bad():
+        yield 1
+        raise ValueError("boom")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        list(buffer(bad()))
+
+
+def test_memory_limit_tracker(df_local):
+    from vaex_tpu import settings
+    old = settings.memory.tracker, settings.memory.limit
+    settings.memory.tracker, settings.memory.limit = "limit", "1KB"
+    try:
+        with pytest.raises(MemoryError):
+            # a 1M-cell grid blows the 1KB budget before the pass starts
+            df_local.count(binby="x", limits=[0, 10], shape=1_000_000)
+    finally:
+        settings.memory.tracker, settings.memory.limit = old

@@ -125,20 +125,35 @@ def from_json(path, orient=None, **kwargs):
     return from_pandas(pd.read_json(path, orient=orient, **kwargs))
 
 
-def open(path, convert=False, shuffle=False, fs_options=None, **kwargs):
-    """Open a file (hdf5/arrow/parquet/csv/…) as a lazy DataFrame
-    (reference: vaex/__init__.py:111)."""
+def open(path, convert=False, shuffle=False, fs_options=None, progress=None, **kwargs):
+    """Open a file (hdf5/arrow/parquet/csv/fits/…) as a lazy DataFrame
+    (reference: vaex/__init__.py:111).
+
+    convert=True (or a path) converts non-mmappable formats (csv, …) to HDF5
+    once and opens the converted file (reference: convert.py).  Remote paths
+    (s3://, gs://, …) are fetched into the local file cache first
+    (file.fetch_local)."""
     import glob as globlib
+    import os as _os
+    from . import file as file_mod
     if isinstance(path, (list, tuple)):
         return concat([open(p, fs_options=fs_options, **kwargs) for p in path])
     spath = str(path)
-    if any(ch in spath for ch in "*?[" ) and not spath.startswith(("s3://", "gs://")):
+    if file_mod.is_remote(spath):
+        spath = file_mod.fetch_local(spath, fs_options=fs_options, progress=progress)
+    elif any(ch in spath for ch in "*?["):
         paths = sorted(globlib.glob(spath))
         if not paths:
             raise IOError(f"no files matching {spath}")
         if len(paths) > 1:
             return concat([open(p, fs_options=fs_options, **kwargs) for p in paths])
         spath = paths[0]
+    if convert:
+        converted = convert if isinstance(convert, str) else spath + ".hdf5"
+        if not _os.path.exists(converted):
+            df_src = from_dataset(_dataset_mod.open(spath, fs_options=fs_options, **kwargs))
+            df_src.export_hdf5(converted)
+        spath = converted
     ds = _dataset_mod.open(spath, fs_options=fs_options, **kwargs)
     df = from_dataset(ds)
     if shuffle:

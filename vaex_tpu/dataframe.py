@@ -1209,12 +1209,17 @@ class DataFrame:
 
     def evaluate_iterator(self, expression, s1=None, s2=None, i1=None, i2=None, chunk_size=None,
                           parallel=True, selection=None, array_type=None, prefetch=True, progress=None):
-        """Reference: dataframe.py:3112 (prefetch overlap comes free from the
-        async device dispatch)."""
+        """Reference: dataframe.py:3112 — with prefetch=True the next chunk is
+        evaluated on a background thread while the caller consumes the
+        current one (itertools.buffer, the reference's prefetch pattern)."""
         expressions = expression if isinstance(expression, (list, tuple)) else [expression]
         single = not isinstance(expression, (list, tuple))
-        for o1, o2, results in self._evaluate_iterator_raw(expressions, i1=i1, i2=i2, selection=selection,
-                                                           chunk_size=chunk_size):
+        iterator = self._evaluate_iterator_raw(expressions, i1=i1, i2=i2, selection=selection,
+                                               chunk_size=chunk_size)
+        if prefetch:
+            from .itertools import buffer
+            iterator = buffer(iterator, n=2)
+        for o1, o2, results in iterator:
             results = [array_types.convert(r, array_type) for r in results]
             yield o1, o2, (results[0] if single else results)
 

@@ -241,7 +241,11 @@ class ExecutorLocal(Executor):
         need_filter = df.filtered
         filter_on_device = need_filter and expression_is_device_compatible(df, df._filter_expression())
 
-        # initialize states (one grid replica per mesh device)
+        # initialize states (one grid replica per mesh device); allocations
+        # are pre-accounted by the memory tracker (reference double-entry
+        # check: execution.py:413 + agg.py:311-318)
+        from . import memory as memory_mod
+        tracker = memory_mod.create_tracker()
         n_shards = int(np.prod(self.mesh.devices.shape)) if self.mesh is not None else 1
         states = []
         for plan in plans:
@@ -250,6 +254,8 @@ class ExecutorLocal(Executor):
             if n_shards > 1:
                 from .parallel.mesh import replicate_state
                 state = replicate_state(state, n_shards)
+            tracker.pre_alloc(memory_mod.track_state_bytes(state),
+                              f"aggregation grids for {plan.task.aggregation_description!r}")
             states.append(state)
 
         from .hash import _HashmapBuilder
