@@ -313,3 +313,49 @@ def test_memory_limit_tracker(df_local):
             df_local.count(binby="x", limits=[0, 10], shape=1_000_000)
     finally:
         settings.memory.tracker, settings.memory.limit = old
+
+
+def test_percentile_binby():
+    rng = np.random.RandomState(0)
+    g = rng.randint(0, 4, 40_000)
+    v = rng.normal(g, 1.0)  # per-group median ≈ group id
+    df = vaex.from_arrays(g=g, v=v)
+    medians = df.percentile_approx("v", 50, binby="g", limits=[0, 4], shape=4,
+                                   percentile_shape=4096)
+    assert np.asarray(medians) == pytest.approx([0, 1, 2, 3], abs=0.1)
+
+
+def test_limits_percentage(df_local):
+    lo, hi = df_local.limits("x", "90%")
+    assert 0 <= lo < hi <= 9
+    lims = df_local.limits(["x", "y"], ["minmax", "95%"])
+    assert lims[0] == [0, 9]
+
+
+def test_small_api(df_local):
+    assert df_local.column_count() == 7
+    assert df_local.byte_size() > 0
+    df_local.set_active_fraction(0.5)
+    assert df_local.get_active_fraction() == 0.5
+    assert len(df_local) == 5
+    df_local.set_active_range(0, 10)
+
+
+def test_drop_duplicates():
+    df = vaex.from_arrays(a=np.array([1, 2, 1, 3, 2]), b=np.array([10.0, 20, 10, 30, 21]))
+    out = df.drop_duplicates(["a"])
+    assert sorted(np.asarray(out.evaluate("a")).tolist()) == [1, 2, 3]
+    assert len(out) == 3
+    out2 = df.drop_duplicates()
+    assert len(out2) == 4  # (2,20) and (2,21) differ
+
+
+def test_export_partitioned(tmp_path):
+    df = vaex.from_arrays(g=np.array([0, 1, 0, 1]), v=np.arange(4.0))
+    base = str(tmp_path / "part")
+    df.export_partitioned(base + "/data.parquet" if False else base, by="g")
+    import os, glob
+    files = glob.glob(base + "/g=*/part.*")
+    assert len(files) == 2
+    back = vaex.open(files[0])
+    assert len(back) == 2

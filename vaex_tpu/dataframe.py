@@ -823,14 +823,32 @@ class DataFrame:
         @delayed
         def compute(percentile_limits_):
             vmin, vmax = percentile_limits_
+            if binby_list:
+                binby_limits = limits
+                if binby_limits is None:
+                    binby_limits = [None] * len(binby_list)
+                elif len(binby_list) == 1 and not isinstance(binby_limits[0], (list, tuple)):
+                    binby_limits = [binby_limits]  # single flat [min, max] pair
+                all_limits = list(binby_limits) + [[vmin, vmax]]
+                all_shapes = ([shape] * len(binby_list) if not isinstance(shape, (list, tuple)) else list(shape)) + [percentile_shape]
+            else:
+                all_limits = [[vmin, vmax]]
+                all_shapes = percentile_shape
             counts = self.count(binby=list(binby_list) + [expression],
-                                limits=(limits if limits is not None else [None] * len(binby_list)) + [[vmin, vmax]] if binby_list else [[vmin, vmax]],
-                                shape=([shape] * len(binby_list)) + [percentile_shape] if binby_list else percentile_shape,
+                                limits=all_limits, shape=all_shapes,
                                 selection=selection, delay=True, edges=True)
 
             @delayed
             def finish(counts_):
                 counts_ = np.asarray(counts_, dtype=np.float64)
+                # edges=True applies to every axis: strip the leading binby
+                # axes' edge slots ([nan, under, ..., over] scalar / [...,
+                # null, nan] ordinal), keep the percentile axis' edges for
+                # the under-count
+                lead = []
+                for b in binby_list:
+                    lead.append(slice(0, -2) if self.is_category(b) else slice(2, -1))
+                counts_ = counts_[tuple(lead) + (slice(None),)] if lead else counts_
                 # edges layout [nan, under, data..., over] on the last axis
                 data = counts_[..., 2:-1]
                 under = counts_[..., 1]
@@ -842,8 +860,6 @@ class DataFrame:
                     target = (under + cum[..., -1]) * (p / 100.0)
                     # linear interpolation within the bin where cum crosses target
                     cum_with_under = under[..., None] + np.concatenate([np.zeros_like(cum[..., :1]), cum], axis=-1)
-                    idx = np.apply_along_axis(lambda c: np.searchsorted(c, 0), -1, np.zeros_like(cum_with_under[..., :1]))
-                    # vectorized search
                     flat_cum = cum_with_under.reshape(-1, percentile_shape + 1)
                     flat_target = np.asarray(target).reshape(-1)
                     out = np.empty(flat_cum.shape[0])
@@ -1455,6 +1471,28 @@ class DataFrameLocal(DataFrame):
         n = int(self.dataset.row_count * fraction)
         self.set_active_range(0, n)
 
+    def get_active_fraction(self):
+        return self._length_unfiltered / max(self.dataset.row_count, 1)
+
+    def column_count(self, hidden=False):
+        return len(self.get_column_names(hidden=hidden))
+
+    def byte_size(self, selection=False, virtual=False):
+        """Approximate bytes of the (selected) data
+        (reference: dataframe.py byte_size)."""
+        n = len(self) if (selection or self.filtered) else self._length_unfiltered
+        total = 0
+        for name in self.get_column_names(virtual=virtual):
+            try:
+                dt = self.data_type(name)
+                total += n * (dt.byte_size if not dt.is_string else 8)
+            except Exception:  # noqa: BLE001
+                pass
+        return total
+
+    def evaluate_variable(self, name):
+        return self.variables[name]
+
     def get_active_range(self):
         return self._index_start, self._index_end
 
@@ -1824,6 +1862,36 @@ class DataFrameLocal(DataFrame):
     def export_csv(self, path, progress=None, chunk_size=None, **kwargs):
         from .io.csv import export_csv
         export_csv(self, path, chunk_size=chunk_size, progress=progress, **kwargs)
+
+    def drop_duplicates(self, columns=None):
+        """Unique rows by the given columns, keeping the first occurrence
+        (reference: dataframe.py drop_duplicates — groupby keys + first row
+        index, then a lazy take)."""
+        columns = columns or self.get_column_names()
+        columns = [columns] if isinstance(columns, str) else [_ensure_string_expression(c) for c in columns]
+        from . import agg as agg_mod
+        from .column import ColumnVirtualRange
+        df = self.extract() if self.filtered else self.copy()
+        row_name = utils.find_valid_name("__row_index", used=df.get_column_names(hidden=True))
+        df.add_column(row_name, ColumnVirtualRange(0, df.dataset.row_count))
+        grouped = df.groupby(columns, agg={"__first_row": agg_mod.min(row_name)})
+        rows = np.sort(np.asarray(grouped.evaluate("__first_row")))
+        return df.take(rows, filtered=False).drop(row_name)
+
+    def export_partitioned(self, path, by, directory_format="{key}={value}", progress=None, chunk_size=None, **kwargs):
+        """Hive-style partitioned export (reference: dataframe.py
+        export_partitioned): one file per group value combination under
+        key=value directories."""
+        import os as _os
+        by = [by] if isinstance(by, (str, Expression)) else list(by)
+        by = [_ensure_string_expression(b) for b in by]
+        for values, df_group in self.groupby(by):
+            values = values if isinstance(values, tuple) else (values,)
+            parts = [directory_format.format(key=k, value=v) for k, v in zip(by, values)]
+            directory = _os.path.join(path, *parts)
+            _os.makedirs(directory, exist_ok=True)
+            fname = _os.path.join(directory, f"part.{path.rsplit('.', 1)[-1] if '.' in path else 'parquet'}")
+            df_group.extract().drop(by).export(fname, **kwargs)
 
     def export_json(self, path, progress=None, **kwargs):
         import json
