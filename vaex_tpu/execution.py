@@ -341,11 +341,12 @@ class ExecutorLocal(Executor):
                         raise UserAbort("user aborted")
                 yield fraction
 
-            # ---- reduce + fulfill
-            states = jax.tree_util.tree_map(np.asarray, states)
+            # ---- reduce + fulfill (one batched D2H: per-array np.asarray
+            # costs a full tunnel round-trip each, jax.device_get batches)
+            states = jax.device_get(states)
             if n_shards > 1 and plans:
                 from .parallel.mesh import merge_replicas
-                states = jax.tree_util.tree_map(np.asarray, merge_replicas(plans, states))
+                states = jax.device_get(merge_replicas(plans, states))
             for plan, state in zip(plans, states):
                 raw = plan.op.finalize(state)
                 grid_flat = np.asarray(raw)[:-1]  # drop void cell
@@ -560,6 +561,39 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     L_local = L // n_shards
 
+    # -- static strategy planning: pair (count, sum) plans over the same 2-D
+    # grid + value/selection into one Pallas MXU one-hot kernel call
+    # (ops/pallas_gridagg.py) — measured ~1.8x over two scatters on v5e
+    pallas_partner = {}
+    strategy = settings.compute.strategy
+    on_tpu = jax.devices()[0].platform in ("tpu",)
+    if strategy in ("auto", "pallas") and (on_tpu or strategy == "pallas"):
+        groups = {}
+        for i, plan in enumerate(plans):
+            binners = plan.task.binners
+            if len(binners) != 2:
+                continue
+            nx, ny = binners[0].shape, binners[1].shape
+            if nx * ny > 262 * 262 or plan.order_expr is not None:
+                continue
+            if not isinstance(plan.op, (gridagg.AggOpCount, gridagg.AggOpSum)):
+                continue
+            if isinstance(plan.op, gridagg.AggOpSum):
+                acc = plan.op.init(1)
+                if acc.dtype not in (jnp.float32, jnp.float64):
+                    continue  # int sums need exact accumulation
+                if gridagg._sum_partial_dtype(plan.op.data_dtype, acc.dtype) != np.dtype("float32"):
+                    continue  # f64 inputs keep the exact scatter path
+            key = (tuple(binners), plan.value_expr, plan.selection_expr, plan.value_as_validity)
+            groups.setdefault(key, []).append(i)
+        for key, members in groups.items():
+            kinds = {("count" if isinstance(plans[i].op, gridagg.AggOpCount) else "sum"): i for i in members}
+            if "count" in kinds and "sum" in kinds:
+                pallas_partner[kinds["count"]] = ("count", kinds["count"], kinds["sum"], key[0])
+                pallas_partner[kinds["sum"]] = ("sum", kinds["count"], kinds["sum"], key[0])
+            elif "count" in kinds and len(members) == 1:
+                pallas_partner[kinds["count"]] = ("count", kinds["count"], None, key[0])
+
     def step(states, inputs, masks, n_valid, i1, row_offset=0):
         # 32-bit row indices: 64-bit emulation makes remote XLA compiles ~20x
         # slower; L_local < 2^31 always, and n_valid/row_offset fit i32 within
@@ -581,20 +615,27 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
         if filter_host_mask:
             base_include = base_include & inputs["__filter_mask__"].astype(bool)
 
-        # flat indices per distinct binner tuple
+        # bin indices per distinct binner tuple
+        bins_cache = {}
         flat_cache = {}
 
-        def get_flat(binners):
+        def get_bins(binners):
             key = tuple(binners)
-            if key not in flat_cache:
+            if key not in bins_cache:
                 bins = []
                 for b in binners:
                     mv = scope.evaluate(b.expression)
                     bins.append(b.to_bins(mv.values, mv.mask))
-                flat_cache[key] = gridagg.flat_index(binners, bins)
+                bins_cache[key] = bins
+            return bins_cache[key]
+
+        def get_flat(binners):
+            key = tuple(binners)
+            if key not in flat_cache:
+                flat_cache[key] = gridagg.flat_index(binners, get_bins(binners))
             return flat_cache[key]
 
-        new_states = []
+        work = []
         for plan, state in zip(plans, states):
             binners = plan.task.binners
             if binners:
@@ -630,7 +671,34 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
                 else:
                     okey = i1 + rows.astype(jnp.int64)
                 order_key = -okey if plan.op.inverted else okey
-            new_states.append(plan.op.update(state, flat, value, include, order_key=order_key))
+            work.append((plan, state, flat, value, include, order_key))
+
+        # execute: Pallas pairs first (one kernel per pair), scatter the rest
+        pallas_results = {}
+        new_states = [None] * len(plans)
+        for i, (plan, state, flat, value, include, order_key) in enumerate(work):
+            if i in pallas_partner:
+                kind, ci, si, binners = pallas_partner[i]
+                pair_key = (ci, si)
+                if pair_key not in pallas_results:
+                    from .ops.pallas_gridagg import hist2d_count_sum
+                    bins = get_bins(binners)
+                    bx = jnp.where(include, bins[0], -1).astype(jnp.int32)
+                    by = jnp.where(include, bins[1], -1).astype(jnp.int32)
+                    if si is not None:
+                        _, _, _, sval, _, _ = work[si]
+                        v32 = jnp.where(include, sval, 0).astype(jnp.float32)
+                    else:
+                        v32 = jnp.zeros(bx.shape, jnp.float32)
+                    pallas_results[pair_key] = hist2d_count_sum(
+                        bx, by, v32, binners[0].shape, binners[1].shape, tile=2048)
+                pcount, psum = pallas_results[pair_key]
+                partial = pcount if i == ci else psum
+                flat_partial = jnp.concatenate(
+                    [partial.reshape(-1), jnp.zeros(1, partial.dtype)])  # void cell
+                new_states[i] = work[i][1] + flat_partial.astype(work[i][1].dtype)
+            else:
+                new_states[i] = plan.op.update(state, flat, value, include, order_key=order_key)
         return tuple(new_states)
 
     if mesh is not None and n_shards > 1:

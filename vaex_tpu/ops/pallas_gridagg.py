@@ -48,14 +48,21 @@ def _kernel(bx_ref, by_ref, values_ref, count_ref, sum_ref, *, nx, ny, tile):
 
     cols_x = jax.lax.broadcasted_iota(jnp.int32, (tile, nx), 1)
     cols_y = jax.lax.broadcasted_iota(jnp.int32, (tile, ny), 1)
-    hx = (bx == cols_x).astype(jnp.float32)          # [T, nx]
-    hy = (by == cols_y).astype(jnp.float32)          # [T, ny]
+    # bf16 one-hots: exact (values are 0/1) and native MXU rate; the MXU
+    # accumulates in f32, so the only precision loss would be truncating the
+    # *values* to bf16 — recovered with a hi/lo split (two weighted matmuls):
+    # v = hi + lo exactly, each half bf16-representable.
+    hx = (bx == cols_x).astype(jnp.bfloat16)         # [T, nx]
+    hy = (by == cols_y).astype(jnp.bfloat16)         # [T, ny]
 
     count_ref[...] += jax.lax.dot_general(
         hx, hy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    hxv = hx * v                                      # weighted one-hot
+    v_hi = v.astype(jnp.bfloat16)
+    v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     sum_ref[...] += jax.lax.dot_general(
-        hxv, hy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        hx * v_hi, hy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    sum_ref[...] += jax.lax.dot_general(
+        hx * v_lo, hy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("nx", "ny", "tile"))

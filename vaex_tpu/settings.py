@@ -98,12 +98,15 @@ class Compute:
     precision: str = "mixed"
     onehot_grid_limit: int = 4096
     sharding: str = "auto"              # 'auto'/'none': shard chunks over mesh
+    strategy: str = "auto"              # 'auto': Pallas MXU kernel for small 2-D
+                                        # grids on TPU; 'scatter'/'pallas' force
 
     def __post_init__(self):
         self.device = _env("VAEX_TPU_DEVICE", self.device)
         self.precision = _env("VAEX_TPU_PRECISION", self.precision)
         self.onehot_grid_limit = _env("VAEX_TPU_ONEHOT_GRID_LIMIT", self.onehot_grid_limit)
         self.sharding = _env("VAEX_TPU_SHARDING", self.sharding)
+        self.strategy = _env("VAEX_TPU_STRATEGY", self.strategy)
 
 
 @dataclasses.dataclass
