@@ -197,3 +197,54 @@ def test_sort():
     assert np.asarray(s.evaluate("y")).tolist() == [10, 20, 30]
     s2 = df.sort("x", ascending=False)
     assert np.asarray(s2.evaluate("x")).tolist() == [3.0, 2.0, 1.0]
+
+
+def test_groupby_nunique(df_g):
+    df, g, h, v = df_g
+    res = df.groupby("g", agg={"h_nunique": vaex.agg.nunique("h")}, sort=True)
+    import pandas as pd
+    expected = pd.DataFrame({"g": g, "h": h}).groupby("g")["h"].nunique()
+    got = np.asarray(res.evaluate("h_nunique"))
+    assert got.tolist() == expected.values.tolist()
+
+
+def test_nunique_binby(df_g):
+    df, g, h, v = df_g
+    n = df.binby("g", agg=vaex.agg.nunique("h"))
+    assert np.asarray(n).max() <= 3
+
+
+def test_nunique_scalar_agg(df_g):
+    df, g, h, v = df_g
+    # nunique without binby through the aggregation path
+    from vaex_tpu import agg as agg_mod
+    desc = agg_mod.nunique("h")
+    tasks, result = desc.add_tasks(df, ())
+    df.execute()
+    assert int(result.get()) == 3
+
+
+def test_agg_list(df_g):
+    df, g, h, v = df_g
+    res = df.groupby("g", agg={"vs": vaex.agg.list("v")}, sort=True)
+    import pandas as pd
+    expected = pd.DataFrame({"g": g, "v": v}).groupby("g")["v"].apply(lambda s: sorted(s.tolist()))
+    got = res.evaluate("vs")
+    got_list = got.to_pylist() if hasattr(got, "to_pylist") else [list(x) for x in np.asarray(got, dtype=object)]
+    keys = np.asarray(res.evaluate("g"))
+    for k, lst in zip(keys, got_list):
+        assert sorted(lst) == pytest.approx(expected[int(k)])
+
+
+def test_binner_time():
+    dates = np.array(["2020-01-01", "2020-01-02", "2020-01-09", "2020-02-01"], dtype="M8[ns]")
+    df = vaex.from_arrays(t=dates, v=np.arange(4.0))
+    from vaex_tpu.groupby import BinnerTime
+    res = df.groupby(BinnerTime.per_week(df.t), agg={"v": "sum"})
+    sums = np.asarray(res.evaluate("v"))
+    assert sums.sum() == 6.0
+    assert len(sums) >= 2  # several weeks spanned
+    # monthly (calendar path)
+    res_m = df.groupby(BinnerTime.per_month(df.t), agg={"v": "sum"})
+    got = np.asarray(res_m.evaluate("v"))
+    assert got.tolist() == [3.0, 3.0]  # january: 0+1+2, february: 3

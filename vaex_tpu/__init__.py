@@ -240,6 +240,22 @@ from . import agg  # noqa: E402,F401
 from . import cache  # noqa: E402,F401
 
 
+def _groupby_exports():
+    from .groupby import Binner, BinnerTime, Grouper, GrouperCategory
+    return Binner, BinnerTime, Grouper, GrouperCategory
+
+
+def __getattr__(name):
+    # lazy top-level exports (reference exposes these via vaex.groupby)
+    if name in ("Binner", "BinnerTime", "Grouper", "GrouperCategory"):
+        from . import groupby as _g
+        return getattr(_g, name)
+    if name in ("DataFrame", "DataFrameLocal", "Expression"):
+        from . import dataframe as _d, expression as _e
+        return getattr(_d, name, None) or getattr(_e, name)
+    raise AttributeError(f"module 'vaex_tpu' has no attribute {name!r}")
+
+
 class RowLimitException(Exception):
     """Raised when a groupby/unique explodes past row_limit
     (reference: vaex/__init__.py:870)."""

@@ -265,7 +265,12 @@ class AggregatorDescriptorKurtosis(AggregatorDescriptorMulti):
 
 
 class AggregatorDescriptorNUnique(AggregatorDescriptorBasic):
-    """Reference: vaex/agg.py:338."""
+    """Reference: vaex/agg.py:338 (C++ per-cell hashmaps, agg_nunique.cpp).
+
+    TPU formulation: dictionary-encode the values (key-table pass), add the
+    value ordinal as an extra grid axis, count presence, and reduce
+    `(count > 0).sum()` over that axis — per-cell sets become one dense grid
+    (SURVEY.md §2.2 'sort/segment or per-cell Bloom' plan, exact variant)."""
 
     def __init__(self, name, expression, short_name, dropmissing=False, dropnan=False, selection=None, edges=False):
         super().__init__(name, [expression], short_name, selection=selection, edges=edges,
@@ -277,6 +282,45 @@ class AggregatorDescriptorNUnique(AggregatorDescriptorBasic):
         from .datatype import DataType
         super()._prepare_types(df)
         self.dtype_out = DataType(np.dtype("int64"))
+
+    def add_tasks(self, df, binners, progress=None):
+        from .ops.gridagg import BinnerOrdinal
+        expr = self.expressions[0]
+        hashmap = df._hash_map_unique(expr)
+        n_values = hashmap.count if hashmap.count > 0 else 1  # nb: `max` is the agg factory here
+        cells = int(np.prod([b.shape for b in binners])) if binners else 1
+        if cells * (n_values + 2) > 200_000_000:
+            from . import RowLimitException
+            raise RowLimitException(
+                f"nunique presence grid too large: {cells} cells x {n_values} values")
+        var = df.add_variable("hashmap_", hashmap, unique=True)
+        value_binner = BinnerOrdinal(f"_ordinal_values({expr}, {var})", n_values)
+        inner = count(expr, selection=self.selection, edges=True)
+        tasks, result = inner.add_tasks(df, tuple(binners) + (value_binner,), progress)
+        dropmissing, dropnan = self.dropmissing, self.dropnan
+        edges = self.edges
+
+        @delayed
+        def finish(grid):
+            grid = np.asarray(grid)
+            # last axis layout: [value0..valueN-1, null, nan]; null/nan of the
+            # *values* land inside the first N slots via their hashmap codes
+            present = grid > 0
+            keep = np.ones(grid.shape[-1], dtype=bool)
+            keep[-2:] = False  # ordinal null/nan edge slots (codes < N cover them)
+            if dropmissing and hashmap.has_null:
+                keep[hashmap.null_index] = False
+            if dropnan and hashmap.has_nan:
+                keep[hashmap.nan_index] = False
+            nunique = present[..., keep].sum(axis=-1).astype(np.int64)
+            if binners and not edges:
+                slices = tuple(b.edges_slice() for b in binners)
+                nunique = nunique[slices]
+            if not binners:
+                nunique = nunique.reshape(())
+            return nunique
+
+        return tasks, finish(result)
 
 
 # -- expression-rewrite aggregations (reference: vaex/agg.py:77-221) --------
@@ -372,6 +416,77 @@ def nunique(expression, dropna=False, dropnan=False, dropmissing=False, selectio
                                        selection=selection, edges=edges)
 
 
+class AggregatorDescriptorList(AggregatorDescriptor):
+    """vaex.agg.list: collect per-cell value lists (reference: agg.py AggList
+    / src/agg_list.cpp).  Values are gathered host-side per chunk (variable-
+    length output cannot live on the device) keyed by the same device-computed
+    cell indices, then split into lists."""
+
+    def __init__(self, expression, selection=None, edges=False):
+        self.short_name = "list"
+        self.expressions = [str(expression)]
+        self.selection = selection
+        self.edges = edges
+
+    def add_tasks(self, df, binners, progress=None):
+        from .tasks import TaskMapReduce
+        from .ops.gridagg import flat_index, grid_shape
+        import jax.numpy as jnp
+
+        binners = tuple(binners)
+        expr = self.expressions[0]
+        shape = grid_shape(binners)
+        ncells = int(np.prod(shape)) if shape else 1
+
+        def map_chunk(info, i1, i2, *blocks):
+            value_block = blocks[-1]
+            bin_blocks = blocks[:-1]
+            if binners:
+                bins = [np.asarray(b.to_bins(jnp.asarray(np.asarray(bb)), None))
+                        for b, bb in zip(binners, bin_blocks)]
+                flat = np.asarray(flat_index(binners, [jnp.asarray(b) for b in bins]))
+            else:
+                flat = np.zeros(len(value_block), dtype=np.int64)
+            return flat, np.asarray(value_block)
+
+        def reduce_parts(parts):
+            flats = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+            values = np.concatenate([p[1] for p in parts]) if parts else np.empty(0)
+            order = np.argsort(flats, kind="stable")
+            flats, values = flats[order], values[order]
+            starts = np.searchsorted(flats, np.arange(ncells))
+            ends = np.searchsorted(flats, np.arange(ncells), side="right")
+            out = np.empty(ncells, dtype=object)
+            for c in range(ncells):
+                out[c] = values[starts[c]:ends[c]].tolist()
+            grid = out.reshape(shape) if shape else out[0]
+            if shape and not self.edges:
+                grid = grid[tuple(b.edges_slice() for b in binners)]
+            return grid
+
+        exprs = [b.expression for b in binners] + [expr]
+        task = TaskMapReduce(df, exprs, map_chunk, reduce_parts, info=True,
+                             selection=self.selection if self.selection not in (None, False) else None,
+                             pre_filter=df.filtered, name="agg-list")
+        task = df.executor.schedule(task)
+
+        @delayed
+        def finish(value):
+            return value
+
+        return [task], finish(task)
+
+
+@register
+def list(expression, selection=None, edges=False):
+    """Collect values per cell into python lists (reference: agg.py list)."""
+    return AggregatorDescriptorList(expression, selection=selection, edges=edges)
+
+
+aggregates["list_"] = aggregates["list"]
+list_ = aggregates["list"]
+
+
 @register
 def any(expression=None, selection=None, edges=False):
     """True when any value (or any selected row) falls in the cell
@@ -438,7 +553,7 @@ def _agg_from_spec(spec, df=None):
     return spec
 
 
-list_ = list  # keep builtin accessible
+_pylist = __builtins__["list"] if isinstance(__builtins__, dict) else __builtins__.list
 
 
 def decode(encoding, spec):
@@ -452,5 +567,5 @@ def decode(encoding, spec):
         return _sum_moment(expressions[0], spec.get("moment", 2), selection=selection, edges=edges)
     if name == "count":
         return factory(expressions[0] if expressions else "*", selection=selection, edges=edges)
-    args = [expressions[0]] if isinstance(expressions, (list_, tuple)) else [expressions]
+    args = [expressions[0]] if isinstance(expressions, (_pylist, tuple)) else [expressions]
     return factory(*args, selection=selection, edges=edges)

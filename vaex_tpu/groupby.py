@@ -191,6 +191,92 @@ class Binner(BinnerBase):
         return _take_labels(self.bin_values, indices)
 
 
+class BinnerTime(BinnerBase):
+    """Time-resampled grouping (reference: groupby.py:64 BinnerTime,
+    per_week/per_day/... constructors): datetimes floor-divide into fixed
+    periods (W/D/h/m/s) or calendar units (M/Y via datetime64 casts),
+    binned as ordinals on the device."""
+
+    def __init__(self, expression, df=None, resolution="W", every=1):
+        from .expression import Expression
+        if isinstance(expression, Expression):
+            df = expression.df
+            expression = expression.expression
+        assert df is not None, "BinnerTime needs a dataframe (pass an Expression)"
+        self.df = df
+        self.expression = str(expression)
+        self.label = self.expression
+        self.resolution = resolution
+        self.every = every
+        self.sort_indices = None
+        tmin, tmax = df.minmax(self.expression)
+        tmin = np.datetime64(int(tmin), "ns") if not isinstance(tmin, np.datetime64) else tmin
+        tmax = np.datetime64(int(tmax), "ns") if not isinstance(tmax, np.datetime64) else tmax
+        if resolution in ("M", "Y"):
+            start = tmin.astype(f"M8[{resolution}]")
+            end = tmax.astype(f"M8[{resolution}]")
+            self._origin = start.astype(np.int64)
+            n_units = int(end.astype(np.int64) - self._origin) + 1
+            self.N = (n_units + every - 1) // every
+            self.bin_values = (start + np.arange(self.N) * np.timedelta64(every, resolution)).astype("M8[ns]")
+            self._calendar = resolution
+        else:
+            period = np.timedelta64(every, resolution).astype("m8[ns]").astype(np.int64)
+            self._origin = tmin.astype("M8[ns]").astype(np.int64)
+            self._period_ns = period
+            span = int(tmax.astype("M8[ns]").astype(np.int64) - self._origin)
+            self.N = span // period + 1
+            self.bin_values = (tmin.astype("M8[ns]") + np.arange(self.N) * np.timedelta64(every, resolution)).astype("M8[ns]")
+            self._calendar = None
+        self.dense = True
+
+    # constructors mirroring the reference API
+    @classmethod
+    def per_week(cls, expression, df=None):
+        return cls(expression, df, resolution="W")
+
+    @classmethod
+    def per_day(cls, expression, df=None):
+        return cls(expression, df, resolution="D")
+
+    @classmethod
+    def per_hour(cls, expression, df=None):
+        return cls(expression, df, resolution="h")
+
+    @classmethod
+    def per_month(cls, expression, df=None):
+        return cls(expression, df, resolution="M")
+
+    @classmethod
+    def per_year(cls, expression, df=None):
+        return cls(expression, df, resolution="Y")
+
+    def create_binner(self, df):
+        if self._calendar:
+            # calendar units need host evaluation (month arithmetic)
+            values = df.evaluate(self.expression, filtered=False)
+            np_values = np.asarray(values).astype(f"M8[{self._calendar}]").astype(np.int64)
+            codes = ((np_values - self._origin) // self.every).astype(np.int64)
+            # bin via a materialized codes column
+            col_name = f"__time_codes_{abs(hash((self.expression, self.resolution)))}"
+            if col_name not in df.get_column_names(hidden=True):
+                df.add_column(col_name, codes)
+            self.binby_expression = col_name
+        else:
+            origin = self._origin
+            period = self._period_ns
+            self.binby_expression = (f"_astype(_astype({self.expression}, 'int64') - {origin}, 'int64') // {period}")
+        self.binner = BinnerOrdinal(self.binby_expression, self.N)
+
+    def extract_center(self, dim, ar):
+        slices = [slice(None)] * np.ndim(ar)
+        slices[dim] = slice(0, self.N)
+        return ar[tuple(slices)]
+
+    def labels_take(self, indices):
+        return _take_labels(self.bin_values, indices)
+
+
 class GrouperCombined(Grouper):
     """Multi-key sparse path: one int64 combined key (reference:
     groupby.py:330 + _combine:526).  Labels decoded by div/mod."""
