@@ -359,3 +359,38 @@ def test_export_partitioned(tmp_path):
     assert len(files) == 2
     back = vaex.open(files[0])
     assert len(back) == 2
+
+
+def test_reference_parity_methods(df_local, tmp_path):
+    df = df_local
+    assert df.shape == (10, 7)
+    assert df.nbytes > 0
+    assert df.length() == 10
+    df.select("x > 4")
+    assert df.selected_length() == 5
+    rows = list(df.iterrows())
+    assert rows[0][0] == 0 and rows[0][1]["x"] == 0.0
+    arrays = df.to_arrays(["x", "y"])
+    assert len(arrays) == 2
+    vals = df.values
+    assert vals.shape[0] == 10
+    expr = df.func.sin(df.x)
+    assert np.asarray(df.evaluate(expr)) == pytest.approx(np.sin(np.arange(10.0)))
+    df.set_current_row(3)
+    assert df.has_current_row() and df.get_current_row() == 3
+    assert df.label("x") == "x"
+    df.units["x"] = "km"
+    assert df.label("x") == "x (km)"
+    missing, different, equal = df.compare(df.copy())
+    assert not missing and not different
+    edges = df.bin_edges("x", [0, 10], shape=5)
+    assert len(edges) == 6
+    # export_many
+    paths = df[["x", "y"]].export_many(str(tmp_path / "part-{i}.parquet"), chunk_size=4)
+    assert len(paths) == 3
+    back = vaex.open_many(paths)
+    assert back.sum("x") == 45
+    df.delete_variable(df.add_variable("tmpv", 1))
+    df["virt"] = df.x * 2
+    df.delete_virtual_column("virt")
+    assert "virt" not in df.get_column_names()

@@ -1357,6 +1357,209 @@ class DataFrame:
                 data["max"].append("--")
         return pd.DataFrame(data=data, index=columns).T
 
+    # -- misc reference-parity API ------------------------------------
+    @property
+    def shape(self):
+        """(rows, columns) (reference: dataframe.py shape)."""
+        return (len(self), self.column_count())
+
+    @property
+    def nbytes(self):
+        return self.byte_size()
+
+    def length(self, selection=False):
+        return self.count(selection=selection) if selection else len(self)
+
+    def selected_length(self, selection="default"):
+        """Rows in the named selection (reference: selected_length)."""
+        return int(self.count(selection=selection))
+
+    def active_length(self):
+        return self._length_unfiltered
+
+    def close(self):
+        self.dataset.close()
+
+    def hashed(self):
+        return self
+
+    def nop(self, expression=None, progress=False, delay=False):
+        """Evaluate and discard — IO/compute benchmark helper
+        (reference: dataframe.py nop)."""
+        expression = expression or self.get_column_names()
+        expressions = [expression] if isinstance(expression, str) else list(expression)
+        for _, _, _chunks in self.evaluate_iterator(expressions, prefetch=False):
+            pass
+
+    def iscategory(self, column):
+        return self.is_category(column)
+
+    def category_values(self, column):
+        return self.category_labels(column)
+
+    def add_columns(self, names, columns):
+        for name, column in zip(names, columns):
+            self.add_column(name, column)
+
+    def delete_virtual_column(self, name):
+        del self.virtual_columns[name]
+        if name in self.column_names:
+            self.column_names.remove(name)
+
+    def delete_variable(self, name):
+        del self.variables[name]
+
+    def set_selection(self, selection, name="default"):
+        from .selections import as_selection
+        self._selection(as_selection(selection), name)
+
+    def iterrows(self):
+        """Iterate (index, row-dict) (reference: dataframe.py iterrows)."""
+        names = self.get_column_names()
+        for i1, i2, chunks in self.evaluate_iterator(names, prefetch=False):
+            lists = [c.to_pylist() if hasattr(c, "to_pylist") else np.asarray(c).tolist() for c in chunks]
+            for j in range(i2 - i1):
+                yield i1 + j, {name: lists[k][j] for k, name in enumerate(names)}
+
+    def to_arrays(self, column_names=None, selection=None):
+        column_names = column_names or self.get_column_names()
+        return [self.evaluate(name, selection=selection) for name in column_names]
+
+    @property
+    def values(self):
+        """2-D numpy array of all (numeric) columns (reference: df.values)."""
+        return np.column_stack([array_types.to_numpy(self.evaluate(n))
+                                for n in self.get_column_names(strings=False)])
+
+    def as_numpy(self, strict=False):
+        df = self.copy()
+        return df
+
+    def as_arrow(self):
+        df = self.copy()
+        return df
+
+    @property
+    def func(self):
+        """Function namespace building expressions: df.func.sin(df.x)
+        (reference: dataframe.py func)."""
+        df = self
+
+        class Func:
+            def __getattr__(self, name):
+                from . import functions as functions_mod
+                if name not in functions_mod.functions:
+                    raise AttributeError(name)
+
+                def call(*args, **kwargs):
+                    from .expression import _repr_operand
+                    arg_strs = [_repr_operand(df, a) for a in args]
+                    kw_strs = [f"{k}={_repr_operand(df, v)}" for k, v in kwargs.items()]
+                    return df[f"{name}({', '.join(arg_strs + kw_strs)})"]
+                return call
+        return Func()
+
+    def get_current_row(self):
+        return getattr(self, "_current_row", None)
+
+    def set_current_row(self, row):
+        if row is not None and not (0 <= row < len(self)):
+            raise IndexError(f"row {row} out of range")
+        self._current_row = row
+
+    def has_current_row(self):
+        return getattr(self, "_current_row", None) is not None
+
+    def get_private_dir(self, create=False):
+        import os
+        path = os.path.expanduser(f"~/.vaex_tpu/dataframes/{utils.fingerprint(self.name)[:12]}")
+        if create:
+            os.makedirs(path, exist_ok=True)
+        return path
+
+    def label(self, expression, unit=None, output_unit=None):
+        expression = _ensure_string_expression(expression)
+        unit = unit or self.units.get(expression)
+        return f"{expression} ({unit})" if unit else expression
+
+    def unit(self, expression, default=None):
+        return self.units.get(_ensure_string_expression(expression), default)
+
+    def ucd_find(self, ucds, exclude=[]):
+        ucds = [ucds] if isinstance(ucds, str) else ucds
+        for name, ucd in self.ucds.items():
+            if all(u in ucd for u in ucds) and name not in exclude:
+                return name
+        return None
+
+    def info(self, description=True):
+        return self.describe()
+
+    def cat(self, i1, i2, format="plain"):
+        """Display rows [i1, i2] (reference: dataframe.py cat)."""
+        from . import formatting
+        return formatting.table_string(self[i1:i2], n=i2 - i1, format=format)
+
+    def compare(self, other, report_missing=True, report_difference=False, show=1e-6, orderby=None, column_names=None):
+        """Column-level diff against another DataFrame (reference:
+        dataframe.py compare). Returns (missing, different, equal)."""
+        names_self = set(self.get_column_names())
+        names_other = set(other.get_column_names())
+        missing = sorted(names_self ^ names_other)
+        different, equal = [], []
+        for name in sorted(names_self & names_other):
+            a = array_types.to_numpy(self.evaluate(name))
+            b = array_types.to_numpy(other.evaluate(name))
+            same = len(a) == len(b)
+            if same:
+                try:
+                    same = bool(np.allclose(np.asarray(a, dtype=np.float64),
+                                            np.asarray(b, dtype=np.float64), equal_nan=True))
+                except (TypeError, ValueError):
+                    same = list(map(str, a)) == list(map(str, b))
+            (equal if same else different).append(name)
+        return missing, different, equal
+
+    def bin_edges(self, expression, limits, shape=DEFAULT_SHAPE):
+        limits = self.limits(expression, limits)
+        return np.linspace(limits[0], limits[1], shape + 1)
+
+    def bin_centers(self, expression, limits, shape=DEFAULT_SHAPE):
+        edges = self.bin_edges(expression, limits, shape)
+        return (edges[1:] + edges[:-1]) / 2
+
+    def nearest_bin(self, value, limits, shape):
+        bins = np.linspace(limits[0], limits[1], shape)
+        return int(np.argmin(np.abs(bins - value)))
+
+    def export_fits(self, path, progress=None):
+        from .astro import export_fits
+        export_fits(self, path)
+
+    def export_csv_pandas(self, path, progress=None, chunk_size=None, **kwargs):
+        return self.export_csv(path, progress=progress, chunk_size=chunk_size, **kwargs)
+
+    export_csv_arrow = export_csv_pandas
+
+    def export_many(self, path, progress=None, chunk_size=1024 * 1024 * 4, **kwargs):
+        """Export into multiple numbered files (reference: export_many):
+        path must contain a format field, e.g. 'part-{i:03}.parquet'."""
+        import math
+        n_files = max(1, math.ceil(len(self) / chunk_size))
+        paths = []
+        for i in range(n_files):
+            part = self[i * chunk_size:min((i + 1) * chunk_size, len(self))].extract()
+            fname = path.format(i=i)
+            part.export(fname, **kwargs)
+            paths.append(fname)
+        return paths
+
+    def set_auto_fraction(self, enabled):
+        self._auto_fraction = enabled
+
+    def get_auto_fraction(self):
+        return self._auto_fraction
+
     # -- length/slicing stubs (DataFrameLocal implements) -------------
     def __len__(self):
         raise NotImplementedError
