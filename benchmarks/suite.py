@@ -1,0 +1,90 @@
+"""Benchmark suite mirroring the reference's asv workloads
+(/root/reference/benchmarks/{aggregates,groupbyh2o,isin,sort,filter}.py).
+
+Run: python benchmarks/suite.py [--rows N] [--which name,name,...]
+Prints one JSON line per benchmark: {"name", "rows", "seconds", "rows_per_s"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def timeit(fn, repeats=3):
+    fn()  # warm (compile)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def make_df(vaex, n, seed=42):
+    rng = np.random.RandomState(seed)
+    return vaex.from_arrays(
+        x=rng.normal(0, 1, n).astype(np.float32),
+        y=rng.normal(0, 1, n).astype(np.float32),
+        E=rng.rand(n).astype(np.float32),
+        i8=rng.randint(0, 10, n).astype(np.int8),
+        i32=rng.randint(0, 1000, n).astype(np.int32),
+        id1=rng.randint(0, 100, n),
+        id2=rng.randint(0, 100, n),
+        id_hi=rng.randint(0, 1_000_000, n),
+        v1=rng.randint(1, 6, n).astype(np.int64),
+        v3=rng.rand(n),
+    )
+
+
+def bench_all(n, which=None, repeats=3):
+    import vaex_tpu as vaex
+    df = make_df(vaex, n)
+    results = []
+
+    def run(name, fn):
+        if which and name not in which:
+            return
+        seconds = timeit(fn, repeats)
+        out = {"name": name, "rows": n, "seconds": round(seconds, 4),
+               "rows_per_s": round(n / seconds)}
+        print(json.dumps(out), flush=True)
+        results.append(out)
+
+    limits2d = [[-3.0, 3.0], [-3.0, 3.0]]
+    # reference benchmarks/aggregates.py: stats & binby over categories
+    run("count_star", lambda: df.count())
+    run("sum_f32", lambda: df.sum("E"))
+    run("mean_std_fused", lambda: (df.mean("E", delay=True), df.std("E", delay=True), df.execute()))
+    run("count_binby_1d_64", lambda: df.count(binby="x", limits=[-3, 3], shape=64))
+    run("mean_binby_2d_256", lambda: df.mean("E", binby=["x", "y"], limits=limits2d, shape=256))
+    run("count_binby_cat10", lambda: df.count(binby="i8", limits=[0, 10], shape=10))
+    run("count_binby_cat1000", lambda: df.count(binby="i32", limits=[0, 1000], shape=1000))
+    # reference benchmarks/groupbyh2o.py
+    run("groupby_cat100_sum", lambda: df.groupby("id1", agg={"v1": "sum"}))
+    run("groupby_2key_sum", lambda: df.groupby(["id1", "id2"], agg={"v1": "sum"}))
+    run("groupby_highcard_mean", lambda: df.groupby("id_hi", agg={"v3": "mean"}))
+    # reference benchmarks/isin.py / filter.py / sort.py
+    run("isin_small", lambda: df.count(selection=df.id1.isin([1, 5, 9])))
+    run("filter_sum", lambda: df[df.x > 0].sum("E"))
+    run("unique_cat", lambda: df.unique("id1"))
+    run("minmax", lambda: df.minmax("x"))
+    run("percentile_median", lambda: df.percentile_approx("E", 50))
+    return results
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--rows", type=int, default=1 << 24)
+    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--which", default=None)
+    args = parser.parse_args()
+    which = set(args.which.split(",")) if args.which else None
+    bench_all(args.rows, which, args.repeats)
+
+
+if __name__ == "__main__":
+    main()

@@ -394,3 +394,11 @@ def test_reference_parity_methods(df_local, tmp_path):
     df["virt"] = df.x * 2
     df.delete_virtual_column("virt")
     assert "virt" not in df.get_column_names()
+
+
+def test_evaluate_slice_on_filtered(df_local):
+    dff = df_local[df_local.x > 2]
+    # i1/i2 index the FILTERED rows (reference semantics)
+    vals = np.asarray(dff.evaluate("x", 0, 3))
+    assert vals.tolist() == [3.0, 4.0, 5.0]
+    assert np.asarray(dff.evaluate("x", 2, 5)).tolist() == [5.0, 6.0, 7.0]

@@ -1186,9 +1186,22 @@ class DataFrame:
         return array_types.convert(result, array_type)
 
     def _evaluate_iterator_raw(self, expressions, i1=None, i2=None, selection=None, filtered=True, chunk_size=None):
-        """Stream evaluated chunks (filtered rows compacted)."""
+        """Stream evaluated chunks (filtered rows compacted).
+
+        With a filter active, i1/i2 index *filtered* row positions (reference
+        semantics): the filter's row indices are materialized once and the
+        requested window becomes a lazy take."""
         from .execution import chunk_size_for, _to_bool_mask
         expressions = [_ensure_string_expression(e) for e in expressions]
+        if filtered and self.filtered and (i1 is not None or i2 is not None):
+            indices = self._filtered_indices()[i1:i2]
+            window = self._unfiltered_copy()
+            window.dataset = self.dataset.take(indices)
+            window._index_start = 0
+            window._index_end = window.dataset.row_count
+            yield from window._evaluate_iterator_raw(expressions, selection=selection,
+                                                     filtered=False, chunk_size=chunk_size)
+            return
         start = self._index_start if i1 is None else self._index_start + i1
         end = self._index_end if i2 is None else min(self._index_start + i2, self._index_end)
         if start >= end:

@@ -398,6 +398,62 @@ class Expression(metaclass=Meta):
     def sample(self, n=None, frac=None, replace=False, random_state=None):
         return self.df.sample(n=n, frac=frac, replace=replace, random_state=random_state)[self.expression]
 
+    # -- reference-parity helpers
+    def ast_names(self):
+        return expresso.names(self.expression)
+
+    def derivative(self, var, simplify=True):
+        """Symbolic derivative expression (reference: expression.py derivative)."""
+        return Expression(self.df, expresso.derivative(self.expression, str(var), simplify))
+
+    @property
+    def is_string(self):
+        return self.data_type().is_string
+
+    @property
+    def masked(self):
+        return self.is_masked()
+
+    @property
+    def ndim(self):
+        return 1
+
+    @property
+    def shape(self):
+        return (len(self.df),)
+
+    def skew(self, **kwargs):
+        return self.df.skew(self.expression, **kwargs)
+
+    def kurtosis(self, **kwargs):
+        return self.df.kurtosis(self.expression, **kwargs)
+
+    def nop(self):
+        """Evaluate and discard (IO benchmark helper)."""
+        self.evaluate()
+
+    def to_pandas_series(self):
+        import pandas as pd
+        values = self.evaluate()
+        if hasattr(values, "to_pandas"):
+            return pd.Series(values.to_pandas())
+        return pd.Series(np.asarray(values))
+
+    def to_dask_array(self, chunks="auto"):
+        raise NotImplementedError("dask is not available in this environment")
+
+    @property
+    def transient(self):
+        """True when not directly backed by storage (reference: transient)."""
+        return self.expression not in self.df.dataset
+
+    @property
+    def str_pandas(self):
+        """pandas-backed string namespace: same functions, pandas semantics
+        (reference exposes both .str and .str_pandas; pyarrow covers both
+        here)."""
+        return self.str
+
     # -- misc
     def expand_macro(self):
         return self.expand()
