@@ -402,3 +402,11 @@ def test_evaluate_slice_on_filtered(df_local):
     vals = np.asarray(dff.evaluate("x", 0, 3))
     assert vals.tolist() == [3.0, 4.0, 5.0]
     assert np.asarray(dff.evaluate("x", 2, 5)).tolist() == [5.0, 6.0, 7.0]
+
+
+def test_pass_log(df_local):
+    from vaex_tpu import profiling
+    df_local.sum("x")
+    stats = profiling.pass_stats()
+    assert stats and stats[-1]["rows"] == 10
+    assert stats[-1]["agg_tasks"] >= 1

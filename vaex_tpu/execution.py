@@ -185,6 +185,8 @@ class ExecutorLocal(Executor):
         self._program_cache = {}
         self._executing = False
         self.passes = 0  # number of full passes over data (reference: execution.py:273)
+        self.pass_log = []  # per-pass stats (reference logs wall-clock per
+                            # pass, execution.py:436; SURVEY §5.1 tracing)
         self._local = threading.local()
 
     # ------------------------------------------------------------------
@@ -226,6 +228,8 @@ class ExecutorLocal(Executor):
 
     # ------------------------------------------------------------------
     def _execute_run(self, tasks):
+        import time as _time
+        t_start = _time.perf_counter()
         df = tasks[0].df
         run = Run(df, tasks)
         self.passes += 1
@@ -360,6 +364,16 @@ class ExecutorLocal(Executor):
                 self._fulfill(builder.task, builder.finish())
             for t in mapreduce_tasks:
                 self._fulfill(t, t.reduce(mr_values[id(t)]))
+            elapsed = _time.perf_counter() - t_start
+            self.pass_log.append(dict(
+                rows=total, seconds=round(elapsed, 4),
+                rows_per_s=round(total / elapsed) if elapsed else None,
+                tasks=len(tasks), agg_tasks=len(agg_tasks), chunks=i_chunk,
+                shards=n_shards, deps=list(run.dataset_deps)))
+            if len(self.pass_log) > 1000:
+                del self.pass_log[:500]
+            logger.info("pass %d: %s rows in %.3fs (%d tasks)",
+                        self.passes, f"{total:,}", elapsed, len(tasks))
         except Exception as e:  # noqa: BLE001
             for task in tasks:
                 if task.isPending:
