@@ -410,3 +410,29 @@ def test_pass_log(df_local):
     stats = profiling.pass_stats()
     assert stats and stats[-1]["rows"] == 10
     assert stats[-1]["agg_tasks"] >= 1
+
+
+def test_datasets_module():
+    from vaex_tpu import datasets
+    t = datasets.titanic(200)
+    assert len(t) == 200
+    assert set(t.get_column_names()) >= {"pclass", "survived", "sex", "age", "fare"}
+    surv = t.groupby("sex", agg={"rate": vaex.agg.mean("_astype(survived, 'float64')")})
+    keys = surv.evaluate("sex")
+    keys = keys.to_pylist() if hasattr(keys, "to_pylist") else list(keys)
+    rates = dict(zip(keys, np.asarray(surv.evaluate("rate"))))
+    assert rates["female"] > rates["male"]
+    i = datasets.iris()
+    assert len(i) == 150 and i.nunique("species") == 3
+
+
+def test_selection_favorites(df_local, tmp_path, monkeypatch):
+    monkeypatch.setattr(df_local, "get_private_dir", lambda create=False: str(tmp_path))
+    df_local.select("x > 5")
+    df_local.selection_favorite_add("big_x")
+    df_local.select_nothing()
+    assert df_local.get_selection() is None
+    df_local.selection_favorite_apply("big_x")
+    assert df_local.count(selection=True) == 4
+    df_local.selection_favorite_remove("big_x")
+    assert "big_x" not in df_local.selections_favorite_load()

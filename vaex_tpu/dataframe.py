@@ -1567,6 +1567,48 @@ class DataFrame:
             paths.append(fname)
         return paths
 
+    # -- selection favorites (reference: dataframe.py selection_favorite_*)
+    def _favorites_path(self):
+        import os
+        return os.path.join(self.get_private_dir(create=True), "favorites.json")
+
+    def selection_favorite_add(self, name, selection_name="default"):
+        import json, os
+        selection = self.get_selection(selection_name)
+        if selection is None:
+            raise ValueError("no selection to store")
+        favorites = self.selections_favorite_load() or {}
+        favorites[name] = selection.encode()
+        with open(self._favorites_path(), "w") as f:
+            json.dump(favorites, f)
+        return favorites
+
+    def selection_favorite_remove(self, name):
+        import json
+        favorites = self.selections_favorite_load() or {}
+        favorites.pop(name, None)
+        with open(self._favorites_path(), "w") as f:
+            json.dump(favorites, f)
+
+    def selection_favorite_apply(self, name, selection_name="default"):
+        favorites = self.selections_favorite_load() or {}
+        if name not in favorites:
+            raise KeyError(f"no favorite selection {name!r}")
+        self._selection(selections_mod.selection_decode(favorites[name]), selection_name)
+
+    def selections_favorite_load(self):
+        import json, os
+        path = self._favorites_path()
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    def selections_favorite_store(self, favorites):
+        import json
+        with open(self._favorites_path(), "w") as f:
+            json.dump(favorites, f)
+
     def set_auto_fraction(self, enabled):
         self._auto_fraction = enabled
 
