@@ -337,7 +337,8 @@ def _isin_device(x, values):
     import jax.numpy as jnp
     v = dispatch.unwrap(x)
     table = jnp.sort(jnp.asarray(dispatch.unwrap(values)))
-    pos = jnp.searchsorted(table, v)
+    method = "compare_all" if table.shape[0] <= 512 else "sort"
+    pos = jnp.searchsorted(table, v, method=method)
     pos = jnp.clip(pos, 0, table.shape[0] - 1)
     out = table[pos] == v
     m = dispatch.mask_of(x)

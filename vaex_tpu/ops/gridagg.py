@@ -270,6 +270,38 @@ class AggOpCount(AggOp):
         return state.at[routed].add(1)
 
 
+def _segment_sum_sorted(state, routed, values):
+    """Exact segment sums without scatter: sort rows by cell, cumsum, and
+    difference the per-cell boundaries.  On TPU, 64-bit scatters are
+    emulated and ~10x slower than sort+cumsum (measured: 527ms vs 56ms for
+    8M int64 rows) — this is the bit-exact int64/uint64 accumulation path."""
+    sb, sv = jax.lax.sort((routed, values), num_keys=1)
+    cum = jnp.cumsum(sv)
+    ncells1 = state.shape[0]
+    cells = jax.lax.broadcasted_iota(jnp.int32, (ncells1, 1), 0).squeeze(-1)
+    ends = jnp.searchsorted(sb, cells, side="right")
+    cum0 = jnp.concatenate([jnp.zeros(1, cum.dtype), cum])
+    totals = cum0[ends]
+    partial = totals - jnp.concatenate([jnp.zeros(1, totals.dtype), totals[:-1]])
+    return state + partial
+
+
+def _segment_minmax_sorted(state, routed, values, sentinel, is_min):
+    """Segment min/max via 2-key sort: per-cell extreme = first/last payload
+    in the (cell, value)-sorted order.  Used for 64-bit dtypes where
+    scatter-min/max is emulated (measured ~1.04s vs ~0.1s per 8M rows)."""
+    sb, sv = jax.lax.sort((routed, values), num_keys=2)
+    ncells1 = state.shape[0]
+    cells = jax.lax.broadcasted_iota(jnp.int32, (ncells1, 1), 0).squeeze(-1)
+    starts = jnp.searchsorted(sb, cells, side="left")
+    ends = jnp.searchsorted(sb, cells, side="right")
+    n = sv.shape[0]
+    picked = sv[jnp.clip(starts, 0, n - 1)] if is_min else sv[jnp.clip(ends - 1, 0, n - 1)]
+    has = ends > starts
+    cand = jnp.where(has, picked, sentinel)
+    return jnp.minimum(state, cand) if is_min else jnp.maximum(state, cand)
+
+
 def _sum_partial_dtype(data_dtype, acc_dtype):
     """32-bit partial dtype when exact/accurate per chunk, else None
     (direct accumulation into the master)."""
@@ -297,6 +329,8 @@ class AggOpSum(AggOp):
             if pdt is not None and pdt != state.dtype:
                 partial = jnp.zeros(state.shape, pdt).at[routed].add(v.astype(pdt))
                 return state + partial.astype(state.dtype)
+            if np.dtype(state.dtype).kind in "iu" and np.dtype(state.dtype).itemsize == 8:
+                return _segment_sum_sorted(state, routed, v.astype(state.dtype))
         return state.at[routed].add(v.astype(state.dtype))
 
 
@@ -341,6 +375,8 @@ class AggOpMin(AggOp):
     def update(self, state, idx, value, include, order_key=None):
         routed = jnp.where(include, idx, state.shape[0] - 1)
         v = jnp.where(include, value, self._sentinel()).astype(state.dtype)
+        if self.precision != "float64" and np.dtype(state.dtype).itemsize == 8:
+            return _segment_minmax_sorted(state, routed, v, self._sentinel(), is_min=True)
         return state.at[routed].min(v)
 
     def merge(self, state, other):
@@ -365,6 +401,8 @@ class AggOpMax(AggOp):
     def update(self, state, idx, value, include, order_key=None):
         routed = jnp.where(include, idx, state.shape[0] - 1)
         v = jnp.where(include, value, self._sentinel()).astype(state.dtype)
+        if self.precision != "float64" and np.dtype(state.dtype).itemsize == 8:
+            return _segment_minmax_sorted(state, routed, v, self._sentinel(), is_min=False)
         return state.at[routed].max(v)
 
     def merge(self, state, other):
