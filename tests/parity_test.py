@@ -121,3 +121,20 @@ def test_float_sum_accuracy_mixed():
     exact = np.sum(v.astype(np.float64))
     got = float(df.sum("v"))
     assert abs(got - exact) / abs(exact) < 1e-6
+
+
+def test_sum_accuracy_all_paths():
+    """Accuracy ladder of the mixed-precision engine: scalar sums are
+    tree-reduced (~1e-15), few-cell binned f64 sums use hi/lo f32 pairs with
+    row-sliced replicas (~1e-6), int64 sums are bit-exact via sort+cumsum."""
+    rng = np.random.RandomState(9)
+    n = 200_000
+    v64 = rng.normal(1000, 1, n)
+    x = rng.normal(0, 1, n).astype(np.float32)
+    df = vaex.from_arrays(v64=v64, x=x)
+    exact = v64.sum()
+    assert abs(float(df.sum("v64")) - exact) / abs(exact) < 1e-12
+    assert abs(float(df.std("v64")) - v64.std()) / v64.std() < 1e-8
+    binned = np.asarray(df.sum("v64", binby="x", limits=[-3, 3], shape=4))
+    oracle = np.histogram(x, bins=4, range=(-3, 3), weights=v64)[0]
+    assert np.max(np.abs((binned - oracle) / oracle)) < 1e-5

@@ -263,7 +263,10 @@ class AggOpCount(AggOp):
         return jnp.zeros(ncells + 1, dtype=dt)
 
     def update(self, state, idx, value, include, order_key=None):
-        routed = jnp.where(include, idx, state.shape[0] - 1)
+        ncells1 = state.shape[0]
+        routed = jnp.where(include, idx, ncells1 - 1)
+        if ncells1 == 2:
+            return state.at[0].add(jnp.sum(include.astype(jnp.int32)).astype(state.dtype))
         if self.precision == "mixed" and state.dtype == jnp.int64:
             partial = jnp.zeros(state.shape, jnp.int32).at[routed].add(1)
             return state + partial.astype(jnp.int64)
@@ -314,6 +317,29 @@ def _sum_partial_dtype(data_dtype, acc_dtype):
     return None
 
 
+def _partial_scatter(routed, contrib, ncells1, pdt):
+    """f32/i32 partial scatter with row-sliced replicas for small grids.
+
+    A single f32 accumulator slot receiving many adds loses low bits once the
+    running sum dwarfs the addends; slicing rows over R replica rows divides
+    per-slot counts by R (scatter cost unchanged, fold is a tiny dense
+    reduction).  Scalar aggregations (one cell) never reach here — they use a
+    dense tree reduction instead."""
+    L = routed.shape[0]
+    if ncells1 * 32 <= 1 << 18:
+        R = 32
+    elif ncells1 * 8 <= 1 << 20:
+        R = 8
+    else:
+        R = 1
+    if R == 1:
+        return jnp.zeros(ncells1, pdt).at[routed].add(contrib)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0).squeeze(-1) % np.int32(R)
+    flat = slot * np.int32(ncells1) + routed
+    partial = jnp.zeros(R * ncells1, pdt).at[flat].add(contrib)
+    return partial.reshape(R, ncells1).sum(axis=0)
+
+
 class AggOpSum(AggOp):
     def init(self, ncells):
         acc = _acc_dtype_for_sum(self.data_dtype)
@@ -322,15 +348,30 @@ class AggOpSum(AggOp):
         return jnp.zeros(ncells + 1, dtype=acc)
 
     def update(self, state, idx, value, include, order_key=None):
-        routed = jnp.where(include, idx, state.shape[0] - 1)
+        ncells1 = state.shape[0]
+        routed = jnp.where(include, idx, ncells1 - 1)
         v = jnp.where(include, value, 0)
+        if ncells1 == 2:
+            # scalar aggregation: dense tree reduction, exact-ish and fast
+            total = jnp.sum(v.astype(state.dtype))
+            return state.at[0].add(total)
         if self.precision == "mixed":
             pdt = _sum_partial_dtype(self.data_dtype, state.dtype)
             if pdt is not None and pdt != state.dtype:
-                partial = jnp.zeros(state.shape, pdt).at[routed].add(v.astype(pdt))
+                partial = _partial_scatter(routed, v.astype(pdt), ncells1, pdt)
                 return state + partial.astype(state.dtype)
             if np.dtype(state.dtype).kind in "iu" and np.dtype(state.dtype).itemsize == 8:
                 return _segment_sum_sorted(state, routed, v.astype(state.dtype))
+            if state.dtype == jnp.float64:
+                # f64 inputs: hi/lo f32-pair scatters (~2x f32 cost) — emulated
+                # f64 scatters are ~10x slower and f64 cumsum doesn't compile
+                # in reasonable time on this TPU generation
+                v64 = v.astype(jnp.float64)
+                hi = v64.astype(jnp.float32)
+                lo = (v64 - hi.astype(jnp.float64)).astype(jnp.float32)
+                p_hi = _partial_scatter(routed, hi, ncells1, jnp.float32)
+                p_lo = _partial_scatter(routed, lo, ncells1, jnp.float32)
+                return state + p_hi.astype(jnp.float64) + p_lo.astype(jnp.float64)
         return state.at[routed].add(v.astype(state.dtype))
 
 
@@ -346,13 +387,26 @@ class AggOpSumMoment(AggOp):
         return jnp.zeros(ncells + 1, dtype=dt)
 
     def update(self, state, idx, value, include, order_key=None):
-        routed = jnp.where(include, idx, state.shape[0] - 1)
+        ncells1 = state.shape[0]
+        routed = jnp.where(include, idx, ncells1 - 1)
+        if ncells1 == 2:
+            m = jnp.where(include, value, 0).astype(state.dtype) ** self.moment
+            return state.at[0].add(jnp.sum(m))
         small_float = value.dtype.itemsize <= 4 and jnp.issubdtype(value.dtype, jnp.floating)
         small_int = jnp.issubdtype(value.dtype, jnp.integer) and value.dtype.itemsize <= 2
         if self.precision == "mixed" and (small_float or small_int):
             v = jnp.where(include, value, 0).astype(jnp.float32)
-            partial = jnp.zeros(state.shape, jnp.float32).at[routed].add(v ** self.moment)
+            partial = _partial_scatter(routed, v ** self.moment, ncells1, jnp.float32)
             return state + partial.astype(state.dtype)
+        if self.precision == "mixed" and value.dtype == jnp.float64 and state.dtype == jnp.float64:
+            # hi/lo split of the MOMENT (pivot-shifted upstream, agg.py) —
+            # same rationale as AggOpSum's f64 path
+            m = jnp.where(include, value, 0).astype(jnp.float64) ** self.moment
+            hi = m.astype(jnp.float32)
+            lo = (m - hi.astype(jnp.float64)).astype(jnp.float32)
+            p_hi = _partial_scatter(routed, hi, ncells1, jnp.float32)
+            p_lo = _partial_scatter(routed, lo, ncells1, jnp.float32)
+            return state + p_hi.astype(jnp.float64) + p_lo.astype(jnp.float64)
         v = jnp.where(include, value, 0).astype(state.dtype)
         return state.at[routed].add(v ** self.moment)
 
