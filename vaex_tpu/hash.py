@@ -293,14 +293,21 @@ class HashMapUnique:
         # compare_all 0.17s small tables, sort 0.24s large tables)
         skeys = jnp.asarray(sorted_keys)
         jperm = jnp.asarray(perm.astype(np.int32))
-        if len(sorted_keys):
-            method = "compare_all" if len(sorted_keys) <= 512 else "sort"
-            pos = jnp.searchsorted(skeys, values, method=method)
+        if not len(sorted_keys):
+            codes = jnp.full(values.shape, -1, dtype=jnp.int32)
+        elif len(sorted_keys) <= 512:
+            # broadcast equality + reduce: no gathers (TPU gathers over
+            # millions of rows dominate the pass; the [rows, keys] compare
+            # fuses into a VPU reduction, measured ~10x faster than
+            # searchsorted + found-check gathers at 16M rows x 100 keys)
+            eq = values[:, None] == skeys[None, :]
+            code1 = (eq * (jperm[None, :] + np.int32(1))).max(axis=1).astype(jnp.int32)
+            codes = code1 - np.int32(1)
+        else:
+            pos = jnp.searchsorted(skeys, values, method="sort")
             pos_c = jnp.clip(pos, 0, len(sorted_keys) - 1).astype(jnp.int32)
             found = skeys[pos_c] == values
             codes = jnp.where(found, jperm[pos_c], np.int32(-1))
-        else:
-            codes = jnp.full(values.shape, -1, dtype=jnp.int32)
         if jnp.issubdtype(values.dtype, jnp.floating):
             codes = jnp.where(jnp.isnan(values), np.int32(self.nan_index), codes)
         if mask is not None:

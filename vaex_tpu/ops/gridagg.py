@@ -330,6 +330,17 @@ def _partial_scatter(routed, contrib, ncells1, pdt):
     reduction directly."""
     L = routed.shape[0]
     if ncells1 <= 2048:
+        if np.dtype(pdt).kind == "f" and L % 8192 == 0 and L > 8192:
+            # two-level: f32 tree-reduce per 8192-row block, then fold the
+            # [blocks, cells] partials in f64 — bounds the f32 accumulation
+            # error to one block (~100x better than a single full-column
+            # reduce at 8M rows) for the cost of blocks*cells emulated adds
+            B = 8192
+            cells = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ncells1), 2)
+            eq = routed.reshape(-1, B)[:, :, None] == cells
+            inner = jnp.where(eq, contrib.reshape(-1, B)[:, :, None], 0)
+            inner = inner.sum(axis=1, dtype=jnp.float32)
+            return inner.astype(jnp.float64).sum(axis=0)
         cells = jax.lax.broadcasted_iota(jnp.int32, (1, ncells1), 1)
         oh = routed[:, None] == cells
         return jnp.where(oh, contrib[:, None], 0).sum(axis=0, dtype=pdt)
