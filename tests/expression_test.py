@@ -75,6 +75,10 @@ def test_isin(df_local):
     assert df.count(selection=expr) == 3
     sexpr = df.s.isin(["apple", "kiwi"])
     assert np.asarray(df.evaluate(sexpr)).sum() == 3
+    # string-form isin in expressions/selections (reference registers a
+    # public isin function, vaex/functions.py)
+    assert np.asarray(df.evaluate("isin(x, [1, 3, 5])")).sum() == 3
+    assert df.count(selection="isin(x, [1, 3, 5])") == 3
 
 
 def test_astype(df_local):

@@ -337,10 +337,15 @@ def _isin_device(x, values):
     import jax.numpy as jnp
     v = dispatch.unwrap(x)
     table = jnp.sort(jnp.asarray(dispatch.unwrap(values)))
-    method = "compare_all" if table.shape[0] <= 512 else "sort"
-    pos = jnp.searchsorted(table, v, method=method)
-    pos = jnp.clip(pos, 0, table.shape[0] - 1)
-    out = table[pos] == v
+    if table.dtype != v.dtype and table.dtype.kind == v.dtype.kind:
+        table = table.astype(v.dtype)
+    if table.shape[0] <= 512:
+        # broadcast equality: no gathers (slow on TPU at millions of rows)
+        out = (v[:, None] == table[None, :]).any(axis=1)
+    else:
+        pos = jnp.searchsorted(table, v, method="sort")
+        pos = jnp.clip(pos, 0, table.shape[0] - 1)
+        out = table[pos] == v
     m = dispatch.mask_of(x)
     if m is not None:
         out = out & ~m
@@ -349,6 +354,9 @@ def _isin_device(x, values):
 
 functions["_isin"].device = _isin_device
 _register("_isin_set", _isin, device=_isin_device)
+# public name so string expressions like "isin(x, [1, 2])" work
+# (reference: vaex/functions.py isin registration)
+_register("isin", _isin, device=_isin_device)
 
 
 @register_function(name="_map")
