@@ -21,6 +21,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 #include <string>
@@ -113,23 +114,44 @@ struct TypedSet {
         return added;
     }
 
-    // map values -> insertion-order codes; -1 for unknown
-    void map(const T* data, int64_t n, int64_t* out) const {
-        for (int64_t i = 0; i < n; i++) {
+    // map values -> insertion-order codes; -1 for unknown, -2 for nan
+    void map_range(const T* data, int64_t i0, int64_t i1, int32_t* out) const {
+        for (int64_t i = i0; i < i1; i++) {
             T key = data[i];
             if constexpr (std::is_floating_point_v<T>) {
                 if (std::isnan(key)) { out[i] = -2; continue; }  // sentinel: nan
             }
             uint64_t h = hash_key(key) & mask;
-            int64_t code = -1;
+            int32_t code = -1;
             while (true) {
                 int64_t slot = slots[h];
                 if (slot == 0) break;
-                if (keys[(size_t)slot - 1] == key) { code = slot - 1; break; }
+                if (keys[(size_t)slot - 1] == key) { code = (int32_t)(slot - 1); break; }
                 h = (h + 1) & mask;
             }
             out[i] = code;
         }
+    }
+
+    // read-only probes are embarrassingly parallel; threads pay off once the
+    // table outgrows L2 (binary-search fallbacks measured ~4-10x slower at
+    // 1M keys / 16M rows)
+    void map(const T* data, int64_t n, int32_t* out) const {
+        int64_t nthreads = (int64_t)std::thread::hardware_concurrency();
+        if (nthreads < 1) nthreads = 1;
+        if (nthreads > 16) nthreads = 16;
+        if (n < (int64_t)1 << 18 || nthreads == 1) {
+            map_range(data, 0, n, out);
+            return;
+        }
+        std::vector<std::thread> workers;
+        int64_t step = (n + nthreads - 1) / nthreads;
+        for (int64_t t = 0; t < nthreads; t++) {
+            int64_t i0 = t * step, i1 = std::min(n, i0 + step);
+            if (i0 >= i1) break;
+            workers.emplace_back([this, data, i0, i1, out] { map_range(data, i0, i1, out); });
+        }
+        for (auto& w : workers) w.join();
     }
 };
 
@@ -238,9 +260,9 @@ static PyObject* OrderedSet_map(OrderedSetObject* self, PyObject* args) {
         return nullptr;
     }
     int64_t n = buf.view.len / (Py_ssize_t)isz;
-    PyObject* out_bytes = PyBytes_FromStringAndSize(nullptr, n * 8);
+    PyObject* out_bytes = PyBytes_FromStringAndSize(nullptr, n * 4);
     if (!out_bytes) return nullptr;
-    int64_t* out = (int64_t*)PyBytes_AS_STRING(out_bytes);
+    int32_t* out = (int32_t*)PyBytes_AS_STRING(out_bytes);
     Py_BEGIN_ALLOW_THREADS
     dispatch(self, [&](auto& set) {
         using KeyT = std::decay_t<decltype(set.keys[0])>;
@@ -253,7 +275,7 @@ static PyObject* OrderedSet_map(OrderedSetObject* self, PyObject* args) {
 static PyMethodDef OrderedSet_methods[] = {
     {"update", (PyCFunction)OrderedSet_update, METH_VARARGS, "add values; returns #new keys"},
     {"keys", (PyCFunction)OrderedSet_keys, METH_NOARGS, "insertion-ordered keys as bytes"},
-    {"map", (PyCFunction)OrderedSet_map, METH_VARARGS, "values -> int64 codes bytes (-1 unknown, -2 nan)"},
+    {"map", (PyCFunction)OrderedSet_map, METH_VARARGS, "values -> int32 codes bytes (-1 unknown, -2 nan); multithreaded"},
     {"__len__", (PyCFunction)OrderedSet_length, METH_NOARGS, "number of keys"},
     {"length", (PyCFunction)OrderedSet_length, METH_NOARGS, "number of keys"},
     {nullptr, nullptr, 0, nullptr},

@@ -41,9 +41,9 @@ class NativeOrderedSet:
         return np.frombuffer(self._set.keys(), dtype=self.dtype).copy()
 
     def map(self, values: np.ndarray) -> np.ndarray:
-        """codes int64; -1 unknown, -2 NaN."""
+        """codes int32; -1 unknown, -2 NaN. Multithreaded hash probes."""
         values = np.ascontiguousarray(values, dtype=self.dtype)
-        return np.frombuffer(self._set.map(values), dtype=np.int64).copy()
+        return np.frombuffer(self._set.map(values), dtype=np.int32).copy()
 
     def __len__(self):
         return self._set.length()

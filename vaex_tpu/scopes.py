@@ -171,4 +171,13 @@ def expression_is_device_compatible(df, expression) -> bool:
                 dt = df.data_type(name)
                 if not (dt.is_numeric or dt.is_bool or dt.is_temporal or dt.is_dictionary):
                     return False
+            elif name in df.variables:
+                from .hash import HashMapUnique
+                var = df.variables[name]
+                if isinstance(var, HashMapUnique) and var.count > 512:
+                    # large key tables: device mapping needs a sort-based
+                    # searchsorted (~1.2s per 8M-row chunk at 1M keys on TPU)
+                    # while the host binary search is ~4x faster; evaluate on
+                    # host and ship int32 codes instead
+                    return False
     return True
