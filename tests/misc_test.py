@@ -436,3 +436,61 @@ def test_selection_favorites(df_local, tmp_path, monkeypatch):
     assert df_local.count(selection=True) == 4
     df_local.selection_favorite_remove("big_x")
     assert "big_x" not in df_local.selections_favorite_load()
+
+
+def test_struct_flatten():
+    import pyarrow as pa
+    array = pa.StructArray.from_arrays(arrays=[[1, 2], ["a", "b"], [3, 4]],
+                                       names=["col1", "col2", "col3"])
+    df = vaex.from_arrays(array=array, plain=np.array([9.0, 10.0]))
+    flat = df.struct.flatten()
+    names = flat.get_column_names()
+    assert names == ["array_col1", "array_col2", "array_col3", "plain"]
+    assert np.asarray(flat.evaluate("array_col1")).tolist() == [1, 2]
+    c2 = flat.evaluate("array_col2")
+    assert (c2.to_pylist() if hasattr(c2, "to_pylist") else list(c2)) == ["a", "b"]
+    assert np.asarray(flat.evaluate("plain")).tolist() == [9.0, 10.0]
+    # nested struct, recursive
+    inner = pa.StructArray.from_arrays(arrays=[[5, 6]], names=["deep"])
+    outer = pa.StructArray.from_arrays(arrays=[inner, [7, 8]], names=["in", "top"])
+    df2 = vaex.from_arrays(s=outer)
+    flat2 = df2.struct.flatten()
+    assert flat2.get_column_names() == ["s_in_deep", "s_top"]
+    assert np.asarray(flat2.evaluate("s_in_deep")).tolist() == [5, 6]
+    flat3 = df2.struct.flatten(recursive=False)
+    assert flat3.get_column_names() == ["s_in", "s_top"]
+
+
+def test_aliases_and_open(tmp_path, monkeypatch):
+    from vaex_tpu import settings
+    monkeypatch.setattr(settings.main, "aliases_path", str(tmp_path / "aliases.yaml"))
+    monkeypatch.setattr(vaex.aliases, "_loaded", False)
+    vaex.aliases.clear()
+    df = vaex.from_arrays(x=np.arange(10.0))
+    target = str(tmp_path / "data.hdf5")
+    df.export(target)
+    vaex.aliases["mydata"] = target
+    df2 = vaex.open("mydata")
+    assert len(df2) == 10
+    # persisted: a fresh instance reloads from disk
+    fresh = type(vaex.aliases)()
+    monkeypatch.setattr(vaex, "aliases", fresh, raising=True)
+    assert fresh["mydata"] == target
+    del fresh["mydata"]
+    assert "mydata" not in fresh
+
+
+def test_cli_alias(tmp_path, monkeypatch, capsys):
+    from vaex_tpu import settings
+    from vaex_tpu.__main__ import main
+    monkeypatch.setattr(settings.main, "aliases_path", str(tmp_path / "aliases.yaml"))
+    monkeypatch.setattr(vaex.aliases, "_loaded", False)
+    vaex.aliases.clear()
+    assert main(["alias", "add", "foo", "/tmp/foo.hdf5"]) == 0
+    assert main(["alias", "add", "foo", "/tmp/bar.hdf5"]) == 1  # no --force
+    assert main(["alias", "add", "foo", "/tmp/bar.hdf5", "-f"]) == 0
+    main(["alias", "list"])
+    out = capsys.readouterr().out
+    assert "foo: /tmp/bar.hdf5" in out
+    assert main(["alias", "remove", "foo"]) == 0
+    assert "foo" not in vaex.aliases

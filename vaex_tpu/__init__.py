@@ -125,6 +125,65 @@ def from_json(path, orient=None, **kwargs):
     return from_pandas(pd.read_json(path, orient=orient, **kwargs))
 
 
+class _Aliases(dict):
+    """Persistent name -> path aliases (reference: vaex.aliases,
+    vaex/__init__.py:185 resolution in open()).  Stored as JSON (valid YAML)
+    at settings.main.aliases_path; loaded lazily, written on mutation."""
+
+    def __init__(self):
+        super().__init__()
+        self._loaded = False
+
+    def _load(self):
+        if self._loaded:
+            return
+        self._loaded = True
+        import json
+        try:
+            with builtins.open(settings.main.aliases_path) as f:
+                self.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+
+    def _save(self):
+        import json
+        path = settings.main.aliases_path
+        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+        with builtins.open(path, "w") as f:
+            json.dump(dict(self), f, indent=2, sort_keys=True)
+
+    def __getitem__(self, key):
+        self._load()
+        return super().__getitem__(key)
+
+    def __contains__(self, key):
+        self._load()
+        return super().__contains__(key)
+
+    def __setitem__(self, key, value):
+        self._load()
+        super().__setitem__(key, value)
+        self._save()
+
+    def __delitem__(self, key):
+        self._load()
+        super().__delitem__(key)
+        self._save()
+
+    def keys(self):
+        self._load()
+        return super().keys()
+
+    def items(self):
+        self._load()
+        return super().items()
+
+
+import builtins  # noqa: E402
+
+aliases = _Aliases()
+
+
 def open(path, convert=False, shuffle=False, fs_options=None, progress=None, **kwargs):
     """Open a file (hdf5/arrow/parquet/csv/fits/…) as a lazy DataFrame
     (reference: vaex/__init__.py:111).
@@ -139,6 +198,8 @@ def open(path, convert=False, shuffle=False, fs_options=None, progress=None, **k
     if isinstance(path, (list, tuple)):
         return concat([open(p, fs_options=fs_options, **kwargs) for p in path])
     spath = str(path)
+    if spath in aliases:
+        spath = aliases[spath]
     if file_mod.is_remote(spath):
         spath = file_mod.fetch_local(spath, fs_options=fs_options, progress=progress)
     elif any(ch in spath for ch in "*?["):
@@ -268,3 +329,36 @@ class UserAbort(Exception):
 
 def apply(f, *args, **kwargs):
     raise NotImplementedError("use df.apply")
+
+
+def _scan_entry_points():
+    """Load third-party plugins declared via package entry points
+    (reference: vaex/__init__.py:735-808 scans 'vaex.plugin' and
+    'vaex.dataframe.accessor' through pkg_resources).
+
+    Groups: 'vaex_tpu.plugin' entries are called with this module;
+    'vaex_tpu.dataframe.accessor' entries register as df accessors under
+    their entry name.  Failures are warnings, never import errors."""
+    if _os.environ.get("VAEX_TPU_NO_PLUGINS"):
+        return
+    import sys as _sys
+    try:
+        from importlib.metadata import entry_points as _entry_points
+    except ImportError:  # pragma: no cover
+        return
+    this = _sys.modules[__name__]
+    for ep in _entry_points(group="vaex_tpu.plugin"):
+        try:
+            ep.load()(this)
+        except Exception as e:  # pragma: no cover - third-party code
+            import warnings
+            warnings.warn(f"vaex_tpu plugin {ep.name!r} failed to load: {e}")
+    for ep in _entry_points(group="vaex_tpu.dataframe.accessor"):
+        try:
+            register_dataframe_accessor(ep.name, ep.load())
+        except Exception as e:  # pragma: no cover - third-party code
+            import warnings
+            warnings.warn(f"vaex_tpu accessor {ep.name!r} failed to load: {e}")
+
+
+_scan_entry_points()

@@ -42,6 +42,16 @@ def main(argv=None):
     p_meta = sub.add_parser("meta", help="print file metadata (schema, row count)")
     p_meta.add_argument("input")
 
+    p_alias = sub.add_parser("alias", help="manage path aliases (reference: misc_cmdline.alias_main)")
+    alias_sub = p_alias.add_subparsers(dest="alias_task")
+    alias_sub.add_parser("list", help="list aliases")
+    p_alias_add = alias_sub.add_parser("add", help="add alias")
+    p_alias_add.add_argument("name")
+    p_alias_add.add_argument("path")
+    p_alias_add.add_argument("-f", "--force", action="store_true", help="overwrite existing alias")
+    p_alias_remove = alias_sub.add_parser("remove", help="remove alias")
+    p_alias_remove.add_argument("name")
+
     args = parser.parse_args(argv)
     if args.command is None:
         parser.print_help()
@@ -61,6 +71,17 @@ def main(argv=None):
         df = vaex.open(args.input)
         meta = {"rows": len(df), "columns": {name: str(df.data_type(name)) for name in df.get_column_names()}}
         print(json.dumps(meta, indent=2))
+    elif args.command == "alias":
+        if args.alias_task == "add":
+            if args.name in vaex.aliases and not args.force:
+                print(f"alias {args.name!r} exists (use --force to overwrite)")
+                return 1
+            vaex.aliases[args.name] = args.path
+        elif args.alias_task == "remove":
+            del vaex.aliases[args.name]
+        else:
+            for name in sorted(vaex.aliases.keys()):
+                print(f"{name}: {vaex.aliases[name]}")
     elif args.command == "settings":
         from . import settings
         data = settings.main.as_dict()

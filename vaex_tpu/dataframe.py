@@ -139,7 +139,7 @@ class DataFrame:
     def __getattr__(self, name):
         if name.startswith("_"):
             raise AttributeError(name)
-        if name not in _dataframe_accessors and name in ("ml", "viz", "widget", "graphql", "geo", "astro"):
+        if name not in _dataframe_accessors and name in ("ml", "viz", "widget", "graphql", "geo", "astro", "struct"):
             # lazy accessor registration (reference: entry_points
             # 'vaex.dataframe.accessor', __init__.py:735-808)
             import importlib
