@@ -248,3 +248,20 @@ def test_binner_time():
     res_m = df.groupby(BinnerTime.per_month(df.t), agg={"v": "sum"})
     got = np.asarray(res_m.evaluate("v"))
     assert got.tolist() == [3.0, 3.0]  # january: 0+1+2, february: 3
+
+
+def test_dataset_groupby_serialization(tmp_path):
+    """Groupby results pickle by re-executing the groupby on load
+    (reference: groupby.py:1019 DatasetGroupby)."""
+    import pickle
+    df = vaex.from_arrays(g=np.arange(20) % 4, v=np.arange(20.0))
+    res = df.groupby("g", agg={"v": "sum"}, sort=True)
+    from vaex_tpu.groupby import DatasetGroupby
+    assert isinstance(res.dataset, DatasetGroupby)
+    blob = pickle.dumps(res.dataset)
+    ds2 = pickle.loads(blob)
+    assert ds2.row_count == 4
+    got = np.asarray(ds2["v"])
+    assert got.tolist() == np.asarray(res.evaluate("v")).tolist()
+    # fingerprint stable across the round trip
+    assert ds2.fingerprint == res.dataset.fingerprint

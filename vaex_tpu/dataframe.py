@@ -34,6 +34,10 @@ from .tasks import TaskHashmapUniqueCreate, TaskMapReduce
 
 DEFAULT_SHAPE = 128
 
+def _default_selection_index():
+    return -1  # module-level (not a lambda) so DataFrames pickle
+
+
 _dataframe_accessors = {}
 
 
@@ -66,7 +70,7 @@ class DataFrame:
         self.variables = {"pi": np.pi, "e": np.e, "nan": np.nan, "inf": np.inf}
         self.functions = {}
         self.selection_histories = collections.defaultdict(list)
-        self.selection_history_indices = collections.defaultdict(lambda: -1)
+        self.selection_history_indices = collections.defaultdict(_default_selection_index)
         self._selection_masks = {}
         self._renamed_columns = []
         self.column_names = []

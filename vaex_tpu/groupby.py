@@ -26,6 +26,7 @@ except ImportError:  # pragma: no cover
     pa = None
 
 from . import agg as agg_mod
+from . import dataset as dataset_mod
 from . import array_types, utils
 from .delayed import delayed, delayed_list
 from .ops.gridagg import BinnerOrdinal
@@ -356,6 +357,8 @@ def make_grouper(df, by, sort=False, ascending=True, row_limit=None):
 class GroupByBase:
     def __init__(self, df, by, sort=False, ascending=True, row_limit=None, combine="auto"):
         self.df_original = df
+        self._by_spec = [str(b) for b in (by if isinstance(by, (list, tuple)) else [by])] if by is not None else []
+        self._sort_spec = sort
         self.df = df.copy()
         if by is None:
             by = []
@@ -525,8 +528,11 @@ class GroupBy(GroupByBase):
                         columns[g.label] = g.labels_take(idx)
                     for key, value in arrays.items():
                         columns[key] = value[mask]
-            from . import from_arrays
-            return from_arrays(**columns)
+            from . import from_arrays, from_dataset
+            res = from_arrays(**columns)
+            wrapped = DatasetGroupby(res.dataset, self.df_original, self._by_spec,
+                                     actions, sort=self._sort_spec)
+            return from_dataset(wrapped)
 
         promise = finish(counts_promise, *[grids[name] for name in grids])
         if delay:
@@ -611,3 +617,54 @@ def _coords_list(bin_values):
     if np.ma.isMaskedArray(bin_values):
         return [None if m else v for v, m in zip(bin_values.data, np.ma.getmaskarray(bin_values))]
     return np.asarray(bin_values).tolist()
+
+
+@dataset_mod.register
+class DatasetGroupby(dataset_mod.DatasetDecorator):
+    """Wraps a groupby-result dataset so it can be serialized: pickling
+    stores (source df, by, agg, sort) and re-executes the groupby on load
+    (reference: groupby.py:1019 DatasetGroupby)."""
+
+    snake_name = "groupby"
+
+    def __init__(self, original, df, by, agg, sort=False):
+        super().__init__(original)
+        self.df = df
+        self.by = by
+        self.agg = agg
+        self.sort = sort
+        self._columns = dict(original._columns)
+        self._row_count = original.row_count
+
+    def _fingerprint(self):
+        from . import utils as _utils
+        by = self.by if isinstance(self.by, (list, tuple)) else str(self.by)
+        return _utils.fingerprint(self.original.fingerprint, self.df.fingerprint(),
+                                  list(map(str, by)), str(self.agg), self.sort)
+
+    def chunk_iterator(self, *args, **kwargs):
+        yield from self.original.chunk_iterator(*args, **kwargs)
+
+    def hashed(self):
+        return self
+
+    def slice(self, start, end):
+        if start == 0 and end == self.row_count:
+            return self
+        return dataset_mod.DatasetSliced(self, start, end)
+
+    def __getstate__(self):
+        state = {k: v for k, v in self.__dict__.items()
+                 if k not in ("original", "_columns", "_fingerprint_cached")}
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._fingerprint_cached = None
+        result = self.df.groupby(self.by, agg=self.agg, sort=self.sort)
+        ds = result.dataset
+        while isinstance(ds, dataset_mod.DatasetDecorator):
+            ds = ds.original
+        self.original = ds
+        self._columns = dict(ds._columns)
+        self._row_count = ds.row_count
