@@ -494,3 +494,17 @@ def test_cli_alias(tmp_path, monkeypatch, capsys):
     assert "foo: /tmp/bar.hdf5" in out
     assert main(["alias", "remove", "foo"]) == 0
     assert "foo" not in vaex.aliases
+
+
+def test_settings_yaml_file(tmp_path, monkeypatch):
+    from vaex_tpu import settings as settings_mod
+    cfg = tmp_path / "main.yaml"
+    cfg.write_text("chunk:\n  size_max: 12345\ncompute:\n  precision: float64\n")
+    monkeypatch.setenv("VAEX_TPU_SETTINGS_FILE", str(cfg))
+    s = settings_mod._apply_yaml_file(settings_mod.Settings())
+    assert s.chunk.size_max == 12345
+    assert s.compute.precision == "float64"
+    # env var beats the file
+    monkeypatch.setenv("VAEX_TPU_CHUNK_SIZE_MAX", "999")
+    s2 = settings_mod._apply_yaml_file(settings_mod.Settings())
+    assert s2.chunk.size_max == 999

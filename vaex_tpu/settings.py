@@ -124,7 +124,52 @@ class Settings:
         return dataclasses.asdict(self)
 
 
-main = Settings()
+def _apply_yaml_file(settings, path=None):
+    """Overlay settings from a YAML file (reference: settings.py loads
+    ~/.vaex/main.yml).  File values apply on top of defaults; environment
+    variables have already been applied in __post_init__ and win, matching
+    the reference's env > file > default precedence (env keys are only
+    overridden when the env var is unset).  Section names mirror the
+    dataclass fields::
+
+        chunk:
+          size_max: 4194304
+        compute:
+          precision: float64
+    """
+    path = path or os.environ.get("VAEX_TPU_SETTINGS_FILE",
+                                  os.path.expanduser("~/.vaex_tpu/main.yaml"))
+    if not os.path.exists(path):
+        return settings
+    try:
+        import yaml
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+    except Exception:
+        return settings
+    _ENV_NAMES = {
+        ("chunk", "size"): "VAEX_TPU_CHUNK_SIZE",
+        ("chunk", "size_min"): "VAEX_TPU_CHUNK_SIZE_MIN",
+        ("chunk", "size_max"): "VAEX_TPU_CHUNK_SIZE_MAX",
+    }
+    for section, values in data.items():
+        target = getattr(settings, section, None)
+        if target is None or not isinstance(values, dict):
+            if hasattr(settings, str(section)) and not isinstance(values, dict):
+                setattr(settings, section, values)
+            continue
+        for key, value in values.items():
+            if not hasattr(target, key):
+                continue
+            env_name = _ENV_NAMES.get((section, key),
+                                      f"VAEX_TPU_{section.upper()}_{key.upper()}")
+            if os.environ.get(env_name) is not None:
+                continue  # env var wins
+            setattr(target, key, value)
+    return settings
+
+
+main = _apply_yaml_file(Settings())
 chunk = main.chunk
 cache = main.cache
 memory = main.memory
