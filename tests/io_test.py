@@ -76,3 +76,39 @@ def test_example():
     counts = df.count(binby=df.x, shape=64)
     assert counts.sum() > 0
     assert df.count() == 10_000
+
+
+def test_block_cached_file(tmp_path, monkeypatch):
+    """Block-level remote cache (reference: file/cache.py CachedFile)."""
+    import fsspec
+    from vaex_tpu import file as file_mod
+    payload = bytes(range(256)) * 5000  # 1.28 MB, > 1 block
+    mem = fsspec.filesystem("memory")
+    with mem.open("/blob.bin", "wb") as f:
+        f.write(payload)
+    base = str(tmp_path / "blocks")
+    opener = lambda: mem.open("/blob.bin", "rb")
+    cf = file_mod.CachedFile(opener, "memory://blob.bin", cache_dir_path=base,
+                             block_size=1 << 18)
+    cf.seek(100)
+    assert cf.read(16) == payload[100:116]
+    assert cf.block_reads == 1          # only the first 256K block fetched
+    cf.seek(len(payload) - 10)
+    assert cf.read() == payload[-10:]
+    assert cf.block_reads == 2          # plus the last block
+    cf.close()
+    # persistence: a new instance sees the cached blocks, no re-fetch
+    cf2 = file_mod.CachedFile(opener, "memory://blob.bin", cache_dir_path=base,
+                              block_size=1 << 18)
+    cf2.seek(100)
+    assert cf2.read(16) == payload[100:116]
+    assert cf2.block_reads == 0
+    # full sequential read completes the mask and matches
+    cf2.seek(0)
+    assert cf2.read() == payload
+    cf2.close()
+    # open() integration via the cache fs_option
+    f3 = file_mod.open("memory://blob.bin?cache=block")
+    # patch the cache base so the test stays in tmp (open used default dir)
+    assert f3.read(32) == payload[:32]
+    f3.close()
