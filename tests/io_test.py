@@ -112,3 +112,29 @@ def test_block_cached_file(tmp_path, monkeypatch):
     # patch the cache base so the test stays in tmp (open used default dir)
     assert f3.read(32) == payload[:32]
     f3.close()
+
+
+def test_votable_roundtrip(tmp_path):
+    """VOTable read/write (reference: vaex-astro votable)."""
+    path = str(tmp_path / "cat.vot")
+    df = vaex.from_arrays(ra=np.array([10.5, 20.25, np.nan]),
+                          n=np.array([1, 2, 3], dtype=np.int32),
+                          flag=np.array([True, False, True]),
+                          name=np.array(["alpha", "b<b>", "gamma"], dtype=object))
+    df.export(path)
+    df2 = vaex.open(path)
+    assert len(df2) == 3
+    ra = np.asarray(df2.evaluate("ra"))
+    assert ra[0] == 10.5 and ra[1] == 20.25 and np.isnan(ra[2])
+    assert np.asarray(df2.evaluate("n")).tolist() == [1, 2, 3]
+    assert np.asarray(df2.evaluate("flag")).tolist() == [True, False, True]
+    names = df2.evaluate("name")
+    names = names.to_pylist() if hasattr(names, "to_pylist") else list(names)
+    assert names == ["alpha", "b<b>", "gamma"]  # xml-escaped round trip
+    # masked ints survive as missing
+    m = np.ma.MaskedArray([1, 2, 3], mask=[0, 1, 0])
+    d3 = vaex.from_arrays(m=m)
+    p3 = str(tmp_path / "m.vot")
+    d3.export(p3)
+    d4 = vaex.open(p3)
+    assert d4.count("m") == 2 and int(d4.sum("m")) == 4

@@ -267,3 +267,138 @@ class DataFrameAccessorAstro:
         df = self.df if inplace else self.df.copy()
         df.add_virtual_column(distance, f"1.0 / ({parallax})")
         return df
+
+
+# ---------------------------------------------------------------------------
+# VOTable IO (reference: vaex-astro votable support via astropy; here a
+# self-contained TABLEDATA reader/writer, no astropy in this environment)
+# ---------------------------------------------------------------------------
+
+_VOT_DTYPES = {
+    "double": np.float64, "float": np.float32,
+    "long": np.int64, "int": np.int32, "short": np.int16,
+    "unsignedByte": np.uint8, "boolean": np.bool_, "bit": np.bool_,
+}
+_VOT_NAMES = {
+    np.dtype(np.float64): "double", np.dtype(np.float32): "float",
+    np.dtype(np.int64): "long", np.dtype(np.int32): "int",
+    np.dtype(np.int16): "short", np.dtype(np.uint8): "unsignedByte",
+    np.dtype(np.bool_): "boolean",
+}
+
+
+def _vot_local(tag):
+    return tag.rsplit("}", 1)[-1]
+
+
+def read_votable(path):
+    """Parse the first TABLE of a VOTable file → dict of arrays."""
+    import xml.etree.ElementTree as ET
+    tree = ET.parse(path)
+    fields = []
+    rows = []
+    for elem in tree.iter():
+        name = _vot_local(elem.tag)
+        if name == "FIELD":
+            fields.append((elem.get("name"), elem.get("datatype", "char"),
+                           elem.get("arraysize")))
+        elif name == "TR":
+            rows.append([td.text if td.text is not None else ""
+                         for td in elem if _vot_local(td.tag) == "TD"])
+    columns = {}
+    for i, (fname, datatype, arraysize) in enumerate(fields):
+        raw = [r[i] if i < len(r) else "" for r in rows]
+        if datatype in ("char", "unicodeChar"):
+            import pyarrow as pa
+            columns[fname] = pa.array(raw, type=pa.string())
+            continue
+        dt = _VOT_DTYPES.get(datatype, np.float64)
+        out = np.empty(len(raw), dtype=dt)
+        mask = np.zeros(len(raw), dtype=bool)
+        for j, txt in enumerate(raw):
+            txt = txt.strip()
+            if not txt or txt.lower() == "nan":
+                mask[j] = True
+                out[j] = 0
+            elif dt == np.bool_:
+                out[j] = txt.strip().lower() in ("1", "t", "true")
+            else:
+                out[j] = dt(float(txt) if np.dtype(dt).kind == "f" else int(txt))
+        if mask.any():
+            if np.dtype(dt).kind == "f":
+                out[mask] = np.nan
+                columns[fname] = out
+            else:
+                columns[fname] = np.ma.MaskedArray(out, mask=mask)
+        else:
+            columns[fname] = out
+    return columns
+
+
+class VOTableDataset(DatasetFile):
+    """Eager VOTable reader (VOTables are catalog-sized, not out-of-core)."""
+
+    snake_name = "votable"
+
+    def __init__(self, path, fs_options=None):
+        super().__init__(path)
+        self._columns = read_votable(path)
+        lengths = {len(v) for v in self._columns.values()}
+        self._row_count = lengths.pop() if lengths else 0
+
+    @classmethod
+    def can_open(cls, path, **kwargs):
+        return str(path).endswith((".vot", ".votable"))
+
+    @classmethod
+    def open(cls, path, fs_options=None, **kwargs):
+        return cls(path, fs_options=fs_options)
+
+
+register_opener(VOTableDataset)
+
+
+def export_votable(df, path, table_name="vaex_tpu"):
+    """Write a VOTable 1.4 TABLEDATA file."""
+    from xml.sax.saxutils import escape
+    names = df.get_column_names()
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>',
+             '<VOTABLE version="1.4" xmlns="http://www.ivoa.net/xml/VOTable/v1.3">',
+             ' <RESOURCE>', f'  <TABLE name="{escape(table_name)}">']
+    arrays = {}
+    for name in names:
+        dtype = df.data_type(name)
+        values = df.evaluate(name)
+        stringy = dtype.is_string or (
+            isinstance(values, np.ndarray) and values.dtype.kind in "OUS")
+        if stringy:
+            lines.append(f'   <FIELD name="{escape(name)}" datatype="char" arraysize="*"/>')
+            arrays[name] = values.to_pylist() if hasattr(values, "to_pylist") else list(values)
+        else:
+            npdt = np.dtype(str(dtype)) if not dtype.is_temporal else np.dtype(np.int64)
+            votype = _VOT_NAMES.get(npdt, "double")
+            lines.append(f'   <FIELD name="{escape(name)}" datatype="{votype}"/>')
+            arrays[name] = values if np.ma.isMaskedArray(values) else np.asarray(values)
+    lines += ['   <DATA>', '    <TABLEDATA>']
+    n = len(df)
+    for i in range(n):
+        tds = []
+        for name in names:
+            col = arrays[name]
+            v = col[i]
+            if isinstance(col, np.ma.MaskedArray) and np.ma.getmaskarray(col)[i]:
+                tds.append("<TD></TD>")
+            elif isinstance(v, float) and np.isnan(v) or (isinstance(v, np.floating) and np.isnan(v)):
+                tds.append("<TD></TD>")
+            elif v is None:
+                tds.append("<TD></TD>")
+            elif isinstance(v, (bool, np.bool_)):
+                tds.append(f"<TD>{'true' if v else 'false'}</TD>")
+            elif isinstance(v, str):
+                tds.append(f"<TD>{escape(v)}</TD>")
+            else:
+                tds.append(f"<TD>{v}</TD>")
+        lines.append("     <TR>" + "".join(tds) + "</TR>")
+    lines += ['    </TABLEDATA>', '   </DATA>', '  </TABLE>', ' </RESOURCE>', '</VOTABLE>', '']
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))

@@ -1553,6 +1553,10 @@ class DataFrame:
         from .astro import export_fits
         export_fits(self, path)
 
+    def export_votable(self, path, table_name="vaex_tpu"):
+        from .astro import export_votable
+        export_votable(self, path, table_name=table_name)
+
     def export_csv_pandas(self, path, progress=None, chunk_size=None, **kwargs):
         return self.export_csv(path, progress=progress, chunk_size=chunk_size, **kwargs)
 
@@ -2102,6 +2106,10 @@ class DataFrameLocal(DataFrame):
             self.export_csv(path, progress=progress, chunk_size=chunk_size, **kwargs)
         elif path.endswith(".json"):
             self.export_json(path, progress=progress, **kwargs)
+        elif path.endswith((".vot", ".votable")):
+            self.export_votable(path, **kwargs)
+        elif path.endswith(".fits"):
+            self.export_fits(path, progress=progress)
         else:
             raise ValueError(f"unknown extension for {path}")
 

@@ -3,3 +3,4 @@
 vaex-core/vaex/dataset.py:64)."""
 
 from . import hdf5, arrow, csv  # noqa: F401  (register openers)
+from .. import astro  # noqa: F401  (fits + votable openers)
