@@ -490,10 +490,17 @@ class GroupBy(GroupByBase):
         grids = self._agg_grids(actions)
         counts_promise = self._counts_promise
         if counts_promise is None:
-            tasks, counts_promise = agg_mod.count(edges=True).add_tasks(self.df, self.binners)
-            own_counts = True
-        else:
-            own_counts = False
+            grouper = self.by[0] if (len(self.by) == 1 and not self.combine) else None
+            if type(grouper) is Grouper and grouper.N > 0:
+                # hashmap groupers: every key slot is non-empty by
+                # construction (keys were discovered from this very df), so
+                # the presence-count pass is synthesizable — saves one
+                # full-column scatter per groupby
+                synth = np.zeros(grouper.binner.shape, dtype=np.int64)
+                synth[:grouper.N] = 1
+                counts_promise = synth
+            else:
+                tasks, counts_promise = agg_mod.count(edges=True).add_tasks(self.df, self.binners)
 
         @delayed
         def finish(counts, *values):
