@@ -201,3 +201,31 @@ def test_state_transfer_pipeline(df_ml):
     fresh = df_ml.copy()
     out = transfer.transform(fresh)
     assert "standard_scaled_x" in out.get_column_names()
+
+
+def test_boosted_wrappers_gated():
+    """lightgbm/xgboost/catboost wrappers exist with the reference API and
+    fail with a clear ImportError when the library is absent; the sklearn
+    HistGradientBoosting path covers the model family in-env."""
+    import pytest
+    from vaex_tpu.ml.boosted import LightGBMModel, XGBoostModel, CatBoostModel
+    df = vaex.from_arrays(a=np.arange(100.0), b=np.arange(100.0)[::-1],
+                          y=(np.arange(100) % 2).astype(float))
+    for cls in (LightGBMModel, XGBoostModel, CatBoostModel):
+        m = cls(features=["a", "b"], target="y", params={}, num_boost_round=3)
+        try:
+            m.fit(df)
+        except ImportError as e:
+            assert cls.library in str(e) and "HistGradientBoosting" in str(e)
+        else:  # library present in some future env: transform must work
+            out = m.transform(df)
+            assert "prediction" in out.get_column_names()
+    # the always-available equivalent through the generic Predictor
+    from sklearn.ensemble import HistGradientBoostingRegressor
+    from vaex_tpu.ml import Predictor
+    p = Predictor(model=HistGradientBoostingRegressor(max_iter=10),
+                  features=["a", "b"], target="y", prediction_name="pred")
+    p.fit(df)
+    out = p.transform(df)
+    pred = np.asarray(out.evaluate("pred"))
+    assert pred.shape == (100,) and np.isfinite(pred).all()
