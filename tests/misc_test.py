@@ -508,3 +508,26 @@ def test_settings_yaml_file(tmp_path, monkeypatch):
     monkeypatch.setenv("VAEX_TPU_CHUNK_SIZE_MAX", "999")
     s2 = settings_mod._apply_yaml_file(settings_mod.Settings())
     assert s2.chunk.size_max == 999
+
+
+def test_executor_shards_over_mesh():
+    """The executor shards chunk rows over all visible devices via shard_map
+    (conftest forces an 8-device CPU mesh); results must match the
+    single-device path bitwise for ints and to f64 accuracy for floats."""
+    import jax
+    from vaex_tpu.execution import ExecutorLocal
+    rng = np.random.RandomState(4)
+    x = rng.normal(0, 1, 100_001)          # odd length: padding must split evenly
+    i = rng.randint(-1000, 1000, 100_001)
+    df = vaex.from_arrays(x=x, i=i)
+    assert float(df.sum("x")) == pytest.approx(x.sum(), rel=1e-12)
+    assert int(df.sum("i")) == i.sum()
+    cnt = np.asarray(df.count(binby="x", limits=[-3, 3], shape=32))
+    assert df.executor.pass_log[-1]["shards"] == len(jax.devices()) == 8
+    # unsharded executor gives identical grids
+    ex1 = ExecutorLocal(mesh=None)
+    df2 = vaex.from_arrays(x=x, i=i)
+    df2._executor = ex1
+    cnt1 = np.asarray(df2.count(binby="x", limits=[-3, 3], shape=32))
+    assert ex1.pass_log[-1]["shards"] == 1
+    assert cnt.tolist() == cnt1.tolist()
