@@ -91,6 +91,11 @@ struct TypedSet {
 
     // returns number of new keys
     int64_t update(const T* data, int64_t n) {
+        if (n >= (int64_t)1 << 20) return update_parallel(data, n);
+        return update_serial(data, n);
+    }
+
+    int64_t update_serial(const T* data, int64_t n) {
         int64_t added = 0;
         for (int64_t i = 0; i < n; i++) {
             T key = data[i];
@@ -111,6 +116,33 @@ struct TypedSet {
                 h = (h + 1) & mask;
             }
         }
+        return added;
+    }
+
+    // Per-thread local sets over row ranges, then a row-ordered merge of the
+    // local UNIQUE keys into the main set.  Ranges are row-ordered, so
+    // merging range t's keys before range t+1's preserves the global
+    // first-occurrence order exactly (the reference shards nmaps submaps the
+    // same way, hash_primitives.hpp:98).
+    int64_t update_parallel(const T* data, int64_t n) {
+        int64_t nthreads = (int64_t)std::thread::hardware_concurrency();
+        if (nthreads < 2) return update_serial(data, n);
+        if (nthreads > 16) nthreads = 16;
+        std::vector<TypedSet<T>> locals((size_t)nthreads);
+        std::vector<std::thread> workers;
+        int64_t step = (n + nthreads - 1) / nthreads;
+        for (int64_t t = 0; t < nthreads; t++) {
+            int64_t i0 = t * step, i1 = std::min(n, i0 + step);
+            if (i0 >= i1) break;
+            workers.emplace_back([&locals, t, data, i0, i1] {
+                locals[(size_t)t].update_serial(data + i0, i1 - i0);
+            });
+        }
+        for (auto& w : workers) w.join();
+        int64_t added = 0;
+        for (auto& local : locals)
+            if (!local.keys.empty())
+                added += update_serial(local.keys.data(), (int64_t)local.keys.size());
         return added;
     }
 
