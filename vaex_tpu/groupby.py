@@ -46,11 +46,12 @@ class BinnerBase:
 class Grouper(BinnerBase):
     """Hashmap-discovered groups (reference: groupby.py:226)."""
 
-    def __init__(self, df, expression, sort=False, ascending=True, row_limit=None):
+    def __init__(self, df, expression, sort=False, ascending=True, row_limit=None, hashmap=None):
         self.df = df
         self.expression = _str(expression)
         self.label = self.expression
-        hashmap = df._hash_map_unique(self.expression, limit=row_limit)
+        if hashmap is None:
+            hashmap = df._hash_map_unique(self.expression, limit=row_limit)
         if sort:
             hashmap = hashmap.sorted(ascending=ascending)
         self.hashmap = hashmap
@@ -367,8 +368,35 @@ class GroupByBase:
         by = list(by)
         sorts = sort if isinstance(sort, (list, tuple)) else [sort] * len(by)
         ascendings = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(by)
-        self.by = [make_grouper(self.df, b, sort=s, ascending=a, row_limit=row_limit)
-                   for b, s, a in zip(by, sorts, ascendings)]
+        # build all key hashmaps in ONE streaming pass: schedule delayed
+        # hashmap tasks for every plain expression key, execute once, then
+        # hand the prebuilt maps to the groupers (reference schedules the
+        # discovery tasks together the same way, groupby.py Grouper delay)
+        prebuilt = {}
+        pending = []
+        for b in by:
+            if isinstance(b, BinnerBase):
+                continue
+            expr = _str(b)
+            if self.df.is_category(expr):
+                continue
+            dtype = self.df.data_type(expr)
+            if not dtype.is_string and dtype.numpy in (np.dtype("uint8"), np.dtype("int8"), np.dtype(bool)):
+                continue
+            if expr not in prebuilt:
+                prebuilt[expr] = None
+                pending.append((expr, self.df._hash_map_unique(expr, limit=row_limit, delay=True)))
+        if len(pending) > 1:
+            self.df.execute()
+            for expr, promise in pending:
+                prebuilt[expr] = promise.get()
+        self.by = []
+        for b, s, a in zip(by, sorts, ascendings):
+            hm = prebuilt.get(_str(b)) if not isinstance(b, BinnerBase) else None
+            if hm is not None:
+                self.by.append(Grouper(self.df, _str(b), sort=s, ascending=a, row_limit=row_limit, hashmap=hm))
+            else:
+                self.by.append(make_grouper(self.df, b, sort=s, ascending=a, row_limit=row_limit))
         for g in self.by:
             g.create_binner(self.df)
         self.combine = False
