@@ -804,14 +804,15 @@ class DataFrame:
         return centers[int(np.argmax(counts))]
 
     def median_approx(self, expression, percentage=50., binby=[], limits=None, shape=DEFAULT_SHAPE,
-                      percentile_shape=16384, percentile_limits="minmax", selection=False, delay=False, progress=None):
-        """Reference: dataframe.py median_approx."""
+                      percentile_shape=256, percentile_limits="minmax", selection=False, delay=False, progress=None):
+        """Reference: dataframe.py:1611 median_approx (reference default
+        percentile_shape=256; pass a larger shape for finer accuracy)."""
         return self.percentile_approx(expression, 50, binby=binby, limits=limits, shape=shape,
                                       percentile_shape=percentile_shape, percentile_limits=percentile_limits,
                                       selection=selection, delay=delay, progress=progress)
 
     def percentile_approx(self, expression, percentage=50., binby=[], limits=None, shape=DEFAULT_SHAPE,
-                          percentile_shape=1024 * 16, percentile_limits="minmax", selection=False,
+                          percentile_shape=1024, percentile_limits="minmax", selection=False,
                           delay=False, progress=None):
         """Approximate percentile from a fine histogram + cumsum interpolation
         (reference: dataframe.py:1632 re-implementing vaexfast
