@@ -177,3 +177,14 @@ def test_value_counts(df_local):
     assert vc["apple"] == 2
     assert vc["banana"] == 2
     assert vc["kiwi"] == 1
+
+
+def test_func_stack(df_local):
+    """reference: tests/stack_test.py — row-wise stacking of expressions."""
+    df = vaex.from_arrays(a=np.array([1.0, 2, 3]), b=np.array([4.0, 5, 6]))
+    df["z"] = df.func.stack([df.a, df.b])
+    assert np.asarray(df.evaluate("z")).tolist() == [[1, 4], [2, 5], [3, 6]]
+    m = np.ma.MaskedArray([1, 2, 3], mask=[0, 1, 0])
+    d3 = vaex.from_arrays(x=m, y=np.array([7, 8, 9]))
+    d3["z"] = d3.func.stack([d3.x, d3.y])
+    assert np.ma.getmaskarray(d3.evaluate("z")).tolist() == [[False, False], [True, False], [False, False]]

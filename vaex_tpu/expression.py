@@ -41,6 +41,8 @@ def _repr_operand(df, value):
         var = df.add_variable("arr_", value, unique=True)
         return var
     if isinstance(value, (list, tuple)):
+        if any(isinstance(v, Expression) for v in value):
+            return "[" + ", ".join(_repr_operand(df, v) for v in value) + "]"
         return repr(list(value))
     if isinstance(value, (bool, np.bool_)):
         return str(bool(value))

@@ -448,7 +448,17 @@ def _choose_masked(ar, choices):
 
 @register_function(name="stack")
 def stack(*arrays):
-    return np.stack([np.asarray(a) for a in arrays], axis=1)
+    """Row-wise stack: stack([x, y]) -> [[x0,y0], [x1,y1], ...]
+    (reference: vaex/functions.py stack; tests/stack_test.py).  Masked
+    inputs keep their mask (rows render as None in lists)."""
+    if len(arrays) == 1 and isinstance(arrays[0], (list, tuple)):
+        arrays = tuple(arrays[0])
+    cols = [dispatch.unwrap_numpy(a) if hasattr(dispatch, "unwrap_numpy") else a for a in arrays]
+    cols = [a.ar if isinstance(a, StringOps) else a for a in cols]
+    cols = [np.ma.asarray(c) if np.ma.isMaskedArray(c) else np.asarray(c) for c in cols]
+    if any(np.ma.isMaskedArray(c) for c in cols):
+        return np.ma.stack(cols, axis=1)
+    return np.stack(cols, axis=1)
 
 
 @register_function(name="getitem")
