@@ -188,3 +188,9 @@ def test_func_stack(df_local):
     d3 = vaex.from_arrays(x=m, y=np.array([7, 8, 9]))
     d3["z"] = d3.func.stack([d3.x, d3.y])
     assert np.ma.getmaskarray(d3.evaluate("z")).tolist() == [[False, False], [True, False], [False, False]]
+
+
+def test_abs_builtin(df_local):
+    df = df_local
+    assert np.asarray(df.evaluate(abs(df.x - 5))).tolist() == [5, 4, 3, 2, 1, 0, 1, 2, 3, 4]
+    assert df.count(selection=abs(df.x - 5) < 2) == 3

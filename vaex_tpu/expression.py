@@ -74,6 +74,7 @@ class Meta(type):
             def unop(self, _symbol=symbol):
                 return Expression(self.df, f"({_symbol}({self.expression}))")
             attrs.setdefault(f"__{opname}__", unop)
+        attrs.setdefault("__abs__", lambda self: Expression(self.df, f"abs({self.expression})"))
 
         # numpy-bridge functions as methods: df.x.abs(), df.x.log()...
         for fname in ["abs", "sqrt", "exp", "log", "log1p", "log10", "sin", "cos",
