@@ -194,3 +194,16 @@ def test_abs_builtin(df_local):
     df = df_local
     assert np.asarray(df.evaluate(abs(df.x - 5))).tolist() == [5, 4, 3, 2, 1, 0, 1, 2, 3, 4]
     assert df.count(selection=abs(df.x - 5) < 2) == 3
+
+
+def test_datetime_literal_arithmetic():
+    """Datetime/timedelta literals in expressions (reference:
+    tests/datetime_test.py arithmetic cases)."""
+    dates = np.array(["2020-01-01", "2020-06-15", "2021-12-31"], dtype="datetime64[ns]")
+    df = vaex.from_arrays(t=dates)
+    assert df.count(selection=df.t > np.datetime64("2020-03-01")) == 2
+    shifted = np.asarray(df.evaluate(df.t + np.timedelta64(1, "D")))
+    if shifted.dtype.kind != "M":
+        shifted = shifted.view("datetime64[ns]")
+    assert shifted.tolist() == (dates + np.timedelta64(1, "D")).tolist()
+    assert len(df[df.t > np.datetime64("2020-03-01")]) == 2

@@ -125,6 +125,16 @@ class DeviceScope(ScopeBase):
         return dispatch.MV(chunk, None)
 
     def wrap_variable(self, value):
+        # temporal scalars/arrays: device columns carry datetimes as int64
+        # nanoseconds (execution._device_view), so literals must match —
+        # normalize any datetime64/timedelta64 unit to [ns] and view as i64
+        if isinstance(value, np.datetime64):
+            return np.int64(value.astype("datetime64[ns]").view(np.int64))
+        if isinstance(value, np.timedelta64):
+            return np.int64(value.astype("timedelta64[ns]").view(np.int64))
+        if isinstance(value, np.ndarray) and value.dtype.kind in "Mm":
+            unit = "datetime64[ns]" if value.dtype.kind == "M" else "timedelta64[ns]"
+            return dispatch.MV(value.astype(unit).view(np.int64), None)
         # keep numpy arrays as-is: they become XLA constants where used
         # (jnp.asarray here would create a tracer under jax>=0.9 constant
         # tracking, breaking host-side introspection like np.asarray)

@@ -50,6 +50,9 @@ _fingerprint_primitives = (str, int, float, bool, bytes, type(None))
 def _fingerprint_normalize(obj):
     if isinstance(obj, _fingerprint_primitives):
         return obj
+    if isinstance(obj, (np.datetime64, np.timedelta64)):
+        # np.timedelta64 subclasses np.signedinteger but int() can fail
+        return f"{obj!r}"
     if isinstance(obj, (np.integer,)):
         return int(obj)
     if isinstance(obj, (np.floating,)):
