@@ -531,3 +531,9 @@ def test_executor_shards_over_mesh():
     cnt1 = np.asarray(df2.count(binby="x", limits=[-3, 3], shape=32))
     assert ex1.pass_log[-1]["shards"] == 1
     assert cnt.tolist() == cnt1.tolist()
+
+
+def test_evaluate_list(df_local):
+    xs, ys = df_local.evaluate(["x", "y"])
+    assert np.asarray(xs).tolist() == np.arange(10.0).tolist()
+    assert np.asarray(ys).tolist() == (np.arange(10.0) ** 2).tolist()

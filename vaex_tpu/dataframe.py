@@ -1176,9 +1176,9 @@ class DataFrame:
                  array_type=None, parallel=True, chunk_size=None, progress=None):
         """Materialize an expression on the host (reference: dataframe.py
         evaluate)."""
-        expression = _ensure_string_expression(expression)
         if isinstance(expression, (list, tuple)):
             return [self.evaluate(e, i1=i1, i2=i2, selection=selection, filtered=filtered, array_type=array_type) for e in expression]
+        expression = _ensure_string_expression(expression)
         parts = []
         for _, _, chunk in self._evaluate_iterator_raw([expression], i1=i1, i2=i2, selection=selection,
                                                        filtered=filtered, chunk_size=chunk_size):
