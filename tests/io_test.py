@@ -138,3 +138,19 @@ def test_votable_roundtrip(tmp_path):
     d3.export(p3)
     d4 = vaex.open(p3)
     assert d4.count("m") == 2 and int(d4.sum("m")) == 4
+
+
+def test_hdf5_export_object_strings(tmp_path):
+    """Object-dtype string columns export to hdf5 (converted to Arrow
+    strings at ingestion, reference superstrings behavior)."""
+    df = vaex.from_arrays(x=np.arange(10.0),
+                          s=np.array([f"v{i % 3}" for i in range(10)], dtype=object))
+    p = str(tmp_path / "obj.hdf5")
+    df.export(p)
+    d2 = vaex.open(p)
+    s2 = d2.evaluate("s")
+    s2 = s2.to_pylist() if hasattr(s2, "to_pylist") else list(s2)
+    assert s2 == [f"v{i % 3}" for i in range(10)]
+    # mixed object columns stay untouched
+    d3 = vaex.from_arrays(o=np.array([1, "a", None], dtype=object))
+    assert str(d3.data_type("o")) == "object"

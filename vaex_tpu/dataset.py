@@ -204,6 +204,18 @@ class DatasetArrays(Dataset):
         super().__init__()
         columns = dict(mapping or {})
         columns.update(kwargs)
+        for name, col in columns.items():
+            # object/str numpy arrays become Arrow strings at ingestion (the
+            # reference converts to superstrings the same way) so every
+            # downstream consumer — exporters included — sees one string type
+            if isinstance(col, np.ndarray) and col.dtype.kind in "OU" and not np.ma.isMaskedArray(col):
+                values = col.tolist()
+                if all(v is None or isinstance(v, str) for v in values):
+                    try:
+                        import pyarrow as pa
+                        columns[name] = pa.array(values, type=pa.string())
+                    except Exception:
+                        pass
         lengths = {name: _len_of(col) for name, col in columns.items()}
         if lengths and len(set(lengths.values())) > 1:
             raise ValueError(f"columns have different lengths: {lengths}")
