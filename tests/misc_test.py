@@ -537,3 +537,18 @@ def test_evaluate_list(df_local):
     xs, ys = df_local.evaluate(["x", "y"])
     assert np.asarray(xs).tolist() == np.arange(10.0).tolist()
     assert np.asarray(ys).tolist() == (np.arange(10.0) ** 2).tolist()
+
+
+def test_split_float_and_cache_helpers(df_local):
+    parts = df_local.split(0.3)
+    assert [len(p) for p in parts] == [3, 7]
+    parts = df_local.split_random(0.3, random_state=42)
+    assert [len(p) for p in parts] == [3, 7]
+    from vaex_tpu import cache
+    cache.memory()
+    try:
+        assert cache.is_on()
+        assert df_local.count() == 10
+    finally:
+        cache.off()
+    assert not cache.is_on()

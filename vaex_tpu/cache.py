@@ -223,3 +223,17 @@ def fingerprint(*args, **kwargs):
 # init from settings/env
 if settings.cache.type:
     on(settings.cache.type)
+
+
+def memory(clear=False):
+    """Turn on the in-memory cache (reference: vaex.cache.memory_infinite)."""
+    return on("memory")
+
+
+def memory_infinite(clear=False):
+    return on("memory")
+
+
+def disk(clear=False):
+    """Turn on the disk cache (reference: vaex.cache.disk)."""
+    return on("disk")

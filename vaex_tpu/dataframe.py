@@ -1931,6 +1931,9 @@ class DataFrameLocal(DataFrame):
         if isinstance(into, int):
             sizes = [N // into + (1 if i < N % into else 0) for i in range(into)]
         else:
+            if isinstance(into, float):
+                # reference: split(into=0.3) -> [30%, 70%] (dataframe.py:4644)
+                into = [into, 1.0 - into]
             fracs = list(into)
             sizes = [int(round(f * N)) for f in fracs]
             sizes[-1] = N - sum(sizes[:-1])
