@@ -57,6 +57,9 @@ class DataFrameAccessorGraphQL:
         or row selection:
             {"where": ..., "select": ["name", "age"], "limit": 10, "offset": 0}
         """
+        if isinstance(q, str):
+            raise TypeError("string GraphQL documents require graphene (not in this "
+                            "environment); pass a dict query — see this method's docstring")
         df = self.df
         if "where" in q and q["where"]:
             df = df.filter(_where_expression(q["where"]))
