@@ -265,3 +265,25 @@ def test_dataset_groupby_serialization(tmp_path):
     assert got.tolist() == np.asarray(res.evaluate("v")).tolist()
     # fingerprint stable across the round trip
     assert ds2.fingerprint == res.dataset.fingerprint
+
+
+def test_join_left_on_right_on():
+    """Different key names on each side (reference: tests/join_test.py)."""
+    left = vaex.from_arrays(k=np.array([1, 2, 3, 4]), a=np.array([10.0, 20, 30, 40]))
+    right = vaex.from_arrays(kk=np.array([2, 3, 5]), b=np.array([1.0, 2, 3]))
+    j = left.join(right, left_on="k", right_on="kk")
+    b = j.evaluate("b")
+    assert np.ma.getmaskarray(b).tolist() == [True, False, False, True]
+    assert b.compressed().tolist() == [1.0, 2.0]
+
+
+def test_join_allow_duplication_unmatched():
+    """Row expansion with unmatched left rows: expanded rows keep masks."""
+    left = vaex.from_arrays(k=np.array([1, 2, 3, 4]), a=np.array([10.0, 20, 30, 40]))
+    rdup = vaex.from_arrays(k=np.array([2, 3, 3, 5]), b=np.array([1.0, 2, 3, 4]))
+    j = left.join(rdup, on="k", how="left", allow_duplication=True)
+    assert len(j) == 5
+    b = j.evaluate("b")
+    assert np.ma.getmaskarray(b).tolist() == [True, False, False, False, True]
+    assert b.compressed().tolist() == [1.0, 2.0, 3.0]
+    assert np.asarray(j.evaluate("a")).tolist() == [10.0, 20, 30, 30, 40]
