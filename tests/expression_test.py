@@ -207,3 +207,17 @@ def test_datetime_literal_arithmetic():
         shifted = shifted.view("datetime64[ns]")
     assert shifted.tolist() == (dates + np.timedelta64(1, "D")).tolist()
     assert len(df[df.t > np.datetime64("2020-03-01")]) == 2
+
+
+def test_temporal_units_normalize():
+    """Non-ns temporal columns: device math is ns-normalized; min/max return
+    the source unit; literals compare correctly (reference semantics)."""
+    td_h = np.array([1, 2, 3, 4], dtype="timedelta64[h]")
+    t_s = (np.datetime64("2020-01-01", "s") + np.arange(4) * np.timedelta64(1, "D")).astype("datetime64[s]")
+    df = vaex.from_arrays(td=td_h, t=t_s)
+    assert df.min("td") == np.timedelta64(1, "h")
+    assert df.max("td") == np.timedelta64(4, "h")
+    assert df.min("t") == np.datetime64("2020-01-01", "s")
+    # literal comparison across units
+    assert df.count(selection=df.td > np.timedelta64(90, "m")) == 3
+    assert df.count(selection=df.t >= np.datetime64("2020-01-02")) == 3

@@ -90,6 +90,17 @@ class AggregatorDescriptorBasic(AggregatorDescriptor):
         return [task], finish(task)
 
     def finish(self, value):
+        # temporal min/max/first/last computed as int64 ns on device — view
+        # the result back as the source temporal dtype (reference returns
+        # datetime64/timedelta64)
+        if (self.short_name in ("min", "max", "first", "last")
+                and getattr(self, "dtype_in", None) is not None
+                and getattr(self.dtype_in, "is_temporal", False)):
+            out = np.asarray(value)
+            if out.dtype == np.int64:
+                # device values are i64 nanoseconds; convert to the source unit
+                ns_unit = "datetime64[ns]" if self.dtype_in.numpy.kind == "M" else "timedelta64[ns]"
+                return out.view(ns_unit).astype(self.dtype_in.numpy)
         return value
 
     def get_result_slicing(self, binners):

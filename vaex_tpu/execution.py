@@ -536,6 +536,12 @@ def _device_view(values):
     """Host ndarray → dtype the device accepts (temporals as int64)."""
     values = np.asarray(values)
     if values.dtype.kind in "Mm":
+        # normalize to nanoseconds: every temporal consumer in the pass
+        # (BinnerTime periods, datetime literals, td arithmetic) assumes
+        # i64 ns; non-ns units would silently compare wrong otherwise
+        unit = "datetime64[ns]" if values.dtype.kind == "M" else "timedelta64[ns]"
+        if values.dtype != np.dtype(unit):
+            values = values.astype(unit)
         return values.view(np.int64)
     if values.dtype.kind in "SU":
         raise TypeError("string columns cannot be shipped to the device directly")
