@@ -552,3 +552,11 @@ def test_split_float_and_cache_helpers(df_local):
     finally:
         cache.off()
     assert not cache.is_on()
+
+
+def test_arrow_pycapsule_interface(df_local):
+    """Arrow PyCapsule stream export: pa.table(df) consumes directly."""
+    import pyarrow as pa
+    t = pa.table(df_local)
+    assert t.num_rows == len(df_local)
+    assert set(t.column_names) == set(df_local.get_column_names())

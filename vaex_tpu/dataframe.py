@@ -1280,6 +1280,12 @@ class DataFrame:
         arrays = [array_types.to_arrow(self.evaluate(name, selection=selection)) for name in column_names]
         return pa.table(arrays, names=column_names)
 
+    def __arrow_c_stream__(self, requested_schema=None):
+        """Arrow PyCapsule interface: any Arrow-aware consumer
+        (pandas/polars/duckdb) can ingest this DataFrame directly — the
+        successor to the __dataframe__ interchange protocol."""
+        return self.to_arrow_table().__arrow_c_stream__(requested_schema)
+
     def to_dict(self, column_names=None, selection=None, strings=True, virtual=True, array_type=None):
         column_names = column_names or self.get_column_names(strings=strings, virtual=virtual)
         return {name: array_types.convert(self.evaluate(name, selection=selection), array_type) for name in column_names}
