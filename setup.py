@@ -16,7 +16,7 @@ setup(
         Extension(
             "vaex_tpu._native",
             sources=["src/vaex_native.cpp"],
-            extra_compile_args=["-std=c++17", "-O3", "-march=native"],
+            extra_compile_args=["-std=c++17", "-O3"],
             language="c++",
         )
     ],

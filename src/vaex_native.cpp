@@ -64,6 +64,12 @@ struct TypedSet {
 
     static uint64_t hash_key(T key) {
         uint64_t h;
+        if constexpr (std::is_floating_point_v<T>) {
+            // equal values must hash equal: -0.0 == 0.0, so canonicalize the
+            // sign before hashing the bit pattern (the reference's std::hash
+            // based hash_primitives honor this implicitly)
+            if (key == (T)0) key = (T)0;
+        }
         if constexpr (sizeof(T) == 8) {
             std::memcpy(&h, &key, 8);
         } else {
@@ -373,6 +379,12 @@ static PyObject* native_unpack_bitmap(PyObject*, PyObject* args) {
     if (!PyArg_ParseTuple(args, "On|n", &bits_obj, &n, &offset)) return nullptr;
     BufferView buf;
     if (!buf.acquire(bits_obj)) return nullptr;
+    if (n < 0 || offset < 0 || buf.view.len * 8 < n + offset) {
+        PyErr_Format(PyExc_ValueError,
+                     "unpack_bitmap: bitmap of %zd bytes cannot cover %zd bits at offset %zd",
+                     (Py_ssize_t)buf.view.len, n, offset);
+        return nullptr;
+    }
     const uint8_t* bits = (const uint8_t*)buf.view.buf;
     PyObject* out_bytes = PyBytes_FromStringAndSize(nullptr, n);
     if (!out_bytes) return nullptr;

@@ -154,3 +154,18 @@ def test_hdf5_export_object_strings(tmp_path):
     # mixed object columns stay untouched
     d3 = vaex.from_arrays(o=np.array([1, "a", None], dtype=object))
     assert str(d3.data_type("o")) == "object"
+
+
+def test_export_hdf5_string_unaligned_chunks(tmp_path):
+    # chunk boundaries not multiple of 8: null bitmap boundary bytes are
+    # read-modify-written instead of raising
+    import numpy as np
+    import pyarrow as pa
+    import vaex_tpu as vaex
+    s = ["s%d" % i if i % 3 else None for i in range(250)]
+    df = vaex.from_arrays(x=np.arange(250.0), s=pa.array(s))
+    path = str(tmp_path / "unaligned.hdf5")
+    df.export_hdf5(path, chunk_size=100)
+    back = vaex.open(path)
+    got = [None if v is None else str(v) for v in np.asarray(back.evaluate("s"), dtype=object)]
+    assert got == s

@@ -560,3 +560,29 @@ def test_arrow_pycapsule_interface(df_local):
     t = pa.table(df_local)
     assert t.num_rows == len(df_local)
     assert set(t.column_names) == set(df_local.get_column_names())
+
+
+def test_unpack_bitmap_bounds():
+    # out-of-range bit counts must raise, not read past the buffer
+    from vaex_tpu import native
+    import pytest
+    with pytest.raises(ValueError):
+        native.unpack_bitmap(b"\xff", 1000)
+    with pytest.raises(ValueError):
+        native.unpack_bitmap(b"\xff\xff", 10, 7)
+    assert native.unpack_bitmap(b"\x0f", 8).tolist() == [True] * 4 + [False] * 4
+    assert native.unpack_bitmap(b"\x0f", 3, 3).tolist() == [True, False, False]
+
+
+def test_groupby_join_negative_zero():
+    # -0.0 == 0.0 must group/join as one key (equal values -> equal hash)
+    import numpy as np
+    import vaex_tpu as vaex
+    df = vaex.from_arrays(k=np.array([0.0, -0.0, 0.0, 1.0]), v=np.array([1.0, 2.0, 3.0, 4.0]))
+    r = df.groupby("k", agg={"v": "sum"}, sort=True)
+    assert len(np.asarray(r.evaluate("k"))) == 2
+    assert np.asarray(r.evaluate("v")).tolist() == [6.0, 4.0]
+    left = vaex.from_arrays(k=np.array([0.0, 1.0]), a=np.array([1.0, 2.0]))
+    right = vaex.from_arrays(k=np.array([-0.0, 1.0]), b=np.array([10.0, 20.0]))
+    j = left.join(right, on="k", how="left")
+    assert j.evaluate("b").tolist() == [10.0, 20.0]

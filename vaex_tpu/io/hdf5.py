@@ -195,7 +195,6 @@ class Writer:
                 self._datasets[name] = ("str", g)
             elif dtype.is_temporal:
                 ds = g.create_dataset("data", shape=(N,), dtype=np.int64, track_times=False)
-                ds.attrs["dtype"] = dtype.numpy.str if not dtype.is_arrow else str(dtype.numpy)
                 ds.attrs["dtype"] = dtype.numpy.name
                 self._datasets[name] = ("temporal", g)
             else:
@@ -220,19 +219,25 @@ class Writer:
                         ar = ar.combine_chunks()
                     ar = ar.cast(pa.large_string())
                     buf_null, buf_offsets, buf_data = ar.buffers()
-                    ar_offsets = np.frombuffer(buf_offsets, dtype=np.int64, count=n + 1)[ar.offset:ar.offset + n + 1]
+                    # slice relative to the arrow array offset (reference:
+                    # vaex/arrow/convert.py offset handling)
+                    ar_offsets = np.frombuffer(
+                        buf_offsets, dtype=np.int64, count=ar.offset + n + 1)[ar.offset:ar.offset + n + 1]
                     nbytes = int(ar_offsets[-1] - ar_offsets[0])
                     data = np.frombuffer(buf_data, dtype=np.uint8, count=int(ar_offsets[-1]))[int(ar_offsets[0]):]
                     so = str_offsets[name]
                     g["data"][so:so + nbytes] = data
                     g["indices"][i:i + n + 1] = ar_offsets - ar_offsets[0] + so
                     valid = np.ones(n, dtype=bool) if ar.null_count == 0 else ~np.asarray(ar.is_null())
-                    bits = np.packbits(valid, bitorder="little")
-                    # only aligned when chunk boundaries are multiples of 8
-                    if i % 8 == 0:
-                        g["null_bitmap"][i // 8:i // 8 + len(bits)] = bits
-                    else:  # pragma: no cover - executor keeps chunks 8-aligned
-                        raise ValueError("string chunks must be 8-row aligned")
+                    # chunk boundaries need not be 8-row aligned: pad the
+                    # leading bits and read-modify-write the boundary byte
+                    # (writes are sequential, so bits past the current row are 0)
+                    first, lead = i // 8, i % 8
+                    bits = np.packbits(
+                        np.concatenate([np.zeros(lead, dtype=bool), valid]), bitorder="little")
+                    if lead:
+                        bits[0] |= int(g["null_bitmap"][first])
+                    g["null_bitmap"][first:first + len(bits)] = bits
                     str_offsets[name] = so + nbytes
                 elif kind == "temporal":
                     ar = array_types.to_numpy(chunk)

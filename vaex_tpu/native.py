@@ -60,6 +60,10 @@ def pad_to(values: np.ndarray, L: int, fill=0):
 
 
 def unpack_bitmap(bits: bytes, n: int, offset: int = 0) -> np.ndarray:
+    nbytes = memoryview(bits).nbytes
+    if n < 0 or offset < 0 or nbytes * 8 < n + offset:
+        raise ValueError(
+            f"unpack_bitmap: bitmap of {nbytes} bytes cannot cover {n} bits at offset {offset}")
     if available:
         return np.frombuffer(_native.unpack_bitmap(bits, n, offset), dtype=np.uint8).astype(bool)
     unpacked = np.unpackbits(np.frombuffer(bits, dtype=np.uint8), bitorder="little")
