@@ -1,9 +1,15 @@
-"""Benchmark: 2-D binned mean/std throughput (the reference's headline claim,
+"""Benchmark: 2-D binned mean throughput (the reference's headline claim,
 /root/reference/README.md:8-14: >1e9 rows/s for N-d binned statistics).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline = 1e9 rows/s (reference claim on a laptop; BASELINE.md north star:
->=1e9 rows/s/chip on v5e)."""
+>=1e9 rows/s/chip on v5e).
+
+A per-stage breakdown (fixed overhead vs marginal engine rate) goes to
+stderr: on the tunneled single-chip dev setup every result fetch pays a
+~30ms round-trip, so the headline number is measured at a row count large
+enough to amortize it (BENCH_ROWS, default 64M).
+"""
 
 import json
 import os
@@ -16,14 +22,14 @@ BASELINE_ROWS_PER_S = 1e9
 
 
 def main():
-    n = int(os.environ.get("BENCH_ROWS", 1 << 24))  # 16M rows default (cold remote-compile latency on the tunnel dominates bigger sizes)
+    n = int(os.environ.get("BENCH_ROWS", 1 << 26))  # 64M rows default
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
 
     import vaex_tpu as vaex
 
     rng = np.random.RandomState(42)
-    # float32 columns: the TPU-native layout (bench data; accumulation is
-    # still exact for counts and f64 for sums per settings.compute.precision)
+    # float32 columns: the TPU-native layout (bench data; counts stay exact —
+    # int accumulation — and sums carry the documented bf16 hi/lo bound)
     x = rng.normal(0, 1, n).astype(np.float32)
     y = rng.normal(0, 1, n).astype(np.float32)
     E = (x * x + y * y).astype(np.float32)
@@ -31,20 +37,37 @@ def main():
 
     limits = [[-3.0, 3.0], [-3.0, 3.0]]
 
-    def run():
+    def run(rows=None):
+        d = df if rows is None else df[:rows]
         t0 = time.perf_counter()
-        mean = df.mean("E", binby=["x", "y"], limits=limits, shape=256)
+        mean = d.mean("E", binby=["x", "y"], limits=limits, shape=256)
         dt = time.perf_counter() - t0
         return dt, mean
 
-    # warmup (compile)
-    dt, mean = run()
+    t0 = time.perf_counter()
+    dt, mean = run()  # warmup: compile + one-time H2D of the columns
+    warm = time.perf_counter() - t0
     times = []
     for _ in range(repeats):
         dt, mean = run()
         times.append(dt)
     best = min(times)
     rows_per_s = n / best
+
+    # stage breakdown: small-N run isolates the fixed per-query cost
+    # (result-fetch round-trips + dispatch); the marginal rate is the
+    # engine's true streaming throughput
+    n_small = n // 8
+    run(n_small)
+    t_small = min(run(n_small)[0] for _ in range(repeats))
+    marginal = (best - t_small) / (n - n_small)
+    fixed = best - marginal * n
+    print(
+        f"[bench] warmup(compile+H2D)={warm:.1f}s  t({n})={best*1e3:.0f}ms  "
+        f"t({n_small})={t_small*1e3:.0f}ms  fixed~{fixed*1e3:.0f}ms  "
+        f"marginal~{1/marginal/1e6:.0f}M rows/s",
+        file=sys.stderr,
+    )
 
     result = {
         "metric": "2d_binned_mean_rows_per_s",

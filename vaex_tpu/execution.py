@@ -21,6 +21,7 @@ finishes (SURVEY.md §2.3 split-K reduction → psum).
 
 from __future__ import annotations
 
+import functools
 import logging
 import threading
 
@@ -345,9 +346,11 @@ class ExecutorLocal(Executor):
                         raise UserAbort("user aborted")
                 yield fraction
 
-            # ---- reduce + fulfill (one batched D2H: per-array np.asarray
-            # costs a full tunnel round-trip each, jax.device_get batches)
-            states = jax.device_get(states)
+            # ---- reduce + fulfill (ONE packed D2H: every fetched array pays
+            # a full device round-trip — ~30ms on a tunneled TPU — so all
+            # states are bitcast to bytes, concatenated on device, and
+            # fetched as a single buffer)
+            states = packed_device_get(states)
             if n_shards > 1 and plans:
                 from .parallel.mesh import merge_replicas
                 states = jax.device_get(merge_replicas(plans, states))
@@ -532,6 +535,46 @@ class ExecutorLocal(Executor):
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=64)
+def _group_packer(metas):
+    """Jitted packer for a fixed (shape, dtype) signature: flatten and
+    concatenate the leaves of each dtype into one buffer per dtype (no
+    bitcasts — the x64 rewriter can't bitcast 64-bit element types)."""
+    order = {}
+    for i, (_, dtype) in enumerate(metas):
+        order.setdefault(dtype, []).append(i)
+
+    def pack(*leaves):
+        groups = []
+        for dtype, idxs in order.items():
+            parts = [leaves[i].reshape(-1) for i in idxs]
+            groups.append(jnp.concatenate(parts) if len(parts) > 1 else parts[0])
+        return tuple(groups)
+
+    return jax.jit(pack), order
+
+
+def packed_device_get(tree):
+    """device_get that fetches one concatenated buffer per dtype instead of
+    one array per leaf: on a tunneled device every fetched array pays a full
+    round-trip (~30ms measured), so N states would cost N RTTs."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if len(leaves) <= 1 or not all(isinstance(l, jax.Array) for l in leaves):
+        return jax.device_get(tree)
+    metas = tuple((tuple(l.shape), np.dtype(l.dtype)) for l in leaves)
+    pack, order = _group_packer(metas)
+    bufs = jax.device_get(pack(*leaves))
+    out = [None] * len(leaves)
+    for buf, (dtype, idxs) in zip(bufs, order.items()):
+        off = 0
+        for i in idxs:
+            shape = metas[i][0]
+            count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            out[i] = np.asarray(buf[off:off + count]).reshape(shape)
+            off += count
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def _device_view(values):
     """Host ndarray → dtype the device accepts (temporals as int64)."""
     values = np.asarray(values)
@@ -581,20 +624,23 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     L_local = L // n_shards
 
-    # -- static strategy planning: pair (count, sum) plans over the same 2-D
-    # grid + value/selection into one Pallas MXU one-hot kernel call
-    # (ops/pallas_gridagg.py) — measured ~1.8x over two scatters on v5e
+    # -- static strategy planning: fuse all (count, sum*) plans over the same
+    # 2-D grid + value/selection into one Pallas MXU one-hot kernel call
+    # (ops/pallas_gridagg.py): int8 count matmul + ONE bf16 hi/lo matmul for
+    # up to 4 sum payloads — measured 378M rows/s (count+sum, 259² grid) vs
+    # 70M for two XLA scatters on v5e
     pallas_partner = {}
     strategy = settings.compute.strategy
     on_tpu = jax.devices()[0].platform in ("tpu",)
     if strategy in ("auto", "pallas") and (on_tpu or strategy == "pallas"):
+        from .ops.pallas_gridagg import MAX_CELLS
         groups = {}
         for i, plan in enumerate(plans):
             binners = plan.task.binners
             if len(binners) != 2:
                 continue
             nx, ny = binners[0].shape, binners[1].shape
-            if nx * ny > 262 * 262 or plan.order_expr is not None:
+            if nx * ny > MAX_CELLS or plan.order_expr is not None:
                 continue
             if not isinstance(plan.op, (gridagg.AggOpCount, gridagg.AggOpSum)):
                 continue
@@ -607,12 +653,14 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
             key = (tuple(binners), plan.value_expr, plan.selection_expr, plan.value_as_validity)
             groups.setdefault(key, []).append(i)
         for key, members in groups.items():
-            kinds = {("count" if isinstance(plans[i].op, gridagg.AggOpCount) else "sum"): i for i in members}
-            if "count" in kinds and "sum" in kinds:
-                pallas_partner[kinds["count"]] = ("count", kinds["count"], kinds["sum"], key[0])
-                pallas_partner[kinds["sum"]] = ("sum", kinds["count"], kinds["sum"], key[0])
-            elif "count" in kinds and len(members) == 1:
-                pallas_partner[kinds["count"]] = ("count", kinds["count"], None, key[0])
+            count_idx = [i for i in members if isinstance(plans[i].op, gridagg.AggOpCount)]
+            sum_idx = [i for i in members if isinstance(plans[i].op, gridagg.AggOpSum)]
+            fused = count_idx[:1] + sum_idx[:4]  # >4 payloads: rest scatter
+            if not fused or (not sum_idx and not count_idx):
+                continue
+            group = (count_idx[0] if count_idx else None, tuple(sum_idx[:4]), key[0])
+            for i in fused:
+                pallas_partner[i] = group
 
     def step(states, inputs, masks, n_valid, i1, row_offset=0):
         # 32-bit row indices: 64-bit emulation makes remote XLA compiles ~20x
@@ -693,27 +741,29 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
                 order_key = -okey if plan.op.inverted else okey
             work.append((plan, state, flat, value, include, order_key))
 
-        # execute: Pallas pairs first (one kernel per pair), scatter the rest
+        # execute: Pallas groups first (one kernel per group), scatter the rest
         pallas_results = {}
         new_states = [None] * len(plans)
         for i, (plan, state, flat, value, include, order_key) in enumerate(work):
             if i in pallas_partner:
-                kind, ci, si, binners = pallas_partner[i]
-                pair_key = (ci, si)
-                if pair_key not in pallas_results:
-                    from .ops.pallas_gridagg import hist2d_count_sum
+                ci, sis, binners = pallas_partner[i]
+                gkey = (ci, sis)
+                if gkey not in pallas_results:
+                    from .ops.pallas_gridagg import hist2d_grid
                     bins = get_bins(binners)
+                    # all group members share (selection, value_expr) so
+                    # their include masks are identical traced values
                     bx = jnp.where(include, bins[0], -1).astype(jnp.int32)
                     by = jnp.where(include, bins[1], -1).astype(jnp.int32)
-                    if si is not None:
-                        _, _, _, sval, _, _ = work[si]
-                        v32 = jnp.where(include, sval, 0).astype(jnp.float32)
-                    else:
-                        v32 = jnp.zeros(bx.shape, jnp.float32)
-                    pallas_results[pair_key] = hist2d_count_sum(
-                        bx, by, v32, binners[0].shape, binners[1].shape, tile=2048)
-                pcount, psum = pallas_results[pair_key]
-                partial = pcount if i == ci else psum
+                    vals = tuple(
+                        jnp.where(include, work[si][3], 0).astype(jnp.float32)
+                        for si in sis)
+                    pcount, psums = hist2d_grid(
+                        bx, by, vals, binners[0].shape, binners[1].shape,
+                        with_count=ci is not None)
+                    pallas_results[gkey] = (pcount, dict(zip(sis, psums)))
+                pcount, psums = pallas_results[gkey]
+                partial = pcount if i == ci else psums[i]
                 flat_partial = jnp.concatenate(
                     [partial.reshape(-1), jnp.zeros(1, partial.dtype)])  # void cell
                 new_states[i] = work[i][1] + flat_partial.astype(work[i][1].dtype)
