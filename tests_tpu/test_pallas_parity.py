@@ -61,8 +61,11 @@ def test_multi_payload():
     _, ref1 = _ref_grids(bx, by, v1, nx, ny)
     ref_c, ref2 = _ref_grids(bx, by, v2, nx, ny)
     np.testing.assert_array_equal(np.asarray(count), ref_c)
-    np.testing.assert_allclose(np.asarray(s1), ref1, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(s2), ref2, atol=1e-4)
+    rows_per_cell = np.sqrt(max(1, n / (nx * ny)))
+    np.testing.assert_allclose(
+        np.asarray(s1), ref1, atol=2**-16 * np.abs(v1).max() * rows_per_cell)
+    np.testing.assert_allclose(
+        np.asarray(s2), ref2, atol=2**-16 * np.abs(v2).max() * rows_per_cell)
 
 
 def test_back_compat_wrapper():
