@@ -255,6 +255,7 @@ class ExecutorLocal(Executor):
         states = []
         for plan in plans:
             ncells = int(np.prod([b.shape for b in plan.task.binners])) if plan.task.binners else 1
+            plan.op.rows_upper_bound = row_count  # lets counts pick int32
             state = plan.op.init(ncells)
             if n_shards > 1:
                 from .parallel.mesh import replicate_state

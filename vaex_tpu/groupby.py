@@ -27,7 +27,7 @@ except ImportError:  # pragma: no cover
 
 from . import agg as agg_mod
 from . import dataset as dataset_mod
-from . import array_types, utils
+from . import array_types, settings, utils
 from .delayed import delayed, delayed_list
 from .ops.gridagg import BinnerOrdinal
 
@@ -161,6 +161,73 @@ class BinnerInteger(BinnerBase):
 
     def labels_take(self, indices):
         return _take_labels(self.bin_values, indices)
+
+
+class GrouperIntRange(BinnerBase):
+    """Integer-range fast path: keys bin by offset — no hashmap build, no
+    per-row ordinal mapping.
+
+    TPU-first design (no direct reference equivalent; the reference's C++
+    hashmap probe is cheap, ours is a device binary search at ~27M rows/s for
+    1M keys): when an integer key column's (max - min + 1) fits
+    ``settings.compute.groupby_int_range_cells``, the group code is just
+    ``value - min`` and the discovery pass shrinks to a minmax.  Empty bins
+    are dropped after aggregation exactly like the sparse hashmap path, so
+    results match ``Grouper`` (reference groupby.py:226) up to group order.
+    """
+
+    def __init__(self, df, expression, vmin, vmax, sort=False, ascending=True):
+        self.df = df
+        self.expression = _str(expression)
+        self.label = self.expression
+        self.min_value = int(vmin)
+        self.N = int(vmax) - int(vmin) + 1
+        self._bin_values = None
+        self.dense = False  # empty bins are masked out after aggregation
+        self.sort_indices = None
+
+    @property
+    def bin_values(self):
+        if self._bin_values is None:
+            self._bin_values = np.arange(
+                self.min_value, self.min_value + self.N, dtype=np.int64)
+        return self._bin_values
+
+    def create_binner(self, df):
+        self.binby_expression = self.expression
+        self.binner = BinnerOrdinal(self.expression, self.N, self.min_value)
+
+    def extract_center(self, dim, ar):
+        slices = [slice(None)] * np.ndim(ar)
+        slices[dim] = slice(0, self.N)
+        return ar[tuple(slices)]
+
+    def labels_take(self, indices):
+        # labels ARE the key values: bin i ↔ key (min + i), no table needed
+        return np.asarray(indices, dtype=np.int64) + self.min_value
+
+
+def _int_range_candidate(df, expr, row_limit):
+    """Plain non-nullable integer columns are eligible for GrouperIntRange
+    (sorting is natural ascending; nullable/virtual keys need the hashmap)."""
+    if row_limit is not None:
+        return False
+    try:
+        dtype = df.data_type(expr)
+    except Exception:  # noqa: BLE001
+        return False
+    if dtype.is_string or not dtype.is_numeric:
+        return False
+    np_dtype = dtype.numpy
+    if np_dtype.kind not in "iu" or np_dtype.itemsize < 2:
+        return False
+    if expr not in df.dataset:
+        return False  # virtual columns: nullability unknown without a pass
+    col = df.dataset[expr]
+    values = col
+    if hasattr(col, "to_numpy") and not isinstance(col, np.ndarray):
+        return False  # lazy/arrow columns may carry nulls
+    return isinstance(values, np.ndarray) and not np.ma.isMaskedArray(values)
 
 
 class Binner(BinnerBase):
@@ -374,7 +441,8 @@ class GroupByBase:
         # discovery tasks together the same way, groupby.py Grouper delay)
         prebuilt = {}
         pending = []
-        for b in by:
+        range_pending = {}
+        for b, s, a in zip(by, sorts, ascendings):
             if isinstance(b, BinnerBase):
                 continue
             expr = _str(b)
@@ -383,18 +451,38 @@ class GroupByBase:
             dtype = self.df.data_type(expr)
             if not dtype.is_string and dtype.numpy in (np.dtype("uint8"), np.dtype("int8"), np.dtype(bool)):
                 continue
-            if expr not in prebuilt:
+            if expr in prebuilt or expr in range_pending:
+                continue
+            # integer-range fast path: discovery = a minmax instead of a
+            # hashmap build (descending sort needs the hashmap's reordering)
+            if (not (s and not a)) and _int_range_candidate(self.df, expr, row_limit):
+                range_pending[expr] = self.df.minmax(expr, delay=True)
+            else:
                 prebuilt[expr] = None
                 pending.append((expr, self.df._hash_map_unique(expr, limit=row_limit, delay=True)))
-        if len(pending) > 1:
+        if pending or range_pending:
             self.df.execute()
             for expr, promise in pending:
                 prebuilt[expr] = promise.get()
+        ranges = {}
+        max_cells = settings.compute.groupby_int_range_cells
+        for expr, promise in range_pending.items():
+            vmin, vmax = np.asarray(promise.get()).tolist()
+            if vmax >= vmin and int(vmax) - int(vmin) + 1 <= max_cells:
+                ranges[expr] = (int(vmin), int(vmax))
+            # else: fall through to the hashmap Grouper (extra pass)
         self.by = []
         for b, s, a in zip(by, sorts, ascendings):
-            hm = prebuilt.get(_str(b)) if not isinstance(b, BinnerBase) else None
+            if isinstance(b, BinnerBase):
+                self.by.append(b)
+                continue
+            expr = _str(b)
+            hm = prebuilt.get(expr)
             if hm is not None:
-                self.by.append(Grouper(self.df, _str(b), sort=s, ascending=a, row_limit=row_limit, hashmap=hm))
+                self.by.append(Grouper(self.df, expr, sort=s, ascending=a, row_limit=row_limit, hashmap=hm))
+            elif expr in ranges:
+                vmin, vmax = ranges[expr]
+                self.by.append(GrouperIntRange(self.df, expr, vmin, vmax, sort=s, ascending=a))
             else:
                 self.by.append(make_grouper(self.df, b, sort=s, ascending=a, row_limit=row_limit))
         for g in self.by:

@@ -259,7 +259,16 @@ class AggOpCount(AggOp):
         self.needs_value = data_dtype is not None
 
     def init(self, ncells):
-        dt = jnp.int32 if self.precision == "float32" else jnp.int64
+        if self.precision == "float32":
+            dt = jnp.int32
+        elif (self.precision == "mixed"
+              and getattr(self, "rows_upper_bound", None) is not None
+              and self.rows_upper_bound < 2**31):
+            # counts are bounded by total rows: int32 state is exact, halves
+            # both the per-chunk master update and the D2H result transfer
+            dt = jnp.int32
+        else:
+            dt = jnp.int64
         return jnp.zeros(ncells + 1, dtype=dt)
 
     def update(self, state, idx, value, include, order_key=None):
@@ -267,10 +276,20 @@ class AggOpCount(AggOp):
         routed = jnp.where(include, idx, ncells1 - 1)
         if ncells1 == 2:
             return state.at[0].add(jnp.sum(include.astype(jnp.int32)).astype(state.dtype))
-        if self.precision == "mixed" and state.dtype == jnp.int64:
+        if self.precision == "mixed":
+            # _partial_scatter also routes small grids to the one-hot
+            # compare+reduce strategy (no scatter at all)
             partial = _partial_scatter(routed, jnp.ones(routed.shape, jnp.int32), ncells1, jnp.int32)
-            return state + partial.astype(jnp.int64)
+            return state + partial.astype(state.dtype)
         return state.at[routed].add(1)
+
+    def finalize(self, state):
+        out = super().finalize(state)
+        # int32 state is an internal exactness-preserving optimization; the
+        # public count dtype stays int64 (reference agg_count.cpp)
+        if np.asarray(out).dtype == np.int32:
+            out = np.asarray(out).astype(np.int64)
+        return out
 
 
 def _segment_sum_sorted(state, routed, values):

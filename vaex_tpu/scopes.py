@@ -184,10 +184,11 @@ def expression_is_device_compatible(df, expression) -> bool:
             elif name in df.variables:
                 from .hash import HashMapUnique
                 var = df.variables[name]
-                if isinstance(var, HashMapUnique) and var.count > 512:
-                    # large key tables: device mapping needs a sort-based
-                    # searchsorted (~1.2s per 8M-row chunk at 1M keys on TPU)
-                    # while the host binary search is ~4x faster; evaluate on
-                    # host and ship int32 codes instead
+                if isinstance(var, HashMapUnique) and var._is_string:
+                    # string keys: codes are produced host-side by pyarrow
+                    # (map_ordinal_device raises); numeric tables map on
+                    # device — measured 27M rows/s at 1M keys vs 1.3M for
+                    # host numpy searchsorted (r1's opposite conclusion was
+                    # an artifact of RTT-polluted timing)
                     return False
     return True

@@ -100,12 +100,17 @@ class Compute:
     sharding: str = "auto"              # 'auto'/'none': shard chunks over mesh
     strategy: str = "auto"              # 'auto': Pallas MXU kernel for small 2-D
                                         # grids on TPU; 'scatter'/'pallas' force
+    groupby_int_range_cells: int = 4 << 20  # integer keys whose (max-min+1)
+                                        # fits group by offset, skipping the
+                                        # hashmap + per-row ordinal mapping
 
     def __post_init__(self):
         self.device = _env("VAEX_TPU_DEVICE", self.device)
         self.precision = _env("VAEX_TPU_PRECISION", self.precision)
         self.onehot_grid_limit = _env("VAEX_TPU_ONEHOT_GRID_LIMIT", self.onehot_grid_limit)
         self.sharding = _env("VAEX_TPU_SHARDING", self.sharding)
+        self.groupby_int_range_cells = _env(
+            "VAEX_TPU_GROUPBY_INT_RANGE_CELLS", self.groupby_int_range_cells)
         self.strategy = _env("VAEX_TPU_STRATEGY", self.strategy)
 
 
