@@ -166,3 +166,133 @@ def test_encoding_roundtrip():
     spec2, enc2 = enc_mod.deserialize(data)
     out = enc2.decode("array", spec2["v"])
     assert out.to_pylist() == ["x", None, "z"]
+
+
+def _free_port():
+    import socket
+    sock = socket.socket()
+    sock.bind(("localhost", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    return port
+
+
+def test_server_progress_streaming(server_df):
+    """Progress frames stream over the wire during a pass (reference:
+    vaex-server/vaex/server/websocket.py progress events)."""
+    from vaex_tpu import settings
+    from vaex_tpu.server import server as server_mod
+
+    port = _free_port()
+    old_interval = server_mod.PROGRESS_INTERVAL
+    old_chunk = settings.chunk.size
+    server_mod.PROGRESS_INTERVAL = 0.0   # every chunk emits a frame
+    settings.chunk.size = 16             # force many chunks server-side
+    server = vaex.serve({"ws": server_df}, port=port)
+    try:
+        client = vaex.connect(f"ws://localhost:{port}")
+        df = client["ws"]
+        fractions = []
+        assert df.count(progress=lambda f: fractions.append(f) or True) == 100
+        assert len(fractions) >= 2          # interim + final
+        assert fractions[-1] >= 1.0
+        assert all(b >= a for a, b in zip(fractions, fractions[1:]))
+        client.close()
+    finally:
+        server_mod.PROGRESS_INTERVAL = old_interval
+        settings.chunk.size = old_chunk
+        server.stop()
+
+
+def test_server_cancel_mid_pass(server_df):
+    """A progress callback returning False cancels the request server-side
+    mid-pass (reference: cancellation via progress callbacks,
+    execution.py:420-431 + per-request cancel frames)."""
+    from vaex_tpu import settings
+    from vaex_tpu.server import server as server_mod
+    from vaex_tpu.server.client import Cancelled, RemoteError
+
+    port = _free_port()
+    old_interval = server_mod.PROGRESS_INTERVAL
+    old_chunk = settings.chunk.size
+    server_mod.PROGRESS_INTERVAL = 0.0
+    settings.chunk.size = 8
+    server = vaex.serve({"ws": server_df}, port=port)
+    try:
+        client = vaex.connect(f"ws://localhost:{port}")
+        df = client["ws"]
+        seen = []
+
+        def cancel_after_first(fraction):
+            seen.append(fraction)
+            return len(seen) < 2  # allow one frame, then cancel
+
+        with pytest.raises((Cancelled, RemoteError)):
+            df.count(progress=cancel_after_first)
+        assert seen, "expected at least one progress frame before cancel"
+        assert seen[-1] < 1.0, "cancel should land mid-pass"
+        # the connection stays usable after a cancelled request
+        assert df.sum("x") == sum(range(100))
+        client.close()
+    finally:
+        server_mod.PROGRESS_INTERVAL = old_interval
+        settings.chunk.size = old_chunk
+        server.stop()
+
+
+def test_execute_async_concurrent():
+    """execute_async is genuinely async: two executors drain concurrently on
+    one event loop, interleaving at chunk boundaries (reference async
+    generator core, execution.py:265-493)."""
+    import asyncio
+    from vaex_tpu import settings
+    from vaex_tpu.execution import ExecutorLocal
+
+    x = np.arange(1000, dtype=np.float64)
+    df1 = vaex.from_arrays(x=x)
+    df2 = vaex.from_arrays(x=x * 2)
+    df1.executor = ExecutorLocal()
+    df2.executor = ExecutorLocal()
+
+    async def run(df):
+        p = df.sum("x", delay=True)
+        await df.executor.execute_async()
+        return p.get()
+
+    async def main():
+        return await asyncio.gather(run(df1), run(df2))
+
+    old_chunk = settings.chunk.size
+    settings.chunk.size = 100
+    try:
+        s1, s2 = asyncio.run(main())
+    finally:
+        settings.chunk.size = old_chunk
+    assert s1 == x.sum()
+    assert s2 == 2 * x.sum()
+
+
+def test_executor_deep_delayed_chain():
+    """A delayed chain deeper than any fixed retry bound still drains (the
+    r1 executor stopped after 100 iterations)."""
+    from vaex_tpu.delayed import delayed
+
+    x = np.arange(10, dtype=np.float64)
+    df = vaex.from_arrays(x=x)
+
+    depth = 130
+    state = {"n": 0, "done": False}
+
+    def chain(_result):
+        state["n"] += 1
+        if state["n"] < depth:
+            return delayed(chain)(df.count(delay=True))
+        state["done"] = True
+        return 1
+
+    p = delayed(chain)(df.count(delay=True))
+    df.execute()
+    # each round schedules a fresh task; keep draining like a REPL would
+    while not state["done"]:
+        df.execute()
+    assert state["n"] == depth

@@ -89,6 +89,10 @@ class DataFrame:
     def executor(self):
         return self._executor or get_main_executor()
 
+    @executor.setter
+    def executor(self, executor):
+        self._executor = executor
+
     def execute(self):
         """Run all scheduled (delayed) tasks in one streaming pass
         (reference: vaex/dataframe.py execute)."""

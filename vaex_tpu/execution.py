@@ -191,18 +191,51 @@ class ExecutorLocal(Executor):
         self._local = threading.local()
 
     # ------------------------------------------------------------------
+    def _pending(self):
+        return [t for t in self.tasks if t.isPending and not t.cancelled]
+
+    def _check_progressing(self, prev_ids):
+        """Guard against delayed callbacks that re-schedule without ever
+        resolving: if a full pass leaves the exact same task set pending,
+        another pass cannot help (reference loops on actual pending state,
+        execution.py:265-290 — a fixed retry bound would silently
+        under-execute deep delayed chains)."""
+        ids = frozenset(id(t) for t in self._pending())
+        if ids and ids == prev_ids:
+            raise RuntimeError(
+                "executor made no progress: the same tasks are still pending "
+                "after a full pass (a delayed callback may be re-scheduling "
+                "tasks without resolving them)")
+        return ids
+
     def execute(self):
         # delayed DAGs can schedule follow-up tasks when earlier ones
         # fulfill (e.g. limits → binned aggregation, reference two-pass
-        # pattern dataframe.py:1844); loop until the queue drains
-        for _ in range(100):
-            if not any(t.isPending and not t.cancelled for t in self.tasks):
-                break
+        # pattern dataframe.py:1844); loop until the queue actually drains
+        prev_ids = None
+        while self._pending():
             for _ in self.execute_generator():
                 pass
+            prev_ids = self._check_progressing(prev_ids)
 
     async def execute_async(self):
-        self.execute()
+        """Genuinely asynchronous drain (reference async generator core,
+        execution.py:265-493): the chunk pump runs on a worker thread and
+        control returns to the event loop at every chunk boundary, so
+        progress streaming, cancellation and other coroutines interleave
+        with a running pass."""
+        import asyncio
+
+        loop = asyncio.get_running_loop()
+        sentinel = object()
+        prev_ids = None
+        while self._pending():
+            gen = self.execute_generator()
+            while True:
+                item = await loop.run_in_executor(None, next, gen, sentinel)
+                if item is sentinel:
+                    break
+            prev_ids = self._check_progressing(prev_ids)
 
     def _pop_tasks(self):
         tasks = [t for t in self.tasks if t.isPending and not t.cancelled]

@@ -18,21 +18,58 @@ class WebSocketTransport:
         from websockets.sync.client import connect as ws_connect
         self.url = url
         self._ws = ws_connect(url, max_size=None)
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()       # one outstanding request at a time
+        self._send_lock = threading.Lock()  # cancel frames interleave with recv
+        self._req_counter = 0
         if token is not None:
             self.request({"msg": "auth", "token": token}, encoding_mod.Encoding())
 
-    def request(self, spec, enc):
+    def next_req_id(self):
+        self._req_counter += 1
+        return f"req-{self._req_counter}"
+
+    def _send(self, data):
+        with self._send_lock:
+            self._ws.send(data)
+
+    def cancel(self, req_id):
+        """Fire a cancel frame for an in-flight request (thread-safe; the
+        reference supports per-request cancel the same way)."""
+        self._send(encoding_mod.serialize(
+            {"msg": "cancel", "req_id": req_id}, encoding_mod.Encoding()))
+
+    def request(self, spec, enc, progress=None):
+        """Send one request and wait for its reply, dispatching interim
+        ``progress`` frames to the callback; a callback returning False
+        fires a cancel for this request (reference: progress events +
+        cancel over the wire, websocket.py:1-141)."""
+        req_id = spec.get("req_id")
         with self._lock:
-            self._ws.send(encoding_mod.serialize(spec, enc))
-            reply = self._ws.recv()
-        reply_spec, reply_enc = encoding_mod.deserialize(reply)
-        if reply_spec.get("msg") == "error":
+            self._send(encoding_mod.serialize(spec, enc))
+            while True:
+                reply = self._ws.recv()
+                reply_spec, reply_enc = encoding_mod.deserialize(reply)
+                msg = reply_spec.get("msg")
+                if msg == "progress":
+                    if progress is not None:
+                        ok = progress(reply_spec.get("fraction", 0.0))
+                        if ok is False and req_id is not None:
+                            self.cancel(req_id)
+                            progress = None  # cancel once; drain to the reply
+                    continue
+                break
+        if msg == "cancelled":
+            raise Cancelled("request cancelled")
+        if msg == "error":
             raise RemoteError(reply_spec["error"], reply_spec.get("traceback"))
         return reply_spec, reply_enc
 
     def close(self):
         self._ws.close()
+
+
+class Cancelled(RuntimeError):
+    """The server aborted the request after a cancel frame."""
 
 
 class RemoteError(RuntimeError):
@@ -66,9 +103,11 @@ class Client:
         return self[name]
 
     # -- RPC helpers used by DataFrameRemote
-    def _execute(self, dataset, state, tasks_specs, enc):
-        spec, reply_enc = self.transport.request(
-            {"msg": "execute", "dataset": dataset, "state": state, "tasks": tasks_specs}, enc)
+    def _execute(self, dataset, state, tasks_specs, enc, progress=None):
+        req = {"msg": "execute", "dataset": dataset, "state": state, "tasks": tasks_specs}
+        if progress is not None:
+            req["req_id"] = self.transport.next_req_id()
+        spec, reply_enc = self.transport.request(req, enc, progress=progress)
         return [reply_enc.decode("task-result", r) for r in spec["results"]]
 
     def _evaluate(self, dataset, state, expression, i1=None, i2=None):

@@ -70,11 +70,17 @@ class RemoteExecutor:
         raise NotImplementedError(f"task {type(task).__name__} cannot run remotely")
 
     def execute(self):
-        for _ in range(100):
+        prev_ids = None
+        while True:
             pending = [t for t in self.tasks if t.isPending and not t.cancelled]
             self.tasks = []
             if not pending:
                 break
+            ids = frozenset(id(t) for t in pending)
+            if ids == prev_ids:
+                raise RuntimeError("remote executor made no progress: the same "
+                                   "tasks are still pending after a round-trip")
+            prev_ids = ids
             self.passes += 1
             by_df = {}
             for t in pending:
@@ -82,8 +88,21 @@ class RemoteExecutor:
             for _, (df, tasks) in by_df.items():
                 enc = encoding_mod.Encoding()
                 specs = [enc.encode("task", t) for t in tasks]
+
+                def progress(fraction, tasks=tasks):
+                    # fan server progress frames into the local tasks;
+                    # any local callback returning False cancels remotely
+                    ok = True
+                    for t in tasks:
+                        if t.signal_progress(fraction) is False:
+                            ok = False
+                    return ok
+
+                wants_progress = any(t._progress_callbacks for t in tasks)
                 try:
-                    results = self.client._execute(df._remote_name, df.state_get(), specs, enc)
+                    results = self.client._execute(
+                        df._remote_name, df.state_get(), specs, enc,
+                        progress=progress if wants_progress else None)
                     for t, r in zip(tasks, results):
                         t.fulfill(r)
                 except Exception as e:  # noqa: BLE001
@@ -93,7 +112,9 @@ class RemoteExecutor:
                     raise
 
     async def execute_async(self):
-        self.execute()
+        import asyncio
+        loop = asyncio.get_running_loop()
+        await loop.run_in_executor(None, self.execute)
 
 
 class DataFrameRemote(DataFrameLocal):

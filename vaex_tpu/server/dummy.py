@@ -18,10 +18,16 @@ class DummyTransport:
         self.server = server
         self._authenticated = set()
 
-    def request(self, spec, enc):
+    def next_req_id(self):
+        return None  # in-process: requests are synchronous, no interleaving
+
+    def request(self, spec, enc, progress=None):
+        spec = {k: v for k, v in spec.items() if k != "req_id"}
         data = encoding_mod.serialize(spec, enc)
         reply = self.server.handle_message(data, self._authenticated)
         reply_spec, reply_enc = encoding_mod.deserialize(reply)
+        if progress is not None:
+            progress(1.0)
         if reply_spec.get("msg") == "error":
             from .client import RemoteError
             raise RemoteError(reply_spec["error"], reply_spec.get("traceback"))

@@ -38,11 +38,28 @@ class Service:
             df.state_set(state)
         return df
 
-    def execute(self, name, state, task_specs, enc: encoding_mod.Encoding):
+    def execute(self, name, state, task_specs, enc: encoding_mod.Encoding,
+                progress=None, cancel_event=None):
         """Decode → schedule → run → encode results (reference: service.py
-        execute → ExecutorLocal passes)."""
+        execute → ExecutorLocal passes).
+
+        progress: optional callable(fraction) invoked from the executor's
+        chunk loop (streamed to the client as interim frames).
+        cancel_event: optional threading.Event; when set, the executor's
+        progress check returns False and the pass aborts cooperatively
+        (reference: cancellation via progress callbacks returning False,
+        execution.py:420-431)."""
         df = self._df_for(name, state)
         tasks = [enc.decode("task", spec, df=df) for spec in task_specs]
+        if progress is not None or cancel_event is not None:
+            def callback(fraction):
+                if cancel_event is not None and cancel_event.is_set():
+                    return False
+                if progress is not None:
+                    progress(fraction)
+                return True
+            for task in tasks:
+                task.progress(callback)
         with self._lock:  # executor is process-wide; serialize remote runs
             for task in tasks:
                 df.executor.schedule(task)
