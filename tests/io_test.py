@@ -169,3 +169,69 @@ def test_export_hdf5_string_unaligned_chunks(tmp_path):
     back = vaex.open(path)
     got = [None if v is None else str(v) for v in np.asarray(back.evaluate("s"), dtype=object)]
     assert got == s
+
+
+def test_csv_lazy_byte_range_chunking(tmp_path):
+    """Byte-range lazy CSV: newline-aligned fragments, random-access start
+    with O(range) fragment parses (reference: vaex/csv.py:56-134)."""
+    from vaex_tpu.io.csv import CsvDatasetLazy
+
+    path = str(tmp_path / "big.csv")
+    n = 5000
+    with open(path, "w") as f:
+        f.write("a,b\n")
+        for i in range(n):
+            f.write(f"{i},{i * 2}\n")
+
+    # tiny fragments force many byte ranges
+    ds = CsvDatasetLazy(path, fragment_bytes=4096)
+    assert len(ds._fragments) > 3
+    assert ds.row_count == n
+
+    df = vaex.from_dataset(ds)
+    assert df.sum("a") == n * (n - 1) // 2
+
+    # iterate from a nonzero start: values correct and only covering
+    # fragments get parsed
+    parsed = []
+    orig = CsvDatasetLazy._parse_fragment
+
+    def counting(self, i, columns):
+        parsed.append(i)
+        return orig(self, i, columns)
+
+    CsvDatasetLazy._parse_fragment = counting
+    try:
+        start, end = n - 700, n - 100
+        got = []
+        for i1, i2, chunks in ds.chunk_iterator(["a"], chunk_size=128, start=start, end=end):
+            got.extend(chunks["a"].to_pylist())
+        assert got == list(range(start, end))
+        assert parsed, "expected at least one fragment parse"
+        assert min(parsed) > 0, "start-offset read must skip leading fragments"
+        assert len(parsed) < len(ds._fragments) / 2, "must parse only covering fragments"
+    finally:
+        CsvDatasetLazy._parse_fragment = orig
+
+    # column random access seeks too
+    col = ds["b"]
+    assert col[100:105].to_pylist() == [200, 202, 204, 206, 208]
+    ds.close()
+
+
+def test_csv_lazy_quoted_newline_detected(tmp_path):
+    """Embedded newlines in quoted fields break newline row accounting; the
+    parse path must fail loudly, not return wrong rows."""
+    import pytest
+    from vaex_tpu.io.csv import CsvDatasetLazy
+
+    path = str(tmp_path / "quoted.csv")
+    with open(path, "w") as f:
+        f.write('a,b\n')
+        for i in range(50):
+            f.write(f'{i},"line1\nline2"\n')
+
+    ds = CsvDatasetLazy(path, fragment_bytes=256)
+    with pytest.raises(ValueError, match="lazy=False"):
+        for _ in ds.chunk_iterator(["a"], chunk_size=16):
+            pass
