@@ -29,6 +29,58 @@ def test_widget_views(df_local):
     assert "10" in c.label.value
 
 
+def test_widget_selection_linking(df_local):
+    """Brushing in one view recomputes every linked model on the same df
+    (reference: jupyter/model.py selection observers + view brushes)."""
+    hist = df_local.widget.histogram("x", shape=8)
+    heat = df_local.widget.heatmap("x", "y", shape=8)
+    # no selection yet: both show only the unselected grid
+    assert hist.model.grid.shape == (8,)
+    assert heat.model.grid.shape == (8, 8)
+    events = []
+    hist.model.on_grid(lambda g: events.append(g.shape))
+    # brush a rectangle in the heatmap: the histogram model must recompute
+    # and gain a stacked [none, default] selection axis
+    heat.select_rectangle(0, 5, 0, 100)
+    assert events and events[-1] == (2, 8)
+    assert heat.model.grid.shape == (2, 8, 8)
+    total, selected = hist.model.grid.sum(axis=1)
+    assert selected < total
+    da = hist.model.data_array
+    assert da.dims[0] == "selection"
+    # brushing a different named selection must NOT recompute these models
+    n_events = len(events)
+    df_local.select("x > 3", name="other")
+    assert len(events) == n_events
+    # undo the brush: models recompute again
+    df_local.selection_undo()
+    assert len(events) == n_events + 1
+    hist.close()
+    heat.close()
+    # closed views no longer react
+    df_local.select("x > 1")
+    assert len(events) == n_events + 1
+
+
+def test_widget_axis_expression_change(df_local):
+    axis = df_local.widget.axis_model("x", shape=8)
+    model = df_local.widget.grid_model([axis])
+    assert axis.max == 9
+    axis.expression = "y"  # y = x**2 -> limits recompute, grid recomputes
+    axis._debug_wait_for_status("ready")
+    assert axis.max == 81
+    model._debug_wait_for_status("ready")
+
+
+def test_widget_selection_counter(df_local):
+    df_local.select("x > 5")
+    c = df_local.widget.counter_selection()
+    assert "4" in c.label.value
+    df_local.select("x > 7")
+    assert "2" in c.label.value
+    c.close()
+
+
 def test_graphql_agg(df_local):
     out = df_local.graphql.query({"agg": {"count": True, "mean": ["x"], "max": ["y"]}})
     assert out["count"] == 10

@@ -83,6 +83,11 @@ class DataFrame:
         self._future_behaviour = False
         self._auto_fraction = False
         self._length_cache = {}
+        # emitted as (df, name) whenever a named selection changes — the
+        # jupyter reactive layer links brushing across views through it
+        # (reference: dataframe.py signal_selection_changed)
+        from .events import Signal
+        self.signal_selection_changed = Signal("selection_changed")
 
     # -- executor ------------------------------------------------------
     @property
@@ -501,6 +506,7 @@ class DataFrame:
         self.selection_history_indices[name] = len(history) - 1
         if name == FILTER_SELECTION_NAME:
             self._invalidate_length()
+        self.signal_selection_changed.emit(self, name)
 
     def get_selection(self, name="default"):
         history = self.selection_histories.get(name, [])
@@ -517,12 +523,14 @@ class DataFrame:
             self.selection_history_indices[name] -= 1
             if name == FILTER_SELECTION_NAME:
                 self._invalidate_length()
+            self.signal_selection_changed.emit(self, name)
 
     def selection_redo(self, name="default"):
         if self.selection_can_redo(name):
             self.selection_history_indices[name] += 1
             if name == FILTER_SELECTION_NAME:
                 self._invalidate_length()
+            self.signal_selection_changed.emit(self, name)
 
     def selection_can_undo(self, name="default"):
         return self.selection_history_indices.get(name, -1) > -1

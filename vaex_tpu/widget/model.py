@@ -2,9 +2,12 @@
 
 An Axis tracks (expression, min, max, shape) with a small state machine
 (NO_LIMITS → STAGED_CALCULATING_LIMITS → READY); a GridModel aggregates over
-its axes and recomputes whenever an axis or the selection changes — the same
-reactive recompute loop the reference builds on traitlets, driving the TPU
-executor instead of CPU passes.
+its axes and recomputes whenever an axis, the aggregation, or a relevant
+*named selection* changes — the same reactive recompute loop the reference
+builds on traitlets (jupyter/model.py Axis/DataArray), driving the TPU
+executor instead of CPU thread passes.  Selection linking works through
+``DataFrame.signal_selection_changed``: every model watching the same
+DataFrame recomputes when a selection it displays is brushed in any view.
 """
 
 from __future__ import annotations
@@ -13,9 +16,11 @@ import traitlets
 
 import numpy as np
 
+from ..xarray_lite import DataArrayLite
+
 
 class Axis(traitlets.HasTraits):
-    """Reference: jupyter/model.py Axis."""
+    """Reference: jupyter/model.py Axis (state machine :86-244)."""
 
     class Status:
         NO_LIMITS = "no_limits"
@@ -31,11 +36,18 @@ class Axis(traitlets.HasTraits):
     def __init__(self, df, expression, min=None, max=None, shape=64):
         super().__init__(expression=str(expression), shape=shape)
         self.df = df
+        self.observe(self._on_expression_change, names=["expression"])
         if min is not None and max is not None:
             self.min, self.max = float(min), float(max)
             self.status = Axis.Status.READY
         else:
             self.computed_limits()
+
+    def _on_expression_change(self, change):
+        # a new expression invalidates the limits; recompute them so
+        # observers see a consistent (expression, min, max) triple
+        self.status = Axis.Status.NO_LIMITS
+        self.computed_limits()
 
     def computed_limits(self):
         self.status = Axis.Status.CALCULATING_LIMITS
@@ -53,7 +65,14 @@ class Axis(traitlets.HasTraits):
 
 
 class GridModel(traitlets.HasTraits):
-    """Reference: jupyter/model.py DataArray/GridCalculator."""
+    """Reference: jupyter/model.py DataArray/GridCalculator (:246-566).
+
+    ``selection`` may be a single selection (None/True/name) or a list of
+    them; a list produces a stacked grid with a leading ``selection`` axis
+    (the reference's multi-selection DataArray).  The model recomputes when:
+    any axis changes, ``what``/``selection`` change, or a *named selection
+    it displays* changes on the DataFrame (brushing in another view).
+    """
 
     class Status:
         MISSING_LIMITS = "missing_limits"
@@ -64,7 +83,7 @@ class GridModel(traitlets.HasTraits):
     what = traitlets.Unicode("count(*)")
     selection = traitlets.Any(None)
 
-    def __init__(self, df, axes, what="count(*)"):
+    def __init__(self, df, axes, what="count(*)", selection=None):
         super().__init__(what=what)
         self.df = df
         self.axes = list(axes)
@@ -73,13 +92,56 @@ class GridModel(traitlets.HasTraits):
         for axis in self.axes:
             axis.observe(self._on_axis_change, names=["min", "max", "shape", "expression"])
         self.observe(self._on_axis_change, names=["what", "selection"])
-        self.compute()
+        self._selection_listener = df.signal_selection_changed.connect(self._on_selection_change)
+        if selection is not None:
+            self.selection = selection  # triggers compute via observer
+        else:
+            self.compute()
+
+    def close(self):
+        """Stop listening; reference: model unobserve on widget close."""
+        try:
+            self.df.signal_selection_changed.disconnect(self._selection_listener)
+        except ValueError:
+            pass
 
     def on_grid(self, callback):
         self._callbacks.append(callback)
 
+    def _selection_names(self):
+        sel = self.selection
+        items = sel if isinstance(sel, (list, tuple)) else [sel]
+        names = set()
+        for s in items:
+            if s is True:
+                names.add("default")
+            elif isinstance(s, str):
+                names.add(s)
+        return names
+
+    def _on_selection_change(self, df, name):
+        if name in self._selection_names():
+            self.compute()
+
     def _on_axis_change(self, change):
         self.compute()
+
+    def _effective_selection(self):
+        """Drop named selections that don't exist yet — a view created before
+        any brushing shows only the unselected grid until a selection appears
+        (reference: DataArray selection toggling)."""
+        sel = self.selection
+        if not isinstance(sel, (list, tuple)):
+            return sel
+        def exists(s):
+            if s is None or s is False:
+                return True
+            name = "default" if s is True else s
+            return self.df.has_selection(name)
+        live = [s for s in sel if exists(s)]
+        if len(live) == 1:
+            return live[0]
+        return live
 
     def compute(self):
         if any(axis.status != Axis.Status.READY for axis in self.axes):
@@ -90,18 +152,35 @@ class GridModel(traitlets.HasTraits):
         limits = [[axis.min, axis.max] for axis in self.axes]
         shape = [axis.shape for axis in self.axes]
         what = self.what
+        selection = self._effective_selection()
         if what.startswith("count"):
             self.grid = np.asarray(self.df.count(binby=binby, limits=limits, shape=shape,
-                                                 selection=self.selection))
+                                                 selection=selection))
         else:
             name, _, arg = what.partition("(")
             arg = arg.rstrip(")")
             method = getattr(self.df, name.strip())
             self.grid = np.asarray(method(arg, binby=binby, limits=limits, shape=shape,
-                                          selection=self.selection))
+                                          selection=selection))
+        self._computed_selection = selection
         self.status = GridModel.Status.READY
         for cb in self._callbacks:
             cb(self.grid)
+
+    @property
+    def data_array(self):
+        """Grid as a labeled array with bin-center coords
+        (reference: DataArray exposing xarray, jupyter/model.py:246)."""
+        if self.grid is None:
+            return None
+        dims = [str(axis.expression) for axis in self.axes]
+        coords = {str(axis.expression): axis.centers for axis in self.axes}
+        computed = getattr(self, "_computed_selection", self.selection)
+        if isinstance(computed, (list, tuple)):
+            dims = ["selection"] + dims
+            coords["selection"] = np.array(
+                ["default" if s is True else str(s) for s in computed], dtype=object)
+        return DataArrayLite(self.grid, dims=dims, coords=coords, name=self.what)
 
     def _debug_wait_for_status(self, status=Status.READY):
         assert self.status == status, f"status {self.status!r} != {status!r}"
