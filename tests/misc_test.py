@@ -19,6 +19,43 @@ def test_viz_histogram(df_local, tmp_path):
     plt.close("all")
 
 
+def test_viz_contour_vector_tensor():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    rng = np.random.RandomState(0)
+    n = 2000
+    df = vaex.from_arrays(
+        x=rng.normal(0, 1, n), y=rng.normal(0, 1, n),
+        vx=rng.normal(1, 0.5, n), vy=rng.normal(-1, 2.0, n))
+    ax = df.viz.contour("x", "y", shape=32, f="log1p")
+    assert ax is not None
+    plt.close("all")
+    ax = df.viz.contour("x", "y", what="mean(vx)", shape=16, fill=True,
+                        levels=5, colorbar=True)
+    plt.close("all")
+    # vector field: arrows only in populated cells
+    ax = df.viz.vector("x", "y", "vx", "vy", shape=8, min_count=5, normalize=True)
+    q = [c for c in ax.collections if hasattr(c, "U")]
+    assert q, "quiver not drawn"
+    lengths = np.hypot(q[0].U, q[0].V)
+    np.testing.assert_allclose(lengths, 1.0, rtol=1e-9)  # normalized
+    plt.close("all")
+    # tensor: dispersion ellipses elongated along vy (var(vy) >> var(vx))
+    artists = df.viz.tensor("x", "y", "vx", "vy", shape=4, min_count=10)
+    assert artists
+    # the dominant eigen direction should be close to the y axis
+    angles = np.array([a.angle % 180 for a in artists])
+    assert ((np.abs(angles - 90) < 30).mean()) > 0.8
+    plt.close("all")
+    # f-transform sanity: log on a mean heatmap
+    ax = df.viz.heatmap("x", "y", what="mean(vx*vx)", shape=8, f="log")
+    plt.close("all")
+    with pytest.raises(ValueError, match="unknown transform"):
+        df.viz.histogram("x", shape=4, f="bogus")
+    plt.close("all")
+
+
 def test_geo_spherical_roundtrip():
     rng = np.random.RandomState(0)
     n = 100

@@ -12,6 +12,20 @@ def _ensure_str(e):
     return e.expression if isinstance(e, Expression) else str(e)
 
 
+def _apply_f(grid, f):
+    """Value transform by name (reference: vaex.dataset._parse_f — 'identity',
+    'log', 'log10', 'log1p', or any callable)."""
+    if f is None or f == "identity":
+        return grid
+    if callable(f):
+        return f(grid)
+    fn = {"log": np.log, "log10": np.log10, "log1p": np.log1p}.get(f)
+    if fn is None:
+        raise ValueError(f"unknown transform f={f!r} (use identity/log/log10/log1p)")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return fn(grid)
+
+
 @register_dataframe_accessor("viz")
 class DataFrameAccessorViz:
     def __init__(self, df):
@@ -19,7 +33,7 @@ class DataFrameAccessorViz:
 
     def histogram(self, x, what="count(*)", grid=None, shape=64, limits=None, selection=None,
                   n=None, normalize_axis=None, xlabel=None, ylabel=None, label=None,
-                  progress=None, **kwargs):
+                  f="identity", progress=None, **kwargs):
         """1-D histogram/agg line plot (reference: mpl.py histogram)."""
         import matplotlib.pyplot as plt
         df = self.df
@@ -30,7 +44,7 @@ class DataFrameAccessorViz:
         edges = np.linspace(limits[0], limits[1], shape + 1)
         centers = (edges[1:] + edges[:-1]) / 2
         ax = plt.gca()
-        values = np.asarray(grid, dtype=np.float64)
+        values = _apply_f(np.asarray(grid, dtype=np.float64), f)
         if n is not None or kwargs.pop("normalize", False):
             values = values / max(values.sum(), 1)
         ax.plot(centers, values, drawstyle="steps-mid", label=label, **kwargs)
@@ -40,7 +54,8 @@ class DataFrameAccessorViz:
 
     def heatmap(self, x, y, what="count(*)", shape=256, limits=None, selection=None,
                 logscale=None, colorbar=True, colormap="afmhot", vmin=None, vmax=None,
-                xlabel=None, ylabel=None, equal_aspect=False, figsize=None, **kwargs):
+                xlabel=None, ylabel=None, equal_aspect=False, figsize=None,
+                f=None, **kwargs):
         """2-D density/aggregation image (reference: mpl.py heatmap/plot)."""
         import matplotlib.pyplot as plt
         df = self.df
@@ -49,7 +64,9 @@ class DataFrameAccessorViz:
         limits = df.limits([x, y], limits, selection=selection)
         grid = self._compute_what(what, binby=[x, y], limits=limits, shape=shape, selection=selection)
         grid = np.asarray(grid, dtype=np.float64)
-        if logscale or (logscale is None and str(what).startswith("count")):
+        if f is not None:
+            grid = _apply_f(grid, f)
+        elif logscale or (logscale is None and str(what).startswith("count")):
             with np.errstate(divide="ignore"):
                 grid = np.log1p(grid)
         if figsize is not None:
@@ -84,20 +101,130 @@ class DataFrameAccessorViz:
         ax.set_ylabel(ylabel or y)
         return ax
 
-    def vector(self, x, y, vx, vy, shape=16, limits=None, selection=None, **kwargs):
-        """Mean-vector field over a coarse grid (reference: mpl.py vector)."""
+    def vector(self, x, y, vx, vy, shape=16, limits=None, selection=None,
+               normalize=False, min_count=0, **kwargs):
+        """Mean-vector field over a coarse grid (reference: viz/vector.py
+        plot2d_vector): per-cell mean of (vx, vy) drawn as quiver arrows;
+        cells with fewer than ``min_count`` contributing rows are hidden,
+        ``normalize=True`` plots unit direction vectors.  All three grids
+        (count + two means) fuse into ONE device pass via delay=True."""
         import matplotlib.pyplot as plt
         df = self.df
         x, y, vx, vy = map(_ensure_str, (x, y, vx, vy))
         limits = df.limits([x, y], limits, selection=selection)
-        mx = df.mean(vx, binby=[x, y], limits=limits, shape=shape, selection=selection)
-        my = df.mean(vy, binby=[x, y], limits=limits, shape=shape, selection=selection)
-        cx = np.linspace(limits[0][0], limits[0][1], shape)
-        cy = np.linspace(limits[1][0], limits[1][1], shape)
+        # count(vx+vy): a row counts only when BOTH components are present
+        # (reference: vector.py:33)
+        count = df.count(f"({vx}) + ({vy})", binby=[x, y], limits=limits,
+                         shape=shape, selection=selection, delay=True)
+        mx = df.mean(vx, binby=[x, y], limits=limits, shape=shape,
+                     selection=selection, delay=True)
+        my = df.mean(vy, binby=[x, y], limits=limits, shape=shape,
+                     selection=selection, delay=True)
+        df.execute()
+        count = np.asarray(count.get(), dtype=np.float64)
+        mx = np.asarray(mx.get(), dtype=np.float64)
+        my = np.asarray(my.get(), dtype=np.float64)
+        if normalize:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                length = np.sqrt(mx**2 + my**2)
+                mx, my = mx / length, my / length
+        cx = df.bin_centers(x, limits[0], shape=shape)
+        cy = df.bin_centers(y, limits[1], shape=shape)
         X, Y = np.meshgrid(cx, cy, indexing="ij")
+        mask = count.flatten() >= min_count
+        kwargs.setdefault("alpha", 0.7)
         ax = plt.gca()
-        ax.quiver(X, Y, np.asarray(mx), np.asarray(my), **kwargs)
+        ax.quiver(X.flatten()[mask], Y.flatten()[mask],
+                  mx.flatten()[mask], my.flatten()[mask], **kwargs)
         return ax
+
+    def contour(self, x, y, what="count(*)", limits=None, shape=256, selection=None,
+                f="identity", levels=None, fill=False, colorbar=False, colorbar_label=None,
+                colormap=None, colors=None, linewidths=None, linestyles=None,
+                vmin=None, vmax=None, grid=None, xlabel=None, ylabel=None,
+                figsize=None, aspect="auto", **kwargs):
+        """Contour lines (or filled contours) over a binned 2-D grid
+        (reference: viz/contour.py plot2d_contour)."""
+        import matplotlib.pyplot as plt
+        df = self.df
+        x = _ensure_str(x)
+        y = _ensure_str(y)
+        limits = df.limits([x, y], limits, selection=selection)
+        if grid is None:
+            grid = self._compute_what(what, binby=[x, y], limits=limits,
+                                      shape=shape, selection=selection)
+        grid = _apply_f(np.asarray(grid, dtype=np.float64), f)
+        shape2 = grid.shape
+        cx = df.bin_centers(x, limits[0], shape=shape2[0])
+        cy = df.bin_centers(y, limits[1], shape=shape2[1])
+        if figsize is not None:
+            plt.figure(figsize=figsize)
+        ax = plt.gca()
+        ax.set_aspect(aspect)
+        method = ax.contourf if fill else ax.contour
+        opts = dict(colors=colors, cmap=colormap, vmin=vmin, vmax=vmax, **kwargs)
+        if levels is not None:
+            opts["levels"] = levels
+        if not fill:
+            opts.update(linewidths=linewidths, linestyles=linestyles)
+        cs = method(cx, cy, grid.T, **{k: v for k, v in opts.items() if v is not None})
+        if colorbar:
+            plt.colorbar(cs, ax=ax, label=colorbar_label or str(what))
+        ax.set_xlabel(xlabel or x)
+        ax.set_ylabel(ylabel or y)
+        return ax
+
+    def tensor(self, x, y, vx, vy, shape=16, limits=None, selection=None,
+               normalize=False, min_count=0, scale=1.0, facecolor="green",
+               alpha=0.5, edgecolor="black"):
+        """Per-cell dispersion ellipses from the 2x2 covariance of (vx, vy)
+        (reference: viz/tensor.py plot2d_tensor): each grid cell draws an
+        ellipse whose axes are the covariance eigenvectors scaled by the
+        square roots of the eigenvalues."""
+        import matplotlib.pyplot as plt
+        from matplotlib.patches import Ellipse
+        df = self.df
+        x, y, vx, vy = map(_ensure_str, (x, y, vx, vy))
+        limits = df.limits([x, y], limits, selection=selection)
+        count = df.count(f"({vx}) + ({vy})", binby=[x, y], limits=limits,
+                         shape=shape, selection=selection, delay=True)
+        cov = df.cov([vx, vy], binby=[x, y], limits=limits, shape=shape,
+                     selection=selection, delay=True)
+        df.execute()
+        count = np.asarray(count.get(), dtype=np.float64).flatten()
+        cov = np.asarray(cov.get(), dtype=np.float64)
+        if normalize:
+            trace = cov[..., 0, 0] + cov[..., 1, 1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cov = cov / trace[..., None, None]
+        cx = df.bin_centers(x, limits[0], shape=shape)
+        cy = df.bin_centers(y, limits[1], shape=shape)
+        X, Y = np.meshgrid(cx, cy, indexing="ij")
+        X, Y = X.flatten(), Y.flatten()
+        cov = cov.reshape((-1, 2, 2))
+        with np.errstate(invalid="ignore"):
+            max_length = np.sqrt(np.nanmax(cov[:, 0, 0] + cov[:, 1, 1]))
+        cell_w = (limits[0][1] - limits[0][0]) / shape
+        cell_h = (limits[1][1] - limits[1][0]) / shape
+        scaling = min(cell_w, cell_h) / max(max_length, 1e-300) * scale
+        ax = plt.gca()
+        artists = []
+        for i in range(len(X)):
+            if count[i] < min_count or not np.all(np.isfinite(cov[i])):
+                continue
+            eigen_values, eigen_vectors = np.linalg.eigh(cov[i])
+            order = np.argsort(eigen_values)[::-1]
+            v1 = eigen_vectors[:, order[0]]
+            width = np.sqrt(max(eigen_values[order[0]], 0.0)) * scaling
+            height = np.sqrt(max(eigen_values[order[1]], 0.0)) * scaling
+            angle = np.degrees(np.arctan2(v1[1], v1[0]))
+            e = Ellipse(xy=(X[i], Y[i]), width=width, height=height, angle=angle,
+                        alpha=alpha, facecolor=facecolor, edgecolor=edgecolor)
+            ax.add_artist(e)
+            artists.append(e)
+        ax.set_xlim(limits[0])
+        ax.set_ylim(limits[1])
+        return artists
 
     def _compute_what(self, what, binby, limits, shape, selection):
         """Parse 'count(*)' / 'mean(E)' / vaex.agg object (reference:
