@@ -291,8 +291,12 @@ class ExecutorLocal(Executor):
             plan.op.rows_upper_bound = row_count  # lets counts pick int32
             state = plan.op.init(ncells)
             if n_shards > 1:
-                from .parallel.mesh import replicate_state
+                from .parallel.mesh import replicate_state, mesh_process_count, put_sharded
                 state = replicate_state(state, n_shards)
+                if mesh_process_count(self.mesh) > 1:
+                    # multi-host: place one replica on each global device
+                    state = jax.tree_util.tree_map(
+                        lambda a: put_sharded(self.mesh, np.asarray(a)), state)
             tracker.pre_alloc(memory_mod.track_state_bytes(state),
                               f"aggregation grids for {plan.task.aggregation_description!r}")
             states.append(state)
@@ -380,14 +384,16 @@ class ExecutorLocal(Executor):
                         raise UserAbort("user aborted")
                 yield fraction
 
-            # ---- reduce + fulfill (ONE packed D2H: every fetched array pays
-            # a full device round-trip — ~30ms on a tunneled TPU — so all
-            # states are bitcast to bytes, concatenated on device, and
-            # fetched as a single buffer)
-            states = packed_device_get(states)
+            # ---- reduce + fulfill.  Replica merge happens ON DEVICE (log-
+            # depth tree over the replica axis, replicated output): on one
+            # host it shrinks the D2H fetch D-fold, across hosts it is the
+            # DCN/ICI reduction.  Then ONE packed D2H: every fetched array
+            # pays a full device round-trip (~30ms on a tunneled TPU), so all
+            # states are concatenated per dtype and fetched as single buffers.
             if n_shards > 1 and plans:
-                from .parallel.mesh import merge_replicas
-                states = jax.device_get(merge_replicas(plans, states))
+                from .parallel.mesh import merge_replicas_device
+                states = merge_replicas_device(plans, states, self.mesh)
+            states = packed_device_get(states)
             for plan, state in zip(plans, states):
                 raw = plan.op.finalize(state)
                 grid_flat = np.asarray(raw)[:-1]  # drop void cell
@@ -498,6 +504,19 @@ class ExecutorLocal(Executor):
     def _prepare_device_inputs(self, df, chunks, leaf_columns, host_exprs, L, get_host_scope,
                                filter_mask_host, cache_key_base=None):
         import jax as _jax
+        # multi-host mesh: every input must be placed as a global row-sharded
+        # array (each process owns the shards of its addressable devices);
+        # on one host the jitted shard_map reshards plain device arrays itself
+        multiproc = False
+        if self.mesh is not None:
+            from .parallel.mesh import mesh_process_count, put_sharded
+            multiproc = mesh_process_count(self.mesh) > 1
+
+        def place(padded):
+            if multiproc:
+                return put_sharded(self.mesh, padded)
+            return _jax.device_put(padded)
+
         inputs = {}
         masks = {}
         for name in leaf_columns:
@@ -513,8 +532,8 @@ class ExecutorLocal(Executor):
                     continue
             values, valid = array_types.extract_mask(chunks[name])
             values = _device_view(values)
-            dev_values = _jax.device_put(_pad_to(values, L))
-            dev_mask = _jax.device_put(_pad_to(~valid, L, fill=True)) if valid is not None else None
+            dev_values = place(_pad_to(values, L))
+            dev_mask = place(_pad_to(~valid, L, fill=True)) if valid is not None else None
             inputs[name] = dev_values
             if dev_mask is not None:
                 masks[name] = dev_mask
@@ -524,11 +543,13 @@ class ExecutorLocal(Executor):
             result = get_host_scope().evaluate(expr)
             values, valid = array_types.extract_mask(result)
             values = _device_view(np.asarray(values))
-            inputs[expr] = _pad_to(values, L)
+            inputs[expr] = place(_pad_to(values, L)) if multiproc else _pad_to(values, L)
             if valid is not None:
-                masks[expr] = _pad_to(~np.asarray(valid), L, fill=True)
+                mask = _pad_to(~np.asarray(valid), L, fill=True)
+                masks[expr] = place(mask) if multiproc else mask
         if filter_mask_host is not None:
-            inputs["__filter_mask__"] = _pad_to(filter_mask_host, L, fill=False)
+            fm = _pad_to(filter_mask_host, L, fill=False)
+            inputs["__filter_mask__"] = place(fm) if multiproc else fm
         return inputs, masks
 
     def _get_program(self, df, plans, inputs, masks, L, filter_on_device, need_filter):

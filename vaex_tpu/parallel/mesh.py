@@ -64,6 +64,60 @@ def merge_replicas(plans, states_np):
     return merged
 
 
+def merge_replicas_device(plans, states, mesh):
+    """On-device tree reduction of the replica axis (axis 0) with each agg's
+    merge op; outputs are fully replicated, so every process fetches its own
+    local copy — the multi-host-safe merge (replicas on remote hosts reduce
+    over ICI/DCN via the collectives XLA inserts for the resharding), and on
+    a single host it shrinks the D2H fetch from D replicas to one grid."""
+    from jax.sharding import NamedSharding
+
+    def reduce_all(states):
+        out = []
+        for plan, state in zip(plans, states):
+            leaves, treedef = jax.tree_util.tree_flatten(state)
+            n_dev = leaves[0].shape[0]
+            parts = [jax.tree_util.tree_unflatten(treedef, [l[d] for l in leaves])
+                     for d in range(n_dev)]
+            while len(parts) > 1:  # log-depth merge tree (merge is associative)
+                half = len(parts) // 2
+                merged = [plan.op.merge(parts[i], parts[half + i]) for i in range(half)]
+                if len(parts) % 2:
+                    merged.append(parts[-1])
+                parts = merged
+            out.append(parts[0])
+        return tuple(out)
+
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(reduce_all, out_shardings=replicated)(tuple(states))
+
+
+def mesh_process_count(mesh):
+    """Number of distinct host processes owning the mesh's devices."""
+    return len({d.process_index for d in mesh.devices.flat})
+
+
+def put_sharded(mesh, padded, replicate=False):
+    """Host array → global device array laid out over the mesh.
+
+    Row-sharded (axis 0 split over the mesh devices) or fully replicated.
+    Works on multi-host meshes: each process places only the shards of its
+    own addressable devices (jax.make_array_from_single_device_arrays)."""
+    from jax.sharding import NamedSharding
+    sharding = NamedSharding(mesh, P() if replicate else P(AXIS))
+    devices = list(mesh.devices.flat)
+    if mesh_process_count(mesh) == 1:
+        return jax.device_put(padded, sharding)
+    pidx = jax.process_index()
+    if replicate:
+        locals_ = [jax.device_put(padded, d) for d in devices if d.process_index == pidx]
+    else:
+        Ld = padded.shape[0] // len(devices)
+        locals_ = [jax.device_put(padded[i * Ld:(i + 1) * Ld], d)
+                   for i, d in enumerate(devices) if d.process_index == pidx]
+    return jax.make_array_from_single_device_arrays(padded.shape, sharding, locals_)
+
+
 def shard_pass(step_local, mesh, L_local):
     """Wrap a per-device step into a shard_map over rows.
 
