@@ -103,6 +103,56 @@ def test_graphql_rows(df_local):
     assert out["x"] == [2.0, 3.0, 4.0]
 
 
+def test_graphql_string_document(df_local):
+    r = df_local.graphql.execute(
+        '{ df(where: {x: {_gt: 2}}) { count mean { x } min { y } '
+        'row(limit: 2, offset: 1) { x y } } }')
+    assert not r.errors
+    d = r.data["df"]
+    assert d["count"] == 7
+    assert d["mean"]["x"] == pytest.approx(6.0)
+    assert d["min"]["y"] == 9.0
+    assert d["row"] == [{"x": 4.0, "y": 16.0}, {"x": 5.0, "y": 25.0}]
+
+
+def test_graphql_string_groupby():
+    df = vaex.from_arrays(g=np.array([0, 0, 1, 1, 1]), v=np.array([1.0, 2, 3, 4, 5]))
+    r = df.graphql.execute('{ df { groupby { g { keys count mean { v } } } } }')
+    assert not r.errors, r.errors
+    gb = r.data["df"]["groupby"]["g"]
+    assert gb["keys"] == [0, 1]
+    assert gb["count"] == [2, 3]
+    assert gb["mean"]["v"] == pytest.approx([1.5, 4.0])
+
+
+def test_graphql_schema_and_errors(df_local):
+    schema = df_local.graphql.schema()
+    r = schema.execute("{ df { count } }")
+    assert r.data == {"df": {"count": 10}}
+    r = df_local.graphql.execute("{ df { nosuchfield } }")
+    assert r.errors and "nosuchfield" in str(r.errors[0])
+    r = df_local.graphql.execute("{ df { count ")  # syntax error
+    assert r.errors
+
+
+def test_graphql_serve(df_local):
+    import json
+    import urllib.request
+    server = df_local.graphql.serve(port=0, verbose=False)
+    try:
+        port = server.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/graphql",
+            data=json.dumps({"query": "{ df { count sum { x } } }"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            out = json.loads(resp.read())
+        assert out["data"]["df"]["count"] == 10
+        assert out["data"]["df"]["sum"]["x"] == 45.0
+    finally:
+        server.shutdown()
+
+
 def test_fits_roundtrip(tmp_path):
     from vaex_tpu.astro import export_fits
     df = vaex.from_arrays(x=np.arange(10.0), i=np.arange(10, dtype=np.int32),
