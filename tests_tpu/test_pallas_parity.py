@@ -103,3 +103,20 @@ def test_dataframe_mean_matches_numpy_on_device():
             if sel.any():
                 ref[i, j] = E[sel].mean()
     np.testing.assert_allclose(np.asarray(mean), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_f64_minmax_bitwise_on_device():
+    """f64 min/max must be BITWISE exact on TPU via the u64-key domain
+    (gridagg._f64_to_key) despite emulated f64 compares (VERDICT r1 #10)."""
+    import vaex_tpu as vaex
+    rng = np.random.RandomState(1)
+    x = rng.normal(0, 1e12, 300_001).astype(np.float64) * 10.0**rng.randint(-30, 30, 300_001)
+    x[3] = -0.0
+    x[4] = 0.0
+    df = vaex.from_arrays(x=x, g=(np.arange(300_001) % 5).astype(np.int64))
+    mn, mx = df.minmax("x")
+    assert float(mn) == np.nanmin(x)
+    assert float(mx) == np.nanmax(x)
+    grid = np.asarray(df.min("x", binby="g", limits=[0, 5], shape=5))
+    ref = np.array([np.nanmin(x[np.arange(300_001) % 5 == k]) for k in range(5)])
+    np.testing.assert_array_equal(grid, ref)

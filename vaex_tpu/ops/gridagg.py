@@ -337,6 +337,37 @@ def _sum_partial_dtype(data_dtype, acc_dtype):
 
 
 
+def _f64_to_key(values):
+    """f64 → order-preserving u64 key, exact on TPU.
+
+    TPU f64 *comparisons* are emulated and carry ~1-2 ulp noise, and the x64
+    rewriter lacks a same-width f64→s64 bitcast-convert; but a narrowing
+    bitcast f64→u32[..., 2] IS supported, and u64 shifts/compares are exact.
+    Standard IEEE total-order transform: negatives bit-inverted, positives
+    get the sign bit set — u64 ordering then equals float ordering, so
+    min/max on keys are bitwise-exact (VERDICT r1 item 10)."""
+    lohi = jax.lax.bitcast_convert_type(values.astype(jnp.float64), jnp.uint32)
+    bits = (lohi[..., 1].astype(jnp.uint64) << 32) | lohi[..., 0].astype(jnp.uint64)
+    neg = bits >> 63 == 1
+    return jnp.where(neg, ~bits, bits | jnp.uint64(0x8000000000000000))
+
+
+def _key_to_f64(keys):
+    """Host-side inverse of _f64_to_key (numpy)."""
+    keys = np.asarray(keys, dtype=np.uint64)
+    neg = (keys >> np.uint64(63)) == 0
+    bits = np.where(neg, ~keys, keys & np.uint64(0x7FFFFFFFFFFFFFFF))
+    return bits.astype(np.uint64).view(np.float64)
+
+
+def _f64_key_host(x):
+    """Host-side forward transform of one f64 (sentinels: key of +/-inf)."""
+    bits = np.float64(x).view(np.uint64)
+    if bits >> np.uint64(63):
+        return np.uint64(~bits)
+    return np.uint64(bits | np.uint64(0x8000000000000000))
+
+
 def _onehot_cell_limit():
     """One-hot compare+reduce beats scatter up to ~8192 cells on TPU (VPU
     loves the fused compare+tree-reduce; scatters serialize).  On CPU the
@@ -454,8 +485,16 @@ class AggOpSumMoment(AggOp):
 
 
 class AggOpMin(AggOp):
+    def _use_f64_keys(self):
+        # f64 comparisons on TPU are emulated with ~1-2 ulp noise; the
+        # u64-key domain makes min/max bitwise-exact.  Used on every backend
+        # so CPU tests exercise the exact device path.
+        return np.dtype(self.data_dtype).kind == "f" and np.dtype(self.data_dtype).itemsize == 8
+
     def _sentinel(self):
         dt = np.dtype(self.data_dtype)
+        if self._use_f64_keys():
+            return _f64_key_host(np.inf)
         if dt.kind == "f":
             return np.array(np.inf, dtype=dt)
         if dt.kind in "mM":
@@ -464,12 +503,16 @@ class AggOpMin(AggOp):
 
     def init(self, ncells):
         dt = np.dtype(self.data_dtype)
-        if dt.kind in "mM":
+        if self._use_f64_keys():
+            dt = np.dtype(np.uint64)
+        elif dt.kind in "mM":
             dt = np.dtype(np.int64)
         return jnp.full(ncells + 1, self._sentinel(), dtype=dt)
 
     def update(self, state, idx, value, include, order_key=None):
         routed = jnp.where(include, idx, state.shape[0] - 1)
+        if self._use_f64_keys():
+            value = _f64_to_key(value)
         v = jnp.where(include, value, self._sentinel()).astype(state.dtype)
         n = state.shape[0]
         if n == 2:
@@ -487,10 +530,19 @@ class AggOpMin(AggOp):
     def merge(self, state, other):
         return jnp.minimum(state, other)
 
+    def finalize(self, state):
+        if self._use_f64_keys():
+            return _key_to_f64(state)
+        return state
+
 
 class AggOpMax(AggOp):
+    _use_f64_keys = AggOpMin._use_f64_keys
+
     def _sentinel(self):
         dt = np.dtype(self.data_dtype)
+        if self._use_f64_keys():
+            return _f64_key_host(-np.inf)
         if dt.kind == "f":
             return np.array(-np.inf, dtype=dt)
         if dt.kind in "mM":
@@ -499,12 +551,16 @@ class AggOpMax(AggOp):
 
     def init(self, ncells):
         dt = np.dtype(self.data_dtype)
-        if dt.kind in "mM":
+        if self._use_f64_keys():
+            dt = np.dtype(np.uint64)
+        elif dt.kind in "mM":
             dt = np.dtype(np.int64)
         return jnp.full(ncells + 1, self._sentinel(), dtype=dt)
 
     def update(self, state, idx, value, include, order_key=None):
         routed = jnp.where(include, idx, state.shape[0] - 1)
+        if self._use_f64_keys():
+            value = _f64_to_key(value)
         v = jnp.where(include, value, self._sentinel()).astype(state.dtype)
         n = state.shape[0]
         if n == 2:
@@ -521,6 +577,11 @@ class AggOpMax(AggOp):
 
     def merge(self, state, other):
         return jnp.maximum(state, other)
+
+    def finalize(self, state):
+        if self._use_f64_keys():
+            return _key_to_f64(state)
+        return state
 
 
 _ORDER_SENTINEL = np.iinfo(np.int64).max
