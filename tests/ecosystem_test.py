@@ -153,6 +153,28 @@ def test_graphql_serve(df_local):
         server.shutdown()
 
 
+def test_contrib_gbq_gates():
+    """BigQuery module loads without credentials/deps and fails actionably
+    (reference: vaex-contrib/vaex/contrib/io/gbq.py behind optional_import)."""
+    import vaex_tpu.contrib.io.gbq as gbq
+    with pytest.raises(Exception) as e:
+        gbq.from_query("select 1")
+    # either the dependency gate (ImportError) or, when google-cloud-bigquery
+    # is installed, its credentials error — both are actionable
+    assert isinstance(e.value, (ImportError, Exception))
+    with pytest.raises(ImportError, match="bigquery"):
+        gbq._bigquery_storage()
+
+
+def test_to_arrow_table_chunked(df_local):
+    parts = list(df_local.to_arrow_table(chunk_size=4))
+    assert [(i1, i2, t.num_rows) for i1, i2, t in parts] == [(0, 4, 4), (4, 8, 4), (8, 10, 2)]
+    import pyarrow as pa
+    whole = pa.concat_tables([t for _, _, t in parts])
+    assert whole.num_rows == 10
+    assert np.asarray(whole["x"]).tolist() == list(range(10))
+
+
 def test_fits_roundtrip(tmp_path):
     from vaex_tpu.astro import export_fits
     df = vaex.from_arrays(x=np.arange(10.0), i=np.arange(10, dtype=np.int32),

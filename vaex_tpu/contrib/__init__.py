@@ -1,0 +1,5 @@
+"""Contributed integrations (reference: packages/vaex-contrib).
+
+Everything here gates its third-party dependencies at call time, so the
+package imports cleanly in environments without them.
+"""

@@ -1287,8 +1287,17 @@ class DataFrame:
 
     def to_arrow_table(self, column_names=None, selection=None, strings=True, virtual=True,
                        parallel=True, chunk_size=None, reduce_large=False):
+        """Arrow table; with chunk_size a generator of (i1, i2, table)
+        (reference: dataframe.py to_arrow_table chunked mode)."""
         import pyarrow as pa
         column_names = column_names or self.get_column_names(strings=strings, virtual=virtual)
+        if chunk_size is not None:
+            def chunks():
+                for i1, i2, blocks in self.evaluate_iterator(column_names, chunk_size=chunk_size,
+                                                             selection=selection):
+                    arrays = [array_types.to_arrow(b) for b in blocks]
+                    yield i1, i2, pa.table(arrays, names=column_names)
+            return chunks()
         arrays = [array_types.to_arrow(self.evaluate(name, selection=selection)) for name in column_names]
         return pa.table(arrays, names=column_names)
 
