@@ -126,6 +126,55 @@ def test_cache_hits(df_local):
         assert cache.log_stats["hit"] > before.get("hit", 0)
 
 
+def test_cache_redis_tier(df_local):
+    """Redis tier drives the same MutableMapping protocol; tested with an
+    injected fake client (reference: vaex/cache.py:272-371 redis)."""
+    from vaex_tpu import cache
+
+    class FakeRedis:
+        def __init__(self):
+            self.store = {}
+
+        def get(self, k):
+            return self.store.get(k)
+
+        def set(self, k, v):
+            self.store[k] = v
+
+        def delete(self, k):
+            return self.store.pop(k, None) is not None
+
+        def scan_iter(self, pattern):
+            prefix = pattern.rstrip("*")
+            return iter([k.encode() for k in self.store if k.startswith(prefix)])
+
+    fake = FakeRedis()
+    r = cache.RedisCache(client=fake)
+    old = cache.cache
+    cache.cache = r
+    try:
+        v1 = df_local.sum("x")
+        assert len(r) == 1 and fake.store  # result landed in "redis"
+        v2 = df_local.sum("x")
+        assert v1 == v2 == 45
+        key = next(iter(r))
+        del r[key]
+        assert len(r) == 0
+        with pytest.raises(KeyError):
+            r[key]
+    finally:
+        cache.cache = old
+    # unknown type spec raises actionably; redis spec requires the package
+    with pytest.raises(ValueError, match="unknown cache type"):
+        cache.on("bogus")
+    try:
+        import redis  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="redis"):
+            cache.on("memory,redis")
+    cache.off()
+
+
 def test_cache_disk(df_local, tmp_path):
     from vaex_tpu import cache, settings
     old_path = settings.cache.path

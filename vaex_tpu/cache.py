@@ -136,6 +136,49 @@ class MultiLevelCache(collections.abc.MutableMapping):
         return len(set(self))
 
 
+class RedisCache(collections.abc.MutableMapping):
+    """Redis-backed result cache (reference: vaex/cache.py:272-371 redis
+    tier).  Values are pickled; keys are namespaced under 'vaex_tpu:'.
+    Requires the `redis` package — gated at construction."""
+
+    PREFIX = "vaex_tpu:"
+
+    def __init__(self, client=None, url=None):
+        if client is None:
+            try:
+                import redis
+            except ImportError as e:
+                raise ImportError(
+                    "the redis cache tier requires the 'redis' package "
+                    "(pip install redis)") from e
+            url = url or settings.cache.redis_url
+            client = redis.Redis.from_url(url) if url else redis.Redis()
+        self.client = client
+
+    def _k(self, key):
+        return self.PREFIX + key
+
+    def __getitem__(self, key):
+        data = self.client.get(self._k(key))
+        if data is None:
+            raise KeyError(key)
+        return pickle.loads(data)
+
+    def __setitem__(self, key, value):
+        self.client.set(self._k(key), pickle.dumps(value, protocol=-1))
+
+    def __delitem__(self, key):
+        if not self.client.delete(self._k(key)):
+            raise KeyError(key)
+
+    def __iter__(self):
+        for k in self.client.scan_iter(self.PREFIX + "*"):
+            yield k.decode()[len(self.PREFIX):]
+
+    def __len__(self):
+        return sum(1 for _ in self)
+
+
 def _sizeof(value):
     import numpy as np
     if isinstance(value, np.ndarray):
@@ -147,14 +190,17 @@ def _sizeof(value):
 
 
 def _create(type_name):
-    if type_name in ("memory", "memory,disk"):
-        mem = MemoryCache(settings.cache.memory_size_limit)
-        if type_name == "memory,disk":
-            return MultiLevelCache(mem, DiskCache())
-        return mem
-    if type_name == "disk":
-        return DiskCache()
-    raise ValueError(f"unknown cache type {type_name!r}")
+    """Build a cache from a type spec; comma-separated names build a
+    multilevel cache front-to-back (reference: vaex/cache.py:272-326 —
+    'memory,disk', 'redis', 'memory,redis', ...)."""
+    singles = {"memory": lambda: MemoryCache(settings.cache.memory_size_limit),
+               "disk": DiskCache, "redis": RedisCache}
+    parts = [p.strip() for p in type_name.split(",") if p.strip()]
+    if not parts or any(p not in singles for p in parts):
+        raise ValueError(f"unknown cache type {type_name!r} "
+                         f"(choose from {sorted(singles)} or comma-combinations)")
+    levels = [singles[p]() for p in parts]
+    return levels[0] if len(levels) == 1 else MultiLevelCache(*levels)
 
 
 def on(type="memory"):

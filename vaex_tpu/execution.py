@@ -592,17 +592,26 @@ class ExecutorLocal(Executor):
 
 @functools.lru_cache(maxsize=64)
 def _group_packer(metas):
-    """Jitted packer for a fixed (shape, dtype) signature: flatten and
-    concatenate the leaves of each dtype into one buffer per dtype (no
-    bitcasts — the x64 rewriter can't bitcast 64-bit element types)."""
-    order = {}
+    """Jitted packer for a fixed (shape, dtype) signature: flatten the
+    leaves into as few buffers as possible.  All 4-byte dtypes bitcast to
+    one int32 buffer (every fetched buffer pays a tunnel round-trip, and
+    the count+sum grids of a binned-mean pass are i32+f32 — one buffer
+    instead of two).  64-bit dtypes stay grouped per dtype: the x64
+    rewriter can't bitcast 64-bit element types."""
+    order = {}  # group key -> [(leaf index, dtype)]
     for i, (_, dtype) in enumerate(metas):
-        order.setdefault(dtype, []).append(i)
+        key = "b32" if dtype.itemsize == 4 and dtype.kind in "iuf" else dtype
+        order.setdefault(key, []).append((i, dtype))
 
     def pack(*leaves):
         groups = []
-        for dtype, idxs in order.items():
-            parts = [leaves[i].reshape(-1) for i in idxs]
+        for key, items in order.items():
+            parts = []
+            for i, dtype in items:
+                leaf = leaves[i].reshape(-1)
+                if key == "b32" and leaf.dtype != jnp.int32:
+                    leaf = jax.lax.bitcast_convert_type(leaf, jnp.int32)
+                parts.append(leaf)
             groups.append(jnp.concatenate(parts) if len(parts) > 1 else parts[0])
         return tuple(groups)
 
@@ -620,12 +629,16 @@ def packed_device_get(tree):
     pack, order = _group_packer(metas)
     bufs = jax.device_get(pack(*leaves))
     out = [None] * len(leaves)
-    for buf, (dtype, idxs) in zip(bufs, order.items()):
+    for buf, (key, items) in zip(bufs, order.items()):
+        buf = np.asarray(buf)
         off = 0
-        for i in idxs:
+        for i, dtype in items:
             shape = metas[i][0]
             count = int(np.prod(shape, dtype=np.int64)) if shape else 1
-            out[i] = np.asarray(buf[off:off + count]).reshape(shape)
+            part = buf[off:off + count]
+            if key == "b32" and part.dtype != dtype:
+                part = part.view(dtype)
+            out[i] = part.reshape(shape)
             off += count
     return jax.tree_util.tree_unflatten(treedef, out)
 
