@@ -22,7 +22,10 @@ BASELINE_ROWS_PER_S = 1e9
 
 
 def main():
-    n = int(os.environ.get("BENCH_ROWS", 1 << 26))  # 64M rows default
+    # 128M rows: large enough that the tunnel's fixed per-query cost
+    # (~50ms of result-fetch RTTs that production hardware doesn't pay)
+    # is <15% of the pass; the marginal rate is reported alongside
+    n = int(os.environ.get("BENCH_ROWS", 1 << 27))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
 
     import vaex_tpu as vaex

@@ -301,10 +301,14 @@ class ExecutorLocal(Executor):
                               f"aggregation grids for {plan.task.aggregation_description!r}")
             states.append(state)
 
-        from .hash import _HashmapBuilder
+        from .hash import _HashmapBuilder, _DeviceUniqueBuilder
         program = None
         L_current = None
-        hashmap_builders = [_HashmapBuilder(t) for t in hashmap_tasks]
+        hashmap_builders = [
+            _DeviceUniqueBuilder(t) if _DeviceUniqueBuilder.eligible(t) else _HashmapBuilder(t)
+            for t in hashmap_tasks]
+        host_hashmap_tasks = [b.task for b in hashmap_builders
+                              if isinstance(b, _HashmapBuilder)]
         mr_values = {id(t): [] for t in mapreduce_tasks}
 
         i_chunk = 0
@@ -321,7 +325,7 @@ class ExecutorLocal(Executor):
             host_cols |= Expression(df, expr).root_columns()
         if need_filter and (not filter_on_device or mapreduce_tasks or hashmap_tasks):
             host_cols |= df._selection_dependencies("__filter__")
-        for t in hashmap_tasks + mapreduce_tasks:
+        for t in host_hashmap_tasks + mapreduce_tasks:
             host_cols |= t.dependencies()
         ds_fp = df.dataset.fingerprint
         boundaries = []
@@ -337,6 +341,9 @@ class ExecutorLocal(Executor):
             keys = [(ds_fp, name, b1, b2, _bucket_length(b2 - b1, n_shards)) for b1, b2 in boundaries]
             if all(_device_cache.get(k) is not None for k in keys):
                 fully_cached.add(name)
+        for b in hashmap_builders:
+            if not isinstance(b, _HashmapBuilder):
+                fully_cached.discard(b.task.expression)  # device builder reads chunks
         read_deps = [c for c in run.dataset_deps if c not in fully_cached]
 
         try:
@@ -371,8 +378,12 @@ class ExecutorLocal(Executor):
 
                 # ---- host paths
                 if hashmap_tasks or mapreduce_tasks:
+                    from .hash import _DeviceUniqueBuilder as _DUB
                     for builder in hashmap_builders:
-                        builder.process(get_host_scope(), i1, i2, filter_mask_host)
+                        if isinstance(builder, _DUB):
+                            builder.process_chunks(chunks, i1, i2, filter_mask_host)
+                        else:
+                            builder.process(get_host_scope(), i1, i2, filter_mask_host)
                     for t in mapreduce_tasks:
                         self._process_mapreduce(t, get_host_scope(), chunks, i1, i2,
                                                 filter_mask_host, mr_values[id(t)])

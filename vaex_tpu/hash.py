@@ -16,6 +16,8 @@ slot (nan_index), unknown values map to -1.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 try:
@@ -381,6 +383,124 @@ class HashMapUnique:
             hm._keys = np.asarray(spec["keys"])
         hm.null_index = spec["null_index"]
         hm.nan_index = spec["nan_index"]
+        return hm
+
+
+class _DeviceUniqueBuilder:
+    """Device sort-based unique build for plain integer columns.
+
+    The host ordered-set probe (src/vaex_native.cpp) runs ~14M rows/s at 1M
+    keys (measured, 16.7M rows) and dominates high-cardinality groupby
+    (VERDICT r1 #3).  On device the whole build is: concat chunk arrays →
+    one sort → segment-boundary mask → compaction scatter → fetch of the M
+    unique keys.  Keys come out ASCENDING (the device-native order; group
+    order is unspecified for sort=False, and ascending equals sort=True's
+    order) and the facade's sorted-cache is primed for free.
+
+    Eligibility is decided by `eligible()`: a stored non-masked integer or
+    temporal column, no selection, no return_inverse, and total row bytes
+    under VAEX_TPU_DEVICE_UNIQUE_MAX_BYTES (device memory bound).
+    """
+
+    MAX_BYTES = None  # resolved lazily from env
+
+    def __init__(self, task):
+        self.task = task
+        self.dtype = task.df.data_type(task.expression)
+        self.limit = task.limit
+        self.limit_raise = task.limit_raise
+        self._parts = []        # device value arrays (padded ok)
+        self._valids = []       # device bool arrays or None (all valid)
+        self._any_invalid = False
+
+    @classmethod
+    def max_bytes(cls):
+        if cls.MAX_BYTES is None:
+            import os
+            cls.MAX_BYTES = int(utils.parse_memory_size(
+                os.environ.get("VAEX_TPU_DEVICE_UNIQUE_MAX_BYTES", "2GB")))
+        return cls.MAX_BYTES
+
+    @classmethod
+    def eligible(cls, task):
+        import jax
+        df = task.df
+        expr = task.expression
+        if task.selection is not None or task.return_inverse:
+            return False
+        if expr not in df.dataset:
+            return False
+        col = df.dataset[expr]
+        if not isinstance(col, np.ndarray) or np.ma.isMaskedArray(col):
+            return False
+        dtype = df.data_type(expr)
+        if not (dtype.is_temporal or (dtype.is_numeric and dtype.numpy.kind in "iu")):
+            return False
+        rows = df._length_unfiltered
+        if rows * max(dtype.numpy.itemsize, 8) > cls.max_bytes():
+            return False
+        return rows >= 262_144  # small data: host probe wins on latency
+
+    def process_chunks(self, chunks, i1, i2, filter_mask_host):
+        import jax
+        from .execution import _device_view
+        values = _device_view(np.asarray(chunks[self.task.expression]))
+        self._parts.append(jax.device_put(values))
+        if filter_mask_host is not None:
+            self._valids.append(jax.device_put(np.ascontiguousarray(filter_mask_host)))
+            self._any_invalid = True
+        else:
+            self._valids.append(None)
+
+    def finish(self):
+        import jax
+        import jax.numpy as jnp
+        if not self._parts:
+            hm = HashMapUnique(self.dtype)
+            hm._finalize_indices()
+            return hm
+        cat = jnp.concatenate(self._parts)
+        if self._any_invalid:
+            valid = jnp.concatenate([
+                v if v is not None else jnp.ones(p.shape[0], bool)
+                for p, v in zip(self._parts, self._valids)])
+            # 2-key sort (validity major): invalid rows land at the end
+            # regardless of value — no in-band sentinel that could collide
+            inv_s, s = jax.lax.sort((~valid, cat), num_keys=2)
+            valid_s = ~inv_s
+        else:
+            s = jnp.sort(cat)
+            valid_s = None
+
+        @jax.jit
+        def boundaries(s, valid_s):
+            first = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+            if valid_s is not None:
+                first = first & valid_s
+            return first, first.sum()
+
+        first, count = boundaries(s, valid_s)
+        count = int(count)
+        if self.limit is not None and count > self.limit:
+            if self.limit_raise:
+                from . import RowLimitException
+                raise RowLimitException(
+                    f"number of unique values {count} exceeds limit {self.limit}")
+            count = self.limit
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def compact(s, first, k):
+            pos = jnp.cumsum(first) - 1
+            tgt = jnp.where(first & (pos < k), pos, k)
+            return jnp.zeros(k + 1, s.dtype).at[tgt].set(s)[:k]
+
+        keys = np.asarray(jax.device_get(compact(s, first, max(count, 1))))[:count]
+        np_dtype = self.dtype.numpy if not self.dtype.is_temporal else np.dtype("int64")
+        hm = HashMapUnique(self.dtype)
+        hm._native = None
+        hm._keys = keys.astype(np_dtype, copy=False)
+        hm._sorted_cache = (hm._keys, np.arange(len(hm._keys), dtype=np.int64))
+        hm._finalize_indices()
         return hm
 
 
