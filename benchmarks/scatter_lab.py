@@ -61,11 +61,13 @@ def _kernel_s3(c_ref, v_ref, grid_ref, *, tile, ncells, lanes):
     def _():
         grid_ref[...] = jnp.zeros_like(grid_ref)
 
+    one = jnp.ones((1,), jnp.float32)
+
     def body(i, _):
         cell = c_ref[0, 0, i]
         val = v_ref[0, 0, i]
         row = grid_ref[cell, :]       # [lanes] f32 (dynamic sublane index)
-        add = jnp.zeros((lanes,), jnp.float32).at[0].set(1.0).at[1].set(val)
+        add = jnp.concatenate([one, val.reshape(1)])  # no in-kernel scatter
         grid_ref[cell, :] = row + add
         return 0
 

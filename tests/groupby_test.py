@@ -324,3 +324,34 @@ def test_device_sort_unique_sparse_int64():
     # row_limit raises through the device path too
     with pytest.raises(vaex.RowLimitException):
         df.unique("k", limit=100, limit_raise=True)
+
+
+def test_device_unique_combined_multikey():
+    """The combined multi-key grouper's packed int64 virtual key is device-
+    compatible, so its discovery pass also uses the device sort-based build;
+    sums match pandas within the mixed-precision f64 model (~2^-17 rel)."""
+    import vaex_tpu as vaex
+    rng = np.random.RandomState(1)
+    n = 300_000
+    a = rng.randint(0, 1500, n).astype(np.int64)
+    b = rng.randint(0, 1500, n).astype(np.int64)
+    v = rng.rand(n)
+    df = vaex.from_arrays(a=a, b=b, v=v)
+    from vaex_tpu.hash import _DeviceUniqueBuilder
+    calls = []
+    orig = _DeviceUniqueBuilder.finish
+    _DeviceUniqueBuilder.finish = lambda self: (calls.append(1), orig(self))[1]
+    try:
+        g = df.groupby(["a", "b"], agg={"s": vaex.agg.sum("v")}, assume_sparse=True)
+    finally:
+        _DeviceUniqueBuilder.finish = orig
+    assert calls, "device builder did not engage for the combined key"
+    import pandas as pd
+    ref = pd.DataFrame({"a": a, "b": b, "v": v}).groupby(["a", "b"])["v"].sum()
+    assert len(g) == len(ref)
+    ga, gb, gs = (np.asarray(g[c].values) for c in ("a", "b", "s"))
+    got = dict(zip(zip(ga.tolist(), gb.tolist()), gs.tolist()))
+    idx = rng.choice(len(ref), 300, replace=False)
+    for i in idx:
+        key = ref.index[i]
+        assert abs(got[key] - ref.iloc[i]) < 1e-6 * max(1.0, abs(ref.iloc[i]))

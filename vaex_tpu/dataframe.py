@@ -2063,7 +2063,10 @@ class DataFrameLocal(DataFrame):
     def groupby(self, by=None, agg=None, sort=False, ascending=True, assume_sparse="auto",
                 row_limit=None, copy=True, progress=None, delay=False):
         from .groupby import GroupBy
-        groupby = GroupBy(self, by=by, sort=sort, ascending=ascending, row_limit=row_limit)
+        # assume_sparse is the reference's name for the combined multi-key
+        # strategy switch (reference: dataframe.py:7133 groupby)
+        groupby = GroupBy(self, by=by, sort=sort, ascending=ascending, row_limit=row_limit,
+                          combine=assume_sparse)
         if agg is None:
             return groupby
         return groupby.agg(agg)

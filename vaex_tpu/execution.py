@@ -343,7 +343,10 @@ class ExecutorLocal(Executor):
                 fully_cached.add(name)
         for b in hashmap_builders:
             if not isinstance(b, _HashmapBuilder):
-                fully_cached.discard(b.task.expression)  # device builder reads chunks
+                # device builder reads its root columns from the chunk dict
+                fully_cached.discard(b.task.expression)
+                from .expression import Expression as _Expr
+                fully_cached -= _Expr(df, b.task.expression).root_columns()
         read_deps = [c for c in run.dataset_deps if c not in fully_cached]
 
         try:

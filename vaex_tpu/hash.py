@@ -423,19 +423,34 @@ class _DeviceUniqueBuilder:
 
     @classmethod
     def eligible(cls, task):
-        import jax
         df = task.df
         expr = task.expression
         if task.selection is not None or task.return_inverse:
             return False
-        if expr not in df.dataset:
-            return False
-        col = df.dataset[expr]
-        if not isinstance(col, np.ndarray) or np.ma.isMaskedArray(col):
-            return False
         dtype = df.data_type(expr)
         if not (dtype.is_temporal or (dtype.is_numeric and dtype.numpy.kind in "iu")):
             return False
+        if expr in df.dataset:
+            col = df.dataset[expr]
+            if not isinstance(col, np.ndarray) or np.ma.isMaskedArray(col):
+                return False
+        else:
+            # virtual integer keys (e.g. GrouperCombined's packed multi-key)
+            # are eligible when the whole expression evaluates on device and
+            # every root column is a plain stored numeric array
+            from .scopes import expression_is_device_compatible
+            from .expression import Expression
+            if not expression_is_device_compatible(df, expr):
+                return False
+            for name in Expression(df, expr).root_columns():
+                if name not in df.dataset:
+                    return False
+                col = df.dataset[name]
+                if not isinstance(col, np.ndarray) or np.ma.isMaskedArray(col):
+                    return False
+                ct = df.data_type(name)
+                if not (ct.is_temporal or ct.is_numeric or ct.is_bool):
+                    return False
         rows = df._length_unfiltered
         if rows * max(dtype.numpy.itemsize, 8) > cls.max_bytes():
             return False
@@ -444,13 +459,37 @@ class _DeviceUniqueBuilder:
     def process_chunks(self, chunks, i1, i2, filter_mask_host):
         import jax
         from .execution import _device_view
-        values = _device_view(np.asarray(chunks[self.task.expression]))
-        self._parts.append(jax.device_put(values))
+        expr = self.task.expression
+        if expr in chunks:
+            values = jax.device_put(_device_view(np.asarray(chunks[expr])))
+        else:
+            values = self._eval_device(chunks)
+        self._parts.append(values)
         if filter_mask_host is not None:
             self._valids.append(jax.device_put(np.ascontiguousarray(filter_mask_host)))
             self._any_invalid = True
         else:
             self._valids.append(None)
+
+    def _eval_device(self, chunks):
+        """Virtual integer key: evaluate the expression on device (jitted
+        DeviceScope over the chunk's root columns)."""
+        import jax
+        from .execution import _device_view
+        from .expression import Expression
+        from .scopes import DeviceScope
+        df = self.task.df
+        names = sorted(Expression(df, self.task.expression).root_columns())
+        cols = {n: jax.device_put(_device_view(np.asarray(chunks[n]))) for n in names}
+        if not hasattr(self, "_eval_jit"):
+            expr = self.task.expression
+
+            def run(cols):
+                mv = DeviceScope(df, values=cols, masks={}).evaluate(expr)
+                return mv.values
+
+            self._eval_jit = jax.jit(run)
+        return self._eval_jit(cols)
 
     def finish(self):
         import jax
