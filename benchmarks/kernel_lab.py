@@ -13,8 +13,19 @@ probe where the loss is:
   v3  v2 + int8 count matmul split from bf16 sum matmul
   v4  pure-XLA lax.scan over tiles of the v2 formulation (no pallas)
   v5  XLA scatter-add baseline
+  v8  payload on the B side: A=onehot(bx) built once, B=[hy|hy*vhi|hy*vlo]
+  v9  v8 with 3-level int8 quantization: one s8xs8 matmul [nx,T]@[T,4ny]
 
-Usage: python benchmarks/kernel_lab.py [N_rows]
+Round-2 measurements (8.4M rows, 256², marginal over tunnel RTT):
+v3 378M rows/s (production), v8 259-262M, v9 205-225M, scatter 70M.
+NEGATIVE RESULT: every variant converges to ~100-120 T(fl)ops/s effective
+on these one-hot shapes — int8's nominal 2x MXU rate does NOT materialize,
+and tile size / in-kernel sub-tiling change nothing (Mosaic already
+pipelines).  The binding constraint is raw op count, so v3 (fewest
+effective blocks: int8 count=0.5 + bf16 hi/lo=2) is the optimum of this
+design family; ~380M rows/s is the practical one-hot ceiling at 256².
+
+Usage: python benchmarks/kernel_lab.py [N_rows] [variant-substr,...]
 """
 
 import functools

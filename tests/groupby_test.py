@@ -355,3 +355,24 @@ def test_device_unique_combined_multikey():
     for i in idx:
         key = ref.index[i]
         assert abs(got[key] - ref.iloc[i]) < 1e-6 * max(1.0, abs(ref.iloc[i]))
+
+
+def test_device_unique_low_cardinality_probe():
+    """Low-cardinality keys must NOT take the device sort (TPU i64 sorts are
+    emulated — measured 12.6s vs 53ms host for 100 keys at 16.7M rows): the
+    first-chunk host probe switches the builder to the host incremental path."""
+    import vaex_tpu as vaex
+    from vaex_tpu.hash import _DeviceUniqueBuilder
+    rng = np.random.RandomState(5)
+    n = 300_000
+    keys = rng.randint(0, 100, n)
+    df = vaex.from_arrays(k=keys)
+    builders = []
+    orig = _DeviceUniqueBuilder.finish
+    _DeviceUniqueBuilder.finish = lambda self: (builders.append(self), orig(self))[1]
+    try:
+        u = np.sort(np.asarray(df.unique("k", array_type="numpy-arrow")))
+    finally:
+        _DeviceUniqueBuilder.finish = orig
+    np.testing.assert_array_equal(u, np.unique(keys))
+    assert builders and all(b._host_fallback is not None for b in builders)

@@ -384,7 +384,11 @@ class ExecutorLocal(Executor):
                     from .hash import _DeviceUniqueBuilder as _DUB
                     for builder in hashmap_builders:
                         if isinstance(builder, _DUB):
-                            builder.process_chunks(chunks, i1, i2, filter_mask_host)
+                            Lb = _bucket_length(n, n_shards)
+                            builder.process_chunks(
+                                chunks, i1, i2, filter_mask_host,
+                                get_host_scope=get_host_scope,
+                                cache_key=(ds_fp, start + i1, start + i2, Lb))
                         else:
                             builder.process(get_host_scope(), i1, i2, filter_mask_host)
                     for t in mapreduce_tasks:

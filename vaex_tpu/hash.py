@@ -412,6 +412,7 @@ class _DeviceUniqueBuilder:
         self._parts = []        # device value arrays (padded ok)
         self._valids = []       # device bool arrays or None (all valid)
         self._any_invalid = False
+        self._host_fallback = None  # set when the cardinality probe says host
 
     @classmethod
     def max_bytes(cls):
@@ -456,31 +457,91 @@ class _DeviceUniqueBuilder:
             return False
         return rows >= 262_144  # small data: host probe wins on latency
 
-    def process_chunks(self, chunks, i1, i2, filter_mask_host):
+    # below this many uniques the host incremental probe is far cheaper than
+    # a device sort (TPU i64 sorts are emulated; measured 12.6s for a 100-key
+    # 16.7M-row unique that the host does in 53ms)
+    LOW_CARDINALITY = 65_536
+    _probe_decisions = {}  # (dataset fp, expr) -> "host" | "device"
+
+    def process_chunks(self, chunks, i1, i2, filter_mask_host, get_host_scope=None,
+                       cache_key=None):
         import jax
-        from .execution import _device_view
+        import jax.numpy as jnp
+        if self._host_fallback is not None:
+            self._host_fallback.process(get_host_scope(), i1, i2, filter_mask_host)
+            return
         expr = self.task.expression
-        if expr in chunks:
-            values = jax.device_put(_device_view(np.asarray(chunks[expr])))
+        plain = expr in chunks
+        host_values = np.asarray(chunks[expr]) if plain else None
+        if not self._parts and get_host_scope is not None:
+            # first chunk: probe cardinality on host — low-cardinality keys
+            # (the overwhelmingly common categorical case) are much cheaper
+            # to build incrementally on host than to sort on device.  The
+            # decision is cached per (dataset, expression) so repeat calls
+            # skip the probe pass.
+            probe_key = (self.task.df.dataset.fingerprint, expr)
+            decision = self._probe_decisions.get(probe_key)
+            if decision is None:
+                import pandas as pd
+                probe = host_values if plain else np.asarray(
+                    array_types.to_numpy(get_host_scope().evaluate(expr)))
+                decision = "host" if len(pd.unique(probe)) <= self.LOW_CARDINALITY \
+                    else "device"
+                if len(self._probe_decisions) > 1024:
+                    self._probe_decisions.clear()
+                self._probe_decisions[probe_key] = decision
+            if decision == "host":
+                self._host_fallback = _HashmapBuilder(self.task)
+                self._host_fallback.process(get_host_scope(), i1, i2, filter_mask_host)
+                return
+        n = i2 - i1
+        L = cache_key[3] if cache_key is not None else n
+        if plain:
+            values = self._put_cached(expr, host_values, cache_key)
         else:
-            values = self._eval_device(chunks)
+            values = self._eval_device(chunks, cache_key)
         self._parts.append(values)
-        if filter_mask_host is not None:
-            self._valids.append(jax.device_put(np.ascontiguousarray(filter_mask_host)))
+        # validity: real rows only, minus filtered rows.  Padding from the
+        # shared device cache layout makes validity mandatory whenever L != n
+        if filter_mask_host is not None or L != n:
+            valid = jnp.arange(L, dtype=jnp.int32) < n
+            if filter_mask_host is not None:
+                from .execution import _pad_to
+                fm = jax.device_put(_pad_to(np.ascontiguousarray(filter_mask_host), L, fill=False))
+                valid = valid & fm
+            self._valids.append(valid)
             self._any_invalid = True
         else:
             self._valids.append(None)
 
-    def _eval_device(self, chunks):
-        """Virtual integer key: evaluate the expression on device (jitted
-        DeviceScope over the chunk's root columns)."""
+    def _put_cached(self, name, values_np, cache_key):
+        """Host chunk → device, through the executor's HBM column cache —
+        the same (dataset, column, range, pad) keys the aggregation path
+        uses, so repeated unique/groupby calls pay the H2D once (the r2
+        regression: an uncached 134MB i64 upload per call over the tunnel)."""
         import jax
-        from .execution import _device_view
+        from .execution import _device_cache, _device_view, _pad_to
+        values_np = _device_view(values_np)
+        if cache_key is None:
+            return jax.device_put(values_np)
+        ds_fp, a1, a2, L = cache_key
+        key = (ds_fp, name, a1, a2, L)
+        hit = _device_cache.get(key)
+        if hit is not None:
+            return hit[0]
+        dv = jax.device_put(_pad_to(values_np, L))
+        _device_cache.put(key, (dv, None))
+        return dv
+
+    def _eval_device(self, chunks, cache_key):
+        """Virtual integer key: evaluate the expression on device (jitted
+        DeviceScope over the chunk's cached root columns)."""
+        import jax
         from .expression import Expression
         from .scopes import DeviceScope
         df = self.task.df
         names = sorted(Expression(df, self.task.expression).root_columns())
-        cols = {n: jax.device_put(_device_view(np.asarray(chunks[n]))) for n in names}
+        cols = {n: self._put_cached(n, np.asarray(chunks[n]), cache_key) for n in names}
         if not hasattr(self, "_eval_jit"):
             expr = self.task.expression
 
@@ -494,6 +555,8 @@ class _DeviceUniqueBuilder:
     def finish(self):
         import jax
         import jax.numpy as jnp
+        if self._host_fallback is not None:
+            return self._host_fallback.finish()
         if not self._parts:
             hm = HashMapUnique(self.dtype)
             hm._finalize_indices()
