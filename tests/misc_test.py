@@ -672,3 +672,29 @@ def test_groupby_join_negative_zero():
     right = vaex.from_arrays(k=np.array([-0.0, 1.0]), b=np.array([10.0, 20.0]))
     j = left.join(right, on="k", how="left")
     assert j.evaluate("b").tolist() == [10.0, 20.0]
+
+
+def test_stat_expressions(df_local):
+    """Composable statistic algebra (reference: vaex/stat.py:7-122)."""
+    s = vaex.stat.mean("x") / vaex.stat.std("x")
+    v = s.calculate(df_local)
+    x = np.asarray(df_local.evaluate("x"))
+    assert v == pytest.approx(x.mean() / x.std())
+    # binned: count-normalized sum == mean where count > 0
+    expr = vaex.stat.sum("x") / vaex.stat.count("x")
+    grid = expr.calculate(df_local, binby="x", limits=[0, 10], shape=5)
+    ref = np.asarray(df_local.mean("x", binby="x", limits=[0, 10], shape=5))
+    counts = np.asarray(df_local.count(binby="x", limits=[0, 10], shape=5))
+    mask = counts > 0
+    np.testing.assert_allclose(np.asarray(grid)[mask], ref[mask])
+    # unary + reverse ops + repr
+    r = 1 - (-vaex.stat.min("x"))
+    assert r.calculate(df_local) == 1.0
+    assert "mean" in str(vaex.stat.mean("x"))
+    assert vaex.stat.mean("x").pretty_name() == "x_mean"
+    # delayed: both stats fuse into one pass
+    passes0 = df_local.executor.passes
+    d = (vaex.stat.sum("x") + vaex.stat.sum("y")).calculate(df_local, delay=True)
+    df_local.execute()
+    assert d.get() == 45 + np.asarray(df_local.evaluate("y")).sum()
+    assert df_local.executor.passes == passes0 + 1

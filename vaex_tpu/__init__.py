@@ -299,6 +299,7 @@ def register_dataframe_accessor(name, cls=None, override=False):
 # submodule conveniences (populated as the modules land)
 from . import agg  # noqa: E402,F401
 from . import cache  # noqa: E402,F401
+from . import stat  # noqa: E402,F401
 
 
 def _groupby_exports():
