@@ -500,6 +500,12 @@ class ExecutorLocal(Executor):
                     op = gridagg.AggOpSumMoment(dtype, moment=desc.agg_args.get("moment", 2))
                 else:
                     op = gridagg.make_agg_op(short, dtype)
+                if short in ("min", "max") and np.dtype(dtype) == np.dtype("float64") \
+                        and jax.default_backend() == "tpu":
+                    # TPU: no usable f64 compares or 64-bit bitcasts — the
+                    # order-preserving i64 key is computed host-side and
+                    # shipped (functions._f64_minmax_key; gridagg op decodes)
+                    value_expr = f"_f64_minmax_key({value_expr})"
             elif short in ("first", "last"):
                 value_expr = desc.expressions[0]
                 order_expr = desc.expressions[1] if len(desc.expressions) > 1 else None

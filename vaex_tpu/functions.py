@@ -865,6 +865,30 @@ def _pnpoly(xp, x, y, xs, ys):
     return inside
 
 
+@register_function(name="_f64_minmax_key")
+def _f64_minmax_key(x):
+    """f64 → order-preserving signed-i64 key, HOST-only (no device impl, so
+    the executor ships the pre-computed keys to the device).
+
+    On TPU neither f64 compares (emulated, ~1-2 ulp noise) nor any 64-bit
+    bitcast-convert (x64 rewriter limitation) are usable, so the bitwise
+    min/max key transform (ops/gridagg._f64_to_key) runs here in numpy;
+    NaNs surface as masked values so the aggregation skips them exactly
+    like the reference's nan handling (agg_minmax semantics)."""
+    mask = None
+    if np.ma.isMaskedArray(x):
+        mask = np.ma.getmaskarray(x)
+        x = x.data
+    values = np.ascontiguousarray(x, dtype=np.float64)
+    bits = values.view(np.int64)
+    keys = np.where(bits < 0, bits ^ np.int64(0x7FFFFFFFFFFFFFFF), bits)
+    nan = np.isnan(values)
+    if nan.any() or mask is not None:
+        full = nan if mask is None else (nan | mask)
+        return np.ma.MaskedArray(keys, mask=full)
+    return keys
+
+
 @register_function(name="_lasso")
 def _lasso(x, y, xs, ys):
     x = np.asarray(x)
