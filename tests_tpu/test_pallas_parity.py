@@ -120,3 +120,32 @@ def test_f64_minmax_bitwise_on_device():
     grid = np.asarray(df.min("x", binby="g", limits=[0, 5], shape=5))
     ref = np.array([np.nanmin(x[np.arange(300_001) % 5 == k]) for k in range(5)])
     np.testing.assert_array_equal(grid, ref)
+
+
+def test_fused_mean_std_binned_on_device():
+    """Binned mean+std fuse into one pass whose count/sum/summoment payloads
+    all ride the Pallas MXU kernel (execution.py pallas group + summoment)."""
+    import vaex_tpu as vaex
+    rng = np.random.RandomState(7)
+    n = 500_000
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    y = rng.uniform(-1, 1, n).astype(np.float32)
+    E = rng.normal(3, 2, n).astype(np.float32)
+    df = vaex.from_arrays(x=x, y=y, E=E)
+    limits = [[-1, 1], [-1, 1]]
+    mean = df.mean("E", binby=["x", "y"], limits=limits, shape=32, delay=True)
+    std = df.std("E", binby=["x", "y"], limits=limits, shape=32, delay=True)
+    passes0 = df.executor.passes
+    df.execute()
+    assert df.executor.passes == passes0 + 1  # fused into ONE pass
+    mean = np.asarray(mean.get())
+    std = np.asarray(std.get())
+    # numpy oracle on a few random cells
+    ex = ((x + 1) / 2 * 32).astype(np.int64).clip(0, 31)
+    ey = ((y + 1) / 2 * 32).astype(np.int64).clip(0, 31)
+    for i, j in [(0, 0), (5, 17), (31, 31), (16, 8)]:
+        sel = (ex == i) & (ey == j)
+        if sel.sum() < 10:
+            continue
+        np.testing.assert_allclose(mean[i, j], E[sel].mean(), rtol=5e-4)
+        np.testing.assert_allclose(std[i, j], E[sel].std(), rtol=5e-3)

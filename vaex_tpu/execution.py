@@ -734,9 +734,16 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
             nx, ny = binners[0].shape, binners[1].shape
             if nx * ny > MAX_CELLS or plan.order_expr is not None:
                 continue
-            if not isinstance(plan.op, (gridagg.AggOpCount, gridagg.AggOpSum)):
+            if not isinstance(plan.op, (gridagg.AggOpCount, gridagg.AggOpSum,
+                                        gridagg.AggOpSumMoment)):
                 continue
-            if isinstance(plan.op, gridagg.AggOpSum):
+            if isinstance(plan.op, gridagg.AggOpSumMoment):
+                # moment payloads (v**m) ride the same bf16 hi/lo matmul —
+                # the fused binned mean+std workload stays on the MXU
+                dt = np.dtype(plan.op.data_dtype)
+                if not (dt.kind == "f" and dt.itemsize <= 4):
+                    continue
+            elif isinstance(plan.op, gridagg.AggOpSum):
                 acc = plan.op.init(1)
                 if acc.dtype not in (jnp.float32, jnp.float64):
                     continue  # int sums need exact accumulation
@@ -746,7 +753,8 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
             groups.setdefault(key, []).append(i)
         for key, members in groups.items():
             count_idx = [i for i in members if isinstance(plans[i].op, gridagg.AggOpCount)]
-            sum_idx = [i for i in members if isinstance(plans[i].op, gridagg.AggOpSum)]
+            sum_idx = [i for i in members
+                       if isinstance(plans[i].op, (gridagg.AggOpSum, gridagg.AggOpSumMoment))]
             fused = count_idx[:1] + sum_idx[:4]  # >4 payloads: rest scatter
             if not fused or (not sum_idx and not count_idx):
                 continue
@@ -847,9 +855,15 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
                     # their include masks are identical traced values
                     bx = jnp.where(include, bins[0], -1).astype(jnp.int32)
                     by = jnp.where(include, bins[1], -1).astype(jnp.int32)
-                    vals = tuple(
-                        jnp.where(include, work[si][3], 0).astype(jnp.float32)
-                        for si in sis)
+
+                    def payload(si):
+                        v = jnp.where(include, work[si][3], 0).astype(jnp.float32)
+                        op = plans[si].op
+                        if isinstance(op, gridagg.AggOpSumMoment):
+                            v = v ** op.moment
+                        return v
+
+                    vals = tuple(payload(si) for si in sis)
                     pcount, psums = hist2d_grid(
                         bx, by, vals, binners[0].shape, binners[1].shape,
                         with_count=ci is not None)
