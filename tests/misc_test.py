@@ -698,3 +698,38 @@ def test_stat_expressions(df_local):
     df_local.execute()
     assert d.get() == 45 + np.asarray(df_local.evaluate("y")).sum()
     assert df_local.executor.passes == passes0 + 1
+
+
+def test_vaexfast_compat():
+    """Legacy vaex.vaexfast utility surface (reference: src/vaexfast.cpp)."""
+    from vaex_tpu import vaexfast
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0, 1, 10000)
+    counts = np.zeros(16)
+    vaexfast.histogram1d(x, None, counts, 0.0, 1.0)
+    ref, _ = np.histogram(x, bins=16, range=(0, 1))
+    np.testing.assert_allclose(counts, ref)
+    y = rng.uniform(0, 1, 10000)
+    counts2 = np.zeros((8, 8))
+    vaexfast.histogram2d(x, y, None, counts2, 0, 1, 0, 1)
+    ref2, _, _ = np.histogram2d(x, y, bins=8, range=[[0, 1], [0, 1]])
+    np.testing.assert_allclose(counts2, ref2)
+    # grid_interpolate: cumulative rows crossing value 0.5
+    grid = np.cumsum(np.full((3, 10), 0.1), axis=1)
+    out = np.zeros(3)
+    vaexfast.grid_interpolate(grid, out, 0.5)
+    np.testing.assert_allclose(out, 4.0)  # crosses 0.5 exactly at sample 4
+    # resize: block-summed downsample preserves totals
+    g = rng.rand(8, 8)
+    small = vaexfast.resize(g, 4)
+    assert small.shape == (4, 4)
+    np.testing.assert_allclose(small.sum(), g.sum())
+    np.testing.assert_allclose(small[0, 0], g[:2, :2].sum())
+    # soneira_peebles: eta**max_level points inside the initial window
+    pts = vaexfast.soneira_peebles(0.5, 1.0, 2.0, 3, 4)
+    assert len(pts) == 3 ** 4
+    assert np.all(np.abs(pts - 0.5) < 1.0)
+    # shuffled_sequence: a permutation of 0..n-1
+    arr = np.zeros(100, dtype=np.int64)
+    vaexfast.shuffled_sequence(arr)
+    np.testing.assert_array_equal(np.sort(arr), np.arange(100))
