@@ -195,7 +195,10 @@ class GrouperIntRange(BinnerBase):
 
     def create_binner(self, df):
         self.binby_expression = self.expression
-        self.binner = BinnerOrdinal(self.expression, self.N, self.min_value)
+        # bounds come from the data's own minmax, so every unmasked value is
+        # in range: 64-bit keys may bin with a plain i32 narrowing convert
+        self.binner = BinnerOrdinal(self.expression, self.N, self.min_value,
+                                    assume_in_range=True)
 
     def extract_center(self, dim, ar):
         slices = [slice(None)] * np.ndim(ar)

@@ -114,15 +114,23 @@ class BinnerOrdinal(BinnerBase):
 
     snake_name = "ordinal"
 
-    def __init__(self, expression, count, minimum=0, allow_other=False, invert=False):
+    def __init__(self, expression, count, minimum=0, allow_other=False, invert=False,
+                 assume_in_range=False):
         self.expression = str(expression)
         self.count = int(count)
         self.minimum = int(minimum)
         self.allow_other = bool(allow_other)
         self.invert = bool(invert)
+        # True when the producer guarantees every unmasked value lies in
+        # [minimum, minimum+count) — e.g. GrouperIntRange, whose bounds come
+        # from the data's own minmax.  Lets 64-bit keys bin with a plain
+        # i32 narrowing convert instead of emulated-i64 subtract+clip
+        # (values outside the guarantee may alias, so this is opt-in).
+        self.assume_in_range = bool(assume_in_range)
 
     def _key(self):
-        return (self.expression, self.count, self.minimum, self.allow_other, self.invert)
+        return (self.expression, self.count, self.minimum, self.allow_other, self.invert,
+                self.assume_in_range)
 
     @property
     def shape(self):
@@ -145,8 +153,15 @@ class BinnerOrdinal(BinnerBase):
             isnan = None
             v = values
         if v.dtype in (jnp.int64, jnp.uint64, jnp.float64):
-            shifted = v.astype(jnp.int64) - np.int64(self.minimum)
-            v = jnp.clip(shifted, -1, n).astype(jnp.int32)
+            if (self.assume_in_range
+                    and -2**31 <= self.minimum and self.minimum + n < 2**31):
+                # guaranteed-in-range values fit i32 exactly; excluded rows
+                # may alias after the narrowing convert but their bin is
+                # clipped and masked by the include routing anyway
+                v = v.astype(jnp.int32) - np.int32(self.minimum)
+            else:
+                shifted = v.astype(jnp.int64) - np.int64(self.minimum)
+                v = jnp.clip(shifted, -1, n).astype(jnp.int32)
         else:
             v = v.astype(jnp.int32) - np.int32(self.minimum)
         oor = (v < 0) | (v >= n)
@@ -169,12 +184,14 @@ class BinnerOrdinal(BinnerBase):
 
     def encode(self, encoding):
         return dict(type=self.snake_name, expression=self.expression, count=self.count,
-                    minimum=self.minimum, allow_other=self.allow_other, invert=self.invert)
+                    minimum=self.minimum, allow_other=self.allow_other, invert=self.invert,
+                    assume_in_range=self.assume_in_range)
 
     @classmethod
     def decode(cls, encoding, spec):
         return cls(spec["expression"], spec["count"], spec.get("minimum", 0),
-                   spec.get("allow_other", False), spec.get("invert", False))
+                   spec.get("allow_other", False), spec.get("invert", False),
+                   spec.get("assume_in_range", False))
 
 
 def decode_binner(spec):
