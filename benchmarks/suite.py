@@ -95,7 +95,21 @@ def bench_all(n, which=None, repeats=3):
     run("unique_cat", lambda d: d.unique("id1"))
     run("minmax", lambda d: d.minmax("x"))
     run("percentile_median", lambda d: d.percentile_approx("E", 50))
+    # reference benchmarks/groupbyh2o.py q7: range (max - min) per key
+    run("groupby_maxmin_q7", lambda d: d.groupby("id1", agg={
+        "mx": vaex_agg("max", "v3"), "mn": vaex_agg("min", "v3")}))
+    # reference benchmarks/sort.py
+    run("sort_f32", lambda d: d.sort("E"))
+    # reference benchmarks for join: lazy hash join, small right table
+    import vaex_tpu as _vaex
+    right = _vaex.from_arrays(id1=np.arange(100), label=np.arange(100) * 2)
+    run("join_small_right", lambda d: d.join(right, on="id1", rsuffix="_r"))
     return results
+
+
+def vaex_agg(name, col):
+    import vaex_tpu.agg as agg_mod
+    return getattr(agg_mod, name)(col)
 
 
 def main():

@@ -563,14 +563,35 @@ class ExecutorLocal(Executor):
                 masks[name] = dev_mask
             if key is not None:
                 _device_cache.put(key, (dev_values, dev_mask))
+        df_fp = None
         for expr in host_exprs:
+            # host-expression inputs (string funcs, UDFs, f64 minmax keys)
+            # also live in the HBM cache: keyed by the df state fingerprint
+            # since their values depend on virtual columns/variables — a
+            # repeated query re-uses the upload (an f64 minmax key column
+            # is 8B/row; re-shipping it per call dominated the q7 workload)
+            key = None
+            if cache_key_base is not None:
+                if df_fp is None:
+                    df_fp = df.fingerprint()
+                ds_fp, a1, a2 = cache_key_base
+                key = (ds_fp, "hostexpr", expr, df_fp, a1, a2, L)
+                cached = _device_cache.get(key)
+                if cached is not None:
+                    inputs[expr], mask = cached
+                    if mask is not None:
+                        masks[expr] = mask
+                    continue
             result = get_host_scope().evaluate(expr)
             values, valid = array_types.extract_mask(result)
             values = _device_view(np.asarray(values))
-            inputs[expr] = place(_pad_to(values, L)) if multiproc else _pad_to(values, L)
-            if valid is not None:
-                mask = _pad_to(~np.asarray(valid), L, fill=True)
-                masks[expr] = place(mask) if multiproc else mask
+            dev_values = place(_pad_to(values, L))
+            dev_mask = place(_pad_to(~np.asarray(valid), L, fill=True)) if valid is not None else None
+            inputs[expr] = dev_values
+            if dev_mask is not None:
+                masks[expr] = dev_mask
+            if key is not None:
+                _device_cache.put(key, (dev_values, dev_mask))
         if filter_mask_host is not None:
             fm = _pad_to(filter_mask_host, L, fill=False)
             inputs["__filter_mask__"] = place(fm) if multiproc else fm
