@@ -9,6 +9,37 @@ C++ evaluators on CPU threads.  See SURVEY.md for the design translation.
 
 from __future__ import annotations
 
+
+def _tune_malloc():
+    """Keep large buffers on the heap instead of per-call mmap/munmap.
+
+    glibc serves >128KB allocations with mmap and returns them on free, so
+    every pass re-faults its working set; in sandboxed runtimes (gVisor-
+    style) a 4KB fault costs ~0.4ms and a fresh 134MB numpy temp takes
+    ~13 SECONDS to first-touch (measured; 50ms once reused).  Raising
+    M_MMAP_THRESHOLD/M_TRIM_THRESHOLD makes the allocator retain and reuse
+    those buffers — repeated passes then run at memory speed.  Trade-off:
+    the process retains its high-water heap; opt out with
+    VAEX_TPU_MALLOC_TUNE=0.
+    """
+    import ctypes
+    import os
+    import sys
+    if not sys.platform.startswith("linux"):
+        return
+    if os.environ.get("VAEX_TPU_MALLOC_TUNE", "1").lower() in ("0", "false", "no"):
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except Exception:  # pragma: no cover - non-glibc platforms
+        pass
+
+
+_tune_malloc()
+
 import jax
 
 # Analytics semantics need int64/float64 (reference engine is numpy-based);

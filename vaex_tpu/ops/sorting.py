@@ -29,7 +29,10 @@ def lexsort_indices(keys, ascendings):
                 ar = _invert_order_host(ar)
             cols.append(ar)
         return np.lexsort(cols)
-    indices = jnp.arange(n, dtype=jnp.int64)
+    # i32 indices when rows fit: on a tunneled device the permutation fetch
+    # is the sort's dominant cost (16.7M rows: 134MB i64 vs 67MB i32)
+    itype = jnp.int32 if n < 2**31 else jnp.int64
+    indices = jnp.arange(n, dtype=itype)
     # iterate from least-significant key to most-significant, stable sort each
     for key, asc in zip(reversed(keys), reversed(ascendings)):
         values = jnp.asarray(_device_key(key))
