@@ -41,15 +41,19 @@ class RowIndex:
         return len(self.order)
 
     def lookup_first(self, values):
-        """(right_row or -1) per value — first match."""
+        """(right_row or -1) per value — first match.  int32 rows when the
+        right table fits: the lookup array is len(left)-sized, and halving
+        it halves the page-fault/transfer cost of the join's hot path."""
+        cdt = np.int32 if len(self.order) < 2**31 - 1 else np.int64
         codes = self.hashmap.map_ordinal(values)
         start = np.searchsorted(self.sorted_codes, codes, side="left")
         start_c = np.minimum(start, max(len(self.sorted_codes) - 1, 0))
         found = (codes >= 0) & (len(self.sorted_codes) > 0)
         if len(self.sorted_codes):
             found = found & (self.sorted_codes[start_c] == codes)
-        rows = np.where(found, self.order[start_c] if len(self.order) else 0, -1)
-        return rows.astype(np.int64)
+        order = self.order.astype(cdt, copy=False)
+        rows = np.where(found, order[start_c] if len(order) else cdt(0), cdt(-1))
+        return rows.astype(cdt, copy=False)
 
     def lookup_ranges(self, values):
         """(start, count) ranges into self.order per value (for duplicates)."""
