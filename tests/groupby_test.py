@@ -376,3 +376,39 @@ def test_device_unique_low_cardinality_probe():
         _DeviceUniqueBuilder.finish = orig
     np.testing.assert_array_equal(u, np.unique(keys))
     assert builders and all(b._host_fallback is not None for b in builders)
+
+
+def test_join_device_lookup(monkeypatch):
+    """Unique-key joins on large numeric left sides take the device lookup
+    (codes -> row_of_code single gather); parity with the host path."""
+    import vaex_tpu as vaex
+    from vaex_tpu import join as join_mod
+    monkeypatch.setenv("VAEX_TPU_FORCE_DEVICE_JOIN", "1")
+    monkeypatch.setenv("VAEX_TPU_DEVICE_JOIN_MIN_ROWS", "100000")
+    calls = []
+    orig = join_mod.RowIndex.lookup_first_device
+
+    def spy(self, values):
+        calls.append(1)
+        return orig(self, values)
+
+    monkeypatch.setattr(join_mod.RowIndex, "lookup_first_device", spy)
+    rng = np.random.RandomState(0)
+    n = 200_000
+    left_keys = rng.randint(0, 1000, n)
+    df = vaex.from_arrays(k=left_keys, E=rng.rand(n).astype(np.float32))
+    right = vaex.from_arrays(k=np.arange(500), lab=np.arange(500) * 3)
+    j = df.join(right, on="k", rsuffix="_r")
+    assert calls, "device lookup did not engage"
+    lab = j.evaluate("lab")
+    miss = np.ma.getmaskarray(lab)
+    np.testing.assert_array_equal(miss, left_keys >= 500)
+    got = np.asarray(np.ma.filled(lab, 0))
+    ref = np.where(left_keys < 500, left_keys * 3, 0)
+    np.testing.assert_array_equal(got, ref)
+    ji = df.join(right, on="k", how="inner")
+    assert len(ji) == int((left_keys < 500).sum())
+    # host/device parity directly
+    index = join_mod.RowIndex.build(np.arange(500))
+    np.testing.assert_array_equal(index.lookup_first(left_keys),
+                                  orig(index, left_keys))

@@ -19,6 +19,66 @@ from .dataset import DatasetArrays, DatasetMerged
 from .hash import HashMapUnique
 
 
+def _device_lookup_fn(hashmap, n_codes):
+    """Jitted (values, row_of_code) -> right rows; cached per key table so
+    repeated joins against the same right side compile once."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    key = (hashmap.fingerprint, n_codes)
+    fn = _device_lookup_cache.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.jit
+    def run(values, row_of_code):
+        from .dispatch import MV
+        codes = hashmap.map_ordinal_device(MV(values, None)).values
+        ok = (codes >= 0) & (codes < n_codes)
+        safe = jnp.where(ok, codes, 0)
+        return jnp.where(ok, row_of_code[safe], jnp.int32(-1))
+
+    if len(_device_lookup_cache) > 64:
+        _device_lookup_cache.clear()
+    _device_lookup_cache[key] = run
+    return run
+
+
+_device_lookup_cache = {}
+
+
+def _lookup_first_best(index, left_values):
+    """Pick the device lookup for large numeric left sides with unique right
+    keys (single-gather bijection); host binary search otherwise.
+
+    OPT-IN via VAEX_TPU_DEVICE_JOIN=1: on a direct-attached TPU the device
+    path wins (one gather at HBM speed + one i32 fetch), but it ships
+    len(left) key bytes each way — over a tunneled device the host path's
+    zero transfers win (measured 15s device vs 6s host at 16.7M rows), and
+    on the CPU backend the small-table broadcast mapping materializes a
+    [rows, keys] compare."""
+    import os
+    values = left_values
+    if not (os.environ.get("VAEX_TPU_DEVICE_JOIN")
+            or os.environ.get("VAEX_TPU_FORCE_DEVICE_JOIN")):
+        return index.lookup_first(values)
+    min_rows = int(os.environ.get("VAEX_TPU_DEVICE_JOIN_MIN_ROWS", 1 << 22))
+    eligible = (
+        not index.has_duplicates
+        and not index.hashmap._is_string
+        and isinstance(values, np.ndarray)
+        and not np.ma.isMaskedArray(values)
+        and values.dtype.kind in "iufMm"
+        and len(values) >= min_rows
+    )
+    if eligible:
+        try:
+            return index.lookup_first_device(values)
+        except Exception:  # pragma: no cover - fall back on any device issue
+            pass
+    return index.lookup_first(values)
+
+
 class RowIndex:
     """value → row(s) multimap over one column (reference: C++ index_hash,
     src/hash_primitives.hpp:732)."""
@@ -39,6 +99,24 @@ class RowIndex:
 
     def __len__(self):
         return len(self.order)
+
+    def lookup_first_device(self, values):
+        """Device-side first-match lookup for UNIQUE right keys: codes via
+        the compiled ordinal mapping (hash.map_ordinal_device), then one
+        small row_of_code gather — codes are a bijection onto right rows, so
+        no binary search at all.  One i32 fetch replaces the chain of
+        len(left)-sized host temporaries (which pay ~0.4ms/4KB first-touch
+        faults in sandboxed runtimes)."""
+        import jax
+        import jax.numpy as jnp
+        from .execution import _device_view
+        # right row per ordinal code (unique keys → exactly one row per code)
+        row_of_code = np.full(self.hashmap.count, -1, dtype=np.int32)
+        row_of_code[self.sorted_codes] = self.order.astype(np.int32)
+        dv = jax.device_put(_device_view(np.ascontiguousarray(values)))
+        fn = _device_lookup_fn(self.hashmap, len(row_of_code))
+
+        return np.asarray(fn(dv, jnp.asarray(row_of_code)))
 
     def lookup_first(self, values):
         """(right_row or -1) per value — first match.  int32 rows when the
@@ -111,10 +189,10 @@ def join(df, other, on=None, left_on=None, right_on=None, lprefix="", rprefix=""
                 left = left.take(left_take, filtered=False)
                 masked = bool((lookup == -1).any())
             else:
-                lookup = index.lookup_first(left_values)
+                lookup = _lookup_first_best(index, left_values)
                 masked = bool((lookup == -1).any())
         else:
-            lookup = index.lookup_first(left_values)
+            lookup = _lookup_first_best(index, left_values)
             masked = bool((lookup == -1).any())
 
         if how == "inner":
