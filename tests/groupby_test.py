@@ -412,3 +412,19 @@ def test_join_device_lookup(monkeypatch):
     index = join_mod.RowIndex.build(np.arange(500))
     np.testing.assert_array_equal(index.lookup_first(left_keys),
                                   orig(index, left_keys))
+
+
+def test_groupby_by_boolean_expression():
+    """groupby/binby by a single Expression object (e.g. df.x > 3) must not
+    be exploded by iteration (Expressions are iterable) — regression."""
+    import vaex_tpu as vaex
+    df = vaex.from_arrays(x=np.arange(10.0))
+    g = df.groupby(df.x > 3, agg={"n": "count"})
+    assert sorted(np.asarray(g["n"].values).tolist()) == [4, 6]
+    # bool min/max (sentinel uses int domain — np.iinfo rejects bool)
+    assert df.limits("x > 3", "minmax") == [0.0, 1.0]
+    grid = np.asarray(df.binby(df.x > 3, agg={"n": vaex.agg.count()}))
+    # parity quirk: with minmax limits the max value (True) lands in the
+    # overflow edge bin, so only the False rows appear in the visible grid
+    # (reference: /root/reference/tests/count_test.py:43 semantics)
+    assert grid.sum() == 4 and grid.ravel()[0] == 4

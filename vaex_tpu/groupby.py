@@ -433,7 +433,10 @@ class GroupByBase:
         self.df = df.copy()
         if by is None:
             by = []
-        if isinstance(by, (str,)) or not isinstance(by, collections.abc.Iterable):
+        from .expression import Expression as _Expression
+        # Expression objects are iterable (element access) — a single one
+        # must NOT be exploded by list(by)
+        if isinstance(by, (str, _Expression, BinnerBase)) or not isinstance(by, collections.abc.Iterable):
             by = [by]
         by = list(by)
         sorts = sort if isinstance(sort, (list, tuple)) else [sort] * len(by)
@@ -686,7 +689,10 @@ class BinBy(GroupByBase):
     def __init__(self, df, by, sort=False, ascending=True, limits=None, shape=128):
         if by is None:
             by = []
-        if isinstance(by, (str,)) or not isinstance(by, collections.abc.Iterable):
+        from .expression import Expression as _Expression
+        # Expression objects are iterable (element access) — a single one
+        # must NOT be exploded by list(by)
+        if isinstance(by, (str, _Expression, BinnerBase)) or not isinstance(by, collections.abc.Iterable):
             by = [by]
         by = list(by)
         limits_list = limits if isinstance(limits, (list, tuple)) and len(by) > 1 else [limits] * len(by)

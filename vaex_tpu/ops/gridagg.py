@@ -519,6 +519,8 @@ class AggOpMin(AggOp):
             return np.array(np.inf, dtype=dt)
         if dt.kind in "mM":
             return np.array(np.iinfo(np.int64).max, dtype=np.int64)
+        if dt.kind == "b":  # booleans reduce in int32 (np.iinfo rejects bool)
+            dt = np.dtype("int32")
         return np.array(np.iinfo(dt).max, dtype=dt)
 
     def init(self, ncells):
@@ -527,6 +529,8 @@ class AggOpMin(AggOp):
             dt = np.dtype(np.int64)
         elif dt.kind in "mM":
             dt = np.dtype(np.int64)
+        elif dt.kind == "b":
+            dt = np.dtype(np.int32)
         return jnp.full(ncells + 1, self._sentinel(), dtype=dt)
 
     def update(self, state, idx, value, include, order_key=None):
@@ -570,6 +574,8 @@ class AggOpMax(AggOp):
             return np.array(-np.inf, dtype=dt)
         if dt.kind in "mM":
             return np.array(np.iinfo(np.int64).min, dtype=np.int64)
+        if dt.kind == "b":
+            dt = np.dtype("int32")
         return np.array(np.iinfo(dt).min, dtype=dt)
 
     def init(self, ncells):
@@ -578,6 +584,8 @@ class AggOpMax(AggOp):
             dt = np.dtype(np.int64)
         elif dt.kind in "mM":
             dt = np.dtype(np.int64)
+        elif dt.kind == "b":
+            dt = np.dtype(np.int32)
         return jnp.full(ncells + 1, self._sentinel(), dtype=dt)
 
     def update(self, state, idx, value, include, order_key=None):
