@@ -235,3 +235,25 @@ def test_csv_lazy_quoted_newline_detected(tmp_path):
     with pytest.raises(ValueError, match="lazy=False"):
         for _ in ds.chunk_iterator(["a"], chunk_size=16):
             pass
+
+
+def test_json_roundtrip(tmp_path):
+    import vaex_tpu as vaex
+    df = vaex.from_arrays(x=np.arange(10.0), s=np.array(["a", "b"] * 5, dtype=object))
+    path = str(tmp_path / "t.json")
+    df.export(path)
+    d2 = vaex.open(path)
+    assert len(d2) == 10
+    assert np.asarray(d2.evaluate("x")).tolist() == list(np.arange(10.0))
+    assert d2.count(selection="s == 'a'") == 5
+
+
+def test_lazy_subpackage_attributes():
+    """vaex.ml.StandardScaler etc. work without explicit subpackage imports
+    (PEP 562 lazy module attributes)."""
+    import vaex_tpu as vaex
+    assert hasattr(vaex.ml, "StandardScaler")
+    assert hasattr(vaex.vaexfast, "histogram1d")
+    assert hasattr(vaex.contrib.io, "gbq")
+    with pytest.raises(AttributeError):
+        vaex.nonexistent_module

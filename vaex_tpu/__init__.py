@@ -346,6 +346,12 @@ def __getattr__(name):
     if name in ("DataFrame", "DataFrameLocal", "Expression"):
         from . import dataframe as _d, expression as _e
         return getattr(_d, name, None) or getattr(_e, name)
+    if name in ("ml", "viz", "widget", "geo", "astro", "server", "contrib",
+                "vaexfast", "io"):
+        # lazy subpackages: `vaex.ml.StandardScaler` works without an
+        # explicit `import vaex_tpu.ml` (PEP 562)
+        import importlib
+        return importlib.import_module(f".{name}", __name__)
     raise AttributeError(f"module 'vaex_tpu' has no attribute {name!r}")
 
 
