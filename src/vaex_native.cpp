@@ -21,6 +21,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <limits>
+#include <mutex>
 #include <thread>
 #include <unordered_map>
 #include <vector>
@@ -398,9 +400,499 @@ static PyObject* native_unpack_bitmap(PyObject*, PyObject* args) {
     return out_bytes;
 }
 
+// ----------------------------------------------------------------------------
+// argsort: stable LSD radix argsort for 32/64-bit numeric keys.
+//
+// The reference sorts via numpy (dataframe.py:4700); at 10⁷+ rows numpy's
+// mergesort runs ~3M rows/s here (single-core + sandbox page faults) while
+// this radix path measures >50M rows/s.  Keys are mapped to an
+// order-preserving unsigned domain (sign-flip for ints, bit-twiddle for
+// floats, NaN canonicalized positive so every NaN sorts last like numpy),
+// then 8-bit-digit LSD passes over (key, index) pairs; constant digits are
+// skipped.  Multithreaded per-pass count+scatter when cores are available.
+// ----------------------------------------------------------------------------
+
+// grow-only scratch arena reused across calls: freshly mmap'd pages cost
+// ~0.4-1 ms per 4KB to first-touch in sandboxed runtimes (PROGRESS.md round-2
+// find), so per-call 100MB+ std::vector scratch would dominate the sort
+struct ScratchArena {
+    std::mutex m;
+    std::vector<uint8_t> bufs[3];
+    void* get(int which, size_t nbytes) {
+        if (bufs[which].size() < nbytes) bufs[which].resize(nbytes);
+        return bufs[which].data();
+    }
+};
+static ScratchArena g_scratch;
+
+template <typename U>
+struct RadixSorter {
+    // 16-bit digits above 1M rows (2 passes for 32-bit keys instead of 4 —
+    // pass traffic dominates on low-bandwidth hosts; 128K-entry per-thread
+    // histograms still fit L2), 8-bit below.  Caller provides ping-pong
+    // scratch (kb/ib) sized n.
+    static void sort(U* keys, int32_t* idx, int64_t n, U* kb, int32_t* ib) {
+        if (n > (int64_t)1 << 20) sort_digits<16>(keys, idx, n, kb, ib);
+        else sort_digits<8>(keys, idx, n, kb, ib);
+    }
+
+    template <int DIGIT_BITS>
+    static void sort_digits(U* keys, int32_t* idx, int64_t n, U* kb0, int32_t* ib0) {
+        constexpr int64_t NDIG = (int64_t)1 << DIGIT_BITS;
+        constexpr U DMASK = (U)(NDIG - 1);
+        U* ka = keys; U* kb = kb0;
+        int32_t* ia = idx; int32_t* ib = ib0;
+        int passes = (int)(sizeof(U) * 8 / DIGIT_BITS);
+        int64_t nthreads = (int64_t)std::thread::hardware_concurrency();
+        if (nthreads < 1) nthreads = 1;
+        if (nthreads > 16) nthreads = 16;
+        if (n < (int64_t)1 << 16) nthreads = 1;
+        int64_t step = (n + nthreads - 1) / nthreads;
+
+        for (int p = 0; p < passes; p++) {
+            int shift = p * DIGIT_BITS;
+            // per-thread digit histograms
+            std::vector<int64_t> hist((size_t)(nthreads * NDIG), 0);
+            auto count_block = [&](int64_t t) {
+                int64_t i0 = t * step, i1 = std::min(n, i0 + step);
+                int64_t* h = hist.data() + t * NDIG;
+                for (int64_t i = i0; i < i1; i++) h[(ka[i] >> shift) & DMASK]++;
+            };
+            if (nthreads == 1) {
+                count_block(0);
+            } else {
+                std::vector<std::thread> ws;
+                for (int64_t t = 0; t < nthreads; t++) ws.emplace_back(count_block, t);
+                for (auto& w : ws) w.join();
+            }
+            // skip constant digits (high digits of small-range keys): the
+            // first digit with any mass either holds all n (skip the pass)
+            // or the pass is needed
+            bool constant = false;
+            for (int64_t d = 0; d < NDIG; d++) {
+                int64_t total = 0;
+                for (int64_t t = 0; t < nthreads; t++) total += hist[(size_t)(t * NDIG + d)];
+                if (total == n) { constant = true; break; }
+                if (total) break;
+            }
+            if (constant) continue;
+            // exclusive prefix in (digit, thread) order -> stable scatter offsets
+            int64_t run = 0;
+            for (int64_t d = 0; d < NDIG; d++) {
+                for (int64_t t = 0; t < nthreads; t++) {
+                    int64_t& h = hist[(size_t)(t * NDIG + d)];
+                    int64_t c = h; h = run; run += c;
+                }
+            }
+            auto scatter_block = [&](int64_t t) {
+                int64_t i0 = t * step, i1 = std::min(n, i0 + step);
+                int64_t* off = hist.data() + t * NDIG;
+                for (int64_t i = i0; i < i1; i++) {
+                    int64_t pos = off[(ka[i] >> shift) & DMASK]++;
+                    kb[pos] = ka[i];
+                    ib[pos] = ia[i];
+                }
+            };
+            if (nthreads == 1) {
+                scatter_block(0);
+            } else {
+                std::vector<std::thread> ws;
+                for (int64_t t = 0; t < nthreads; t++) ws.emplace_back(scatter_block, t);
+                for (auto& w : ws) w.join();
+            }
+            std::swap(ka, kb);
+            std::swap(ia, ib);
+        }
+        if (ia != idx) {
+            std::memcpy(idx, ia, (size_t)n * 4);
+            std::memcpy(keys, ka, (size_t)n * sizeof(U));
+        }
+    }
+};
+
+// order-preserving unsigned key transforms (descending handled python-side)
+static inline uint32_t key_u32_from_i32(int32_t x) { return (uint32_t)x ^ 0x80000000u; }
+static inline uint64_t key_u64_from_i64(int64_t x) { return (uint64_t)x ^ 0x8000000000000000ull; }
+static inline uint32_t key_u32_from_f32(float x) {
+    if (std::isnan(x)) x = std::numeric_limits<float>::quiet_NaN();  // +NaN: sorts last
+    uint32_t u; std::memcpy(&u, &x, 4);
+    return (u & 0x80000000u) ? ~u : (u | 0x80000000u);
+}
+static inline uint64_t key_u64_from_f64(double x) {
+    if (std::isnan(x)) x = std::numeric_limits<double>::quiet_NaN();
+    uint64_t u; std::memcpy(&u, &x, 8);
+    return (u & 0x8000000000000000ull) ? ~u : (u | 0x8000000000000000ull);
+}
+
+static PyObject* native_argsort(PyObject*, PyObject* args) {
+    PyObject* array;
+    const char* dtype_str;
+    if (!PyArg_ParseTuple(args, "Os", &array, &dtype_str)) return nullptr;
+    BufferView buf;
+    if (!buf.acquire(array)) return nullptr;
+    std::string dt(dtype_str);
+    size_t isz = (dt == "int32" || dt == "uint32" || dt == "float32") ? 4 : 8;
+    if ((size_t)buf.view.itemsize != isz) {
+        PyErr_SetString(PyExc_TypeError, "itemsize mismatch");
+        return nullptr;
+    }
+    int64_t n = buf.view.len / (Py_ssize_t)isz;
+    if (n >= ((int64_t)1 << 31)) {
+        PyErr_SetString(PyExc_OverflowError, "argsort: >=2^31 rows needs the chunked path");
+        return nullptr;
+    }
+    PyObject* out_bytes = PyBytes_FromStringAndSize(nullptr, n * 4);
+    if (!out_bytes) return nullptr;
+    int32_t* idx = (int32_t*)PyBytes_AS_STRING(out_bytes);
+    bool bad_dtype = false;
+    Py_BEGIN_ALLOW_THREADS {
+        std::lock_guard<std::mutex> guard(g_scratch.m);
+        for (int64_t i = 0; i < n; i++) idx[i] = (int32_t)i;
+        const void* data = buf.view.buf;
+        int32_t* ib = (int32_t*)g_scratch.get(2, (size_t)n * 4);
+        if (isz == 4) {
+            uint32_t* keys = (uint32_t*)g_scratch.get(0, (size_t)n * 4);
+            uint32_t* kb = (uint32_t*)g_scratch.get(1, (size_t)n * 4);
+            if (dt == "int32") {
+                const int32_t* d = (const int32_t*)data;
+                for (int64_t i = 0; i < n; i++) keys[i] = key_u32_from_i32(d[i]);
+            } else if (dt == "uint32") {
+                std::memcpy(keys, data, (size_t)n * 4);
+            } else if (dt == "float32") {
+                const float* d = (const float*)data;
+                for (int64_t i = 0; i < n; i++) keys[i] = key_u32_from_f32(d[i]);
+            } else bad_dtype = true;
+            if (!bad_dtype) RadixSorter<uint32_t>::sort(keys, idx, n, kb, ib);
+        } else {
+            uint64_t* keys = (uint64_t*)g_scratch.get(0, (size_t)n * 8);
+            uint64_t* kb = (uint64_t*)g_scratch.get(1, (size_t)n * 8);
+            if (dt == "int64") {
+                const int64_t* d = (const int64_t*)data;
+                for (int64_t i = 0; i < n; i++) keys[i] = key_u64_from_i64(d[i]);
+            } else if (dt == "uint64") {
+                std::memcpy(keys, data, (size_t)n * 8);
+            } else if (dt == "float64") {
+                const double* d = (const double*)data;
+                for (int64_t i = 0; i < n; i++) keys[i] = key_u64_from_f64(d[i]);
+            } else bad_dtype = true;
+            if (!bad_dtype) RadixSorter<uint64_t>::sort(keys, idx, n, kb, ib);
+        }
+    }
+    Py_END_ALLOW_THREADS
+    if (bad_dtype) {
+        Py_DECREF(out_bytes);
+        PyErr_Format(PyExc_ValueError, "argsort: unsupported dtype %s", dtype_str);
+        return nullptr;
+    }
+    return out_bytes;
+}
+
+// ----------------------------------------------------------------------------
+// KeyIndex: key -> first-row open-addressing map (the reference's index_hash,
+// hash_primitives.hpp:732) powering joins.  build() inserts first occurrences
+// (parallel local maps over row ranges, merged in range order so the global
+// first-occurrence row wins); lookup() probes multithreaded.  Duplicate right
+// keys are detected and reported; the python layer falls back to the
+// sort-merge range path for them.
+// ----------------------------------------------------------------------------
+
+template <typename T>
+struct TypedIndex {
+    std::vector<int64_t> slots;  // index into keys+1, 0 = empty
+    std::vector<T> keys;
+    std::vector<int64_t> rows;   // first row per key
+    size_t mask = 0;
+    bool has_duplicates = false;
+    int64_t nkeys_dense = 0;
+    // dense direct-address mode for compact integer key ranges (the common
+    // dimension-table join): one bounds check + one load per lookup instead
+    // of 2-3 dependent cache misses of an open-addressing probe
+    bool dense = false;
+    int64_t dense_min = 0;
+    std::vector<int32_t> dense_rows;
+
+    TypedIndex() { rehash(1024); }
+
+    void rehash(size_t capacity) {
+        std::vector<int64_t> fresh(capacity, 0);
+        mask = capacity - 1;
+        for (size_t i = 0; i < keys.size(); i++) {
+            uint64_t h = TypedSet<T>::hash_key(keys[i]) & mask;
+            while (fresh[h] != 0) h = (h + 1) & mask;
+            fresh[h] = (int64_t)i + 1;
+        }
+        slots.swap(fresh);
+    }
+
+    void reserve(size_t n) {
+        size_t cap = 1024;
+        while (cap * 7 < n * 10) cap <<= 1;
+        if (cap > slots.size()) rehash(cap);
+    }
+
+    void insert_serial(const T* data, int64_t n, int64_t row0) {
+        for (int64_t i = 0; i < n; i++) {
+            T key = data[i];
+            if constexpr (std::is_floating_point_v<T>) {
+                if (std::isnan(key)) continue;  // NaN != NaN: never matches
+            }
+            uint64_t h = TypedSet<T>::hash_key(key) & mask;
+            while (true) {
+                int64_t slot = slots[h];
+                if (slot == 0) {
+                    keys.push_back(key);
+                    rows.push_back(row0 + i);
+                    slots[h] = (int64_t)keys.size();
+                    if (keys.size() * 10 >= slots.size() * 7) rehash(slots.size() * 2);
+                    break;
+                }
+                if (keys[(size_t)slot - 1] == key) { has_duplicates = true; break; }
+                h = (h + 1) & mask;
+            }
+        }
+    }
+
+    void build(const T* data, int64_t n) {
+        if constexpr (std::is_integral_v<T>) {
+            if (n > 0) {
+                T lo = data[0], hi = data[0];
+                for (int64_t i = 1; i < n; i++) {
+                    if (data[i] < lo) lo = data[i];
+                    if (data[i] > hi) hi = data[i];
+                }
+                uint64_t range = (uint64_t)hi - (uint64_t)lo + 1;  // two's-complement safe
+                uint64_t cap = (uint64_t)std::max<int64_t>(4 * n, 1024);
+                if (range != 0 && range <= cap && range < ((uint64_t)1 << 31)) {
+                    dense = true;
+                    dense_min = (int64_t)lo;
+                    dense_rows.assign((size_t)range, -1);
+                    for (int64_t i = 0; i < n; i++) {
+                        int32_t& slot = dense_rows[(size_t)(data[i] - lo)];
+                        if (slot < 0) { slot = (int32_t)i; nkeys_dense++; }
+                        else has_duplicates = true;
+                    }
+                    return;
+                }
+            }
+        }
+        reserve((size_t)std::min<int64_t>(n, (int64_t)1 << 26));
+        int64_t nthreads = (int64_t)std::thread::hardware_concurrency();
+        if (nthreads > 16) nthreads = 16;
+        if (nthreads < 2 || n < (int64_t)1 << 20) {
+            insert_serial(data, n, 0);
+            return;
+        }
+        std::vector<TypedIndex<T>> locals((size_t)nthreads);
+        std::vector<std::thread> ws;
+        int64_t step = (n + nthreads - 1) / nthreads;
+        for (int64_t t = 0; t < nthreads; t++) {
+            int64_t i0 = t * step, i1 = std::min(n, i0 + step);
+            if (i0 >= i1) break;
+            ws.emplace_back([&locals, t, data, i0, i1] {
+                locals[(size_t)t].reserve((size_t)(i1 - i0));
+                locals[(size_t)t].insert_serial(data + i0, i1 - i0, i0);
+            });
+        }
+        for (auto& w : ws) w.join();
+        // merge in range order: earlier ranges insert first, so the surviving
+        // row for a cross-range duplicate is the global first occurrence
+        for (auto& local : locals) {
+            has_duplicates |= local.has_duplicates;
+            for (size_t i = 0; i < local.keys.size(); i++) {
+                T key = local.keys[i];
+                uint64_t h = TypedSet<T>::hash_key(key) & mask;
+                while (true) {
+                    int64_t slot = slots[h];
+                    if (slot == 0) {
+                        keys.push_back(key);
+                        rows.push_back(local.rows[i]);
+                        slots[h] = (int64_t)keys.size();
+                        if (keys.size() * 10 >= slots.size() * 7) rehash(slots.size() * 2);
+                        break;
+                    }
+                    if (keys[(size_t)slot - 1] == key) { has_duplicates = true; break; }
+                    h = (h + 1) & mask;
+                }
+            }
+        }
+    }
+
+    void lookup_range(const T* data, int64_t i0, int64_t i1, int32_t* out) const {
+        if (dense) {
+            if constexpr (std::is_integral_v<T>) {
+                int64_t lo = dense_min;
+                int64_t hi = dense_min + (int64_t)dense_rows.size();
+                for (int64_t i = i0; i < i1; i++) {
+                    int64_t k = (int64_t)data[i];
+                    out[i] = (k >= lo && k < hi) ? dense_rows[(size_t)(k - lo)] : -1;
+                }
+            }
+            return;
+        }
+        for (int64_t i = i0; i < i1; i++) {
+            T key = data[i];
+            if constexpr (std::is_floating_point_v<T>) {
+                if (std::isnan(key)) { out[i] = -1; continue; }
+            }
+            uint64_t h = TypedSet<T>::hash_key(key) & mask;
+            int32_t row = -1;
+            while (true) {
+                int64_t slot = slots[h];
+                if (slot == 0) break;
+                if (keys[(size_t)slot - 1] == key) { row = (int32_t)rows[(size_t)slot - 1]; break; }
+                h = (h + 1) & mask;
+            }
+            out[i] = row;
+        }
+    }
+
+    void lookup(const T* data, int64_t n, int32_t* out) const {
+        int64_t nthreads = (int64_t)std::thread::hardware_concurrency();
+        if (nthreads < 1) nthreads = 1;
+        if (nthreads > 16) nthreads = 16;
+        if (n < (int64_t)1 << 18 || nthreads == 1) {
+            lookup_range(data, 0, n, out);
+            return;
+        }
+        std::vector<std::thread> ws;
+        int64_t step = (n + nthreads - 1) / nthreads;
+        for (int64_t t = 0; t < nthreads; t++) {
+            int64_t i0 = t * step, i1 = std::min(n, i0 + step);
+            if (i0 >= i1) break;
+            ws.emplace_back([this, data, i0, i1, out] { lookup_range(data, i0, i1, out); });
+        }
+        for (auto& w : ws) w.join();
+    }
+};
+
+struct KeyIndexObject {
+    PyObject_HEAD
+    SetDtype dtype;
+    void* index;  // TypedIndex<T>*
+};
+
+template <typename F>
+auto index_dispatch(KeyIndexObject* self, F&& f) {
+    switch (self->dtype) {
+        case SetDtype::i64: return f(*(TypedIndex<int64_t>*)self->index);
+        case SetDtype::u64: return f(*(TypedIndex<uint64_t>*)self->index);
+        case SetDtype::i32: return f(*(TypedIndex<int32_t>*)self->index);
+        case SetDtype::f64: return f(*(TypedIndex<double>*)self->index);
+        case SetDtype::f32: return f(*(TypedIndex<float>*)self->index);
+    }
+    return f(*(TypedIndex<int64_t>*)self->index);  // unreachable
+}
+
+static PyObject* KeyIndex_new(PyTypeObject* type, PyObject* args, PyObject*) {
+    const char* dtype_str = nullptr;
+    if (!PyArg_ParseTuple(args, "s", &dtype_str)) return nullptr;
+    SetDtype dt;
+    std::string s(dtype_str);
+    if (s == "int64") dt = SetDtype::i64;
+    else if (s == "uint64") dt = SetDtype::u64;
+    else if (s == "int32") dt = SetDtype::i32;
+    else if (s == "float64") dt = SetDtype::f64;
+    else if (s == "float32") dt = SetDtype::f32;
+    else {
+        PyErr_Format(PyExc_ValueError, "unsupported dtype %s", dtype_str);
+        return nullptr;
+    }
+    KeyIndexObject* self = (KeyIndexObject*)type->tp_alloc(type, 0);
+    if (!self) return nullptr;
+    self->dtype = dt;
+    switch (dt) {
+        case SetDtype::i64: self->index = new TypedIndex<int64_t>(); break;
+        case SetDtype::u64: self->index = new TypedIndex<uint64_t>(); break;
+        case SetDtype::i32: self->index = new TypedIndex<int32_t>(); break;
+        case SetDtype::f64: self->index = new TypedIndex<double>(); break;
+        case SetDtype::f32: self->index = new TypedIndex<float>(); break;
+    }
+    return (PyObject*)self;
+}
+
+static void KeyIndex_dealloc(KeyIndexObject* self) {
+    index_dispatch(self, [&](auto& index) { delete &index; });
+    Py_TYPE(self)->tp_free((PyObject*)self);
+}
+
+static PyObject* KeyIndex_build(KeyIndexObject* self, PyObject* args) {
+    PyObject* array;
+    if (!PyArg_ParseTuple(args, "O", &array)) return nullptr;
+    BufferView buf;
+    if (!buf.acquire(array)) return nullptr;
+    size_t isz = itemsize_of(self->dtype);
+    if ((size_t)buf.view.itemsize != isz) {
+        PyErr_SetString(PyExc_TypeError, "itemsize mismatch");
+        return nullptr;
+    }
+    int64_t n = buf.view.len / (Py_ssize_t)isz;
+    if (n >= ((int64_t)1 << 31)) {
+        PyErr_SetString(PyExc_OverflowError, "KeyIndex: >=2^31 right rows");
+        return nullptr;
+    }
+    bool dup = false;
+    Py_BEGIN_ALLOW_THREADS
+    index_dispatch(self, [&](auto& index) {
+        using KeyT = std::decay_t<decltype(index.keys[0])>;
+        index.build((const KeyT*)buf.view.buf, n);
+        dup = index.has_duplicates;
+    });
+    Py_END_ALLOW_THREADS
+    return PyBool_FromLong(dup);
+}
+
+static PyObject* KeyIndex_lookup(KeyIndexObject* self, PyObject* args) {
+    PyObject* array;
+    if (!PyArg_ParseTuple(args, "O", &array)) return nullptr;
+    BufferView buf;
+    if (!buf.acquire(array)) return nullptr;
+    size_t isz = itemsize_of(self->dtype);
+    if ((size_t)buf.view.itemsize != isz) {
+        PyErr_SetString(PyExc_TypeError, "itemsize mismatch");
+        return nullptr;
+    }
+    int64_t n = buf.view.len / (Py_ssize_t)isz;
+    PyObject* out_bytes = PyBytes_FromStringAndSize(nullptr, n * 4);
+    if (!out_bytes) return nullptr;
+    int32_t* out = (int32_t*)PyBytes_AS_STRING(out_bytes);
+    Py_BEGIN_ALLOW_THREADS
+    index_dispatch(self, [&](auto& index) {
+        using KeyT = std::decay_t<decltype(index.keys[0])>;
+        index.lookup((const KeyT*)buf.view.buf, n, out);
+    });
+    Py_END_ALLOW_THREADS
+    return out_bytes;
+}
+
+static PyObject* KeyIndex_length(KeyIndexObject* self, PyObject*) {
+    int64_t n = index_dispatch(self, [&](auto& index) -> int64_t {
+        return index.dense ? index.nkeys_dense : (int64_t)index.keys.size(); });
+    return PyLong_FromLongLong(n);
+}
+
+static PyMethodDef KeyIndex_methods[] = {
+    {"build", (PyCFunction)KeyIndex_build, METH_VARARGS, "index first-occurrence rows; returns has_duplicates"},
+    {"lookup", (PyCFunction)KeyIndex_lookup, METH_VARARGS, "values -> int32 first rows bytes (-1 missing); multithreaded"},
+    {"length", (PyCFunction)KeyIndex_length, METH_NOARGS, "number of distinct keys"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+static PyTypeObject KeyIndexType = [] {
+    PyTypeObject t = {PyVarObject_HEAD_INIT(nullptr, 0)};
+    t.tp_name = "vaex_tpu._native.KeyIndex";
+    t.tp_basicsize = sizeof(KeyIndexObject);
+    t.tp_flags = Py_TPFLAGS_DEFAULT;
+    t.tp_doc = "key -> first-row hash index (join build side)";
+    t.tp_new = KeyIndex_new;
+    t.tp_dealloc = (destructor)KeyIndex_dealloc;
+    t.tp_methods = KeyIndex_methods;
+    return t;
+}();
+
 static PyMethodDef module_methods[] = {
     {"pad_to", native_pad_to, METH_VARARGS, "pad_to(array, L, fill_element_bytes) -> bytes"},
     {"unpack_bitmap", native_unpack_bitmap, METH_VARARGS, "unpack_bitmap(bits, n, offset=0) -> bool bytes"},
+    {"argsort", native_argsort, METH_VARARGS, "argsort(array, dtype) -> int32 permutation bytes (stable radix)"},
     {nullptr, nullptr, 0, nullptr},
 };
 
@@ -417,5 +909,8 @@ PyMODINIT_FUNC PyInit__native(void) {
     if (!m) return nullptr;
     Py_INCREF(&OrderedSetType);
     PyModule_AddObject(m, "OrderedSet", (PyObject*)&OrderedSetType);
+    if (PyType_Ready(&KeyIndexType) < 0) return nullptr;
+    Py_INCREF(&KeyIndexType);
+    PyModule_AddObject(m, "KeyIndex", (PyObject*)&KeyIndexType);
     return m;
 }

@@ -149,3 +149,52 @@ def test_fused_mean_std_binned_on_device():
             continue
         np.testing.assert_allclose(mean[i, j], E[sel].mean(), rtol=5e-4)
         np.testing.assert_allclose(std[i, j], E[sel].std(), rtol=5e-3)
+
+
+def test_histflat_1d_and_3d():
+    """The round-3 flat-cell kernel is rank-agnostic: 1-D and 3-D grids."""
+    from vaex_tpu.ops.pallas_gridagg import histflat_grid
+    rng = np.random.RandomState(5)
+    n = 200_000
+    for C in (67, 1000, 69 * 69 * 69):
+        c = rng.randint(-1, C, n).astype(np.int32)
+        v = rng.normal(0, 1, n).astype(np.float32)
+        count, (total,) = histflat_grid(jnp.asarray(c), (jnp.asarray(v),), C)
+        ref_c = np.zeros(C, np.int64)
+        ref_s = np.zeros(C, np.float64)
+        valid = c >= 0
+        np.add.at(ref_c, c[valid], 1)
+        np.add.at(ref_s, c[valid], v[valid].astype(np.float64))
+        np.testing.assert_array_equal(np.asarray(count), ref_c)
+        atol = 2**-16 * np.abs(v).max() * np.sqrt(max(1, n / C))
+        np.testing.assert_allclose(np.asarray(total), ref_s, rtol=0, atol=atol)
+
+
+def test_groupby_cat_rides_kernel():
+    """Ordinal (groupby) grids now ride the MXU kernel: sum by a categorical
+    key matches numpy."""
+    import vaex_tpu as vaex
+    rng = np.random.RandomState(11)
+    n = 300_000
+    k = rng.randint(0, 100, n).astype(np.int64)
+    v = rng.normal(0, 1, n).astype(np.float32)
+    df = vaex.from_arrays(k=k, v=v)
+    res = df.groupby("k", sort=True).agg({"v": "sum"})
+    ref = np.array([v[k == i].sum(dtype=np.float64) for i in range(100)])
+    np.testing.assert_allclose(np.asarray(res["v"].to_numpy()), ref, rtol=1e-4)
+
+
+def test_binned_1d_count_sum_kernel():
+    import vaex_tpu as vaex
+    rng = np.random.RandomState(13)
+    n = 500_000
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    v = rng.normal(0, 1, n).astype(np.float32)
+    df = vaex.from_arrays(x=x, v=v)
+    cnt = np.asarray(df.count(binby="x", limits=[-1, 1], shape=1024))
+    s = np.asarray(df.sum("v", binby="x", limits=[-1, 1], shape=1024))
+    bins = np.floor((x + 1) / 2 * 1024).astype(np.int64).clip(0, 1023)
+    ref_c = np.bincount(bins, minlength=1024)
+    ref_s = np.bincount(bins, weights=v.astype(np.float64), minlength=1024)
+    np.testing.assert_array_equal(cnt, ref_c)
+    np.testing.assert_allclose(s, ref_s, atol=2e-3)

@@ -738,22 +738,23 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
     L_local = L // n_shards
 
     # -- static strategy planning: fuse all (count, sum*) plans over the same
-    # 2-D grid + value/selection into one Pallas MXU one-hot kernel call
-    # (ops/pallas_gridagg.py): int8 count matmul + ONE bf16 hi/lo matmul for
-    # up to 4 sum payloads — measured 378M rows/s (count+sum, 259² grid) vs
-    # 70M for two XLA scatters on v5e
+    # grid (any rank: 1-D/2-D/N-D scalar or ordinal binners) + value/selection
+    # into one Pallas MXU flat-cell kernel call (ops/pallas_gridagg.py): int8
+    # count matmul + ONE bf16 hi/lo matmul for up to 4 sum payloads — measured
+    # 522M rows/s (count+sum) / 2.0B rows/s (count-only) at 259² vs 70M for
+    # two XLA scatters on v5e
     pallas_partner = {}
     strategy = settings.compute.strategy
     on_tpu = jax.devices()[0].platform in ("tpu",)
     if strategy in ("auto", "pallas") and (on_tpu or strategy == "pallas"):
-        from .ops.pallas_gridagg import MAX_CELLS
+        from .ops.pallas_gridagg import MAX_CELLS_COUNT, MIN_CELLS
         groups = {}
         for i, plan in enumerate(plans):
             binners = plan.task.binners
-            if len(binners) != 2:
+            if not binners:
                 continue
-            nx, ny = binners[0].shape, binners[1].shape
-            if nx * ny > MAX_CELLS or plan.order_expr is not None:
+            ncells = int(np.prod([b.shape for b in binners]))
+            if not (MIN_CELLS <= ncells <= MAX_CELLS_COUNT) or plan.order_expr is not None:
                 continue
             if not isinstance(plan.op, (gridagg.AggOpCount, gridagg.AggOpSum,
                                         gridagg.AggOpSumMoment)):
@@ -772,6 +773,7 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
                     continue  # f64 inputs keep the exact scatter path
             key = (tuple(binners), plan.value_expr, plan.selection_expr, plan.value_as_validity)
             groups.setdefault(key, []).append(i)
+        from .ops.pallas_gridagg import max_cells
         for key, members in groups.items():
             count_idx = [i for i in members if isinstance(plans[i].op, gridagg.AggOpCount)]
             sum_idx = [i for i in members
@@ -779,6 +781,9 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
             fused = count_idx[:1] + sum_idx[:4]  # >4 payloads: rest scatter
             if not fused or (not sum_idx and not count_idx):
                 continue
+            ncells = int(np.prod([b.shape for b in key[0]]))
+            if ncells > max_cells(len(sum_idx)):
+                continue  # payload kernels cap lower than count-only
             group = (count_idx[0] if count_idx else None, tuple(sum_idx[:4]), key[0])
             for i in fused:
                 pallas_partner[i] = group
@@ -870,12 +875,12 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
                 ci, sis, binners = pallas_partner[i]
                 gkey = (ci, sis)
                 if gkey not in pallas_results:
-                    from .ops.pallas_gridagg import hist2d_grid
-                    bins = get_bins(binners)
+                    from .ops.pallas_gridagg import histflat_grid
                     # all group members share (selection, value_expr) so
                     # their include masks are identical traced values
-                    bx = jnp.where(include, bins[0], -1).astype(jnp.int32)
-                    by = jnp.where(include, bins[1], -1).astype(jnp.int32)
+                    ncells = int(np.prod([b.shape for b in binners]))
+                    flat = get_flat(binners)
+                    cflat = jnp.where(include, flat, np.int32(-1)).astype(jnp.int32)
 
                     def payload(si):
                         v = jnp.where(include, work[si][3], 0).astype(jnp.float32)
@@ -885,14 +890,13 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
                         return v
 
                     vals = tuple(payload(si) for si in sis)
-                    pcount, psums = hist2d_grid(
-                        bx, by, vals, binners[0].shape, binners[1].shape,
-                        with_count=ci is not None)
+                    pcount, psums = histflat_grid(
+                        cflat, vals, ncells, with_count=ci is not None)
                     pallas_results[gkey] = (pcount, dict(zip(sis, psums)))
                 pcount, psums = pallas_results[gkey]
                 partial = pcount if i == ci else psums[i]
                 flat_partial = jnp.concatenate(
-                    [partial.reshape(-1), jnp.zeros(1, partial.dtype)])  # void cell
+                    [partial, jnp.zeros(1, partial.dtype)])  # void cell
                 new_states[i] = work[i][1] + flat_partial.astype(work[i][1].dtype)
             else:
                 new_states[i] = plan.op.update(state, flat, value, include, order_key=order_key)

@@ -81,24 +81,54 @@ def _lookup_first_best(index, left_values):
 
 class RowIndex:
     """value → row(s) multimap over one column (reference: C++ index_hash,
-    src/hash_primitives.hpp:732)."""
+    src/hash_primitives.hpp:732).
 
-    def __init__(self, hashmap, sorted_codes, order):
+    Unique numeric right keys take the native C++ ``KeyIndex`` fast path
+    (vaex_tpu._native: open-addressing or dense direct-address map, parallel
+    GIL-released build + probes — the reference's multithreaded index_hash
+    equivalent); duplicates and exotic dtypes use the ordinal sort-merge
+    structures."""
+
+    def __init__(self, hashmap, sorted_codes, order, native_index=None, n=None):
         self.hashmap = hashmap          # value → ordinal code
         self.sorted_codes = sorted_codes  # right codes, sorted
         self.order = order              # argsort: position → right row
-        counts = np.bincount(sorted_codes[sorted_codes >= 0], minlength=hashmap.count) if len(sorted_codes) else np.zeros(0, np.int64)
-        self.has_duplicates = bool((counts > 1).any())
+        self._native = native_index     # NativeKeyIndex (unique keys only)
+        self._n = n if n is not None else (len(order) if order is not None else 0)
+        if native_index is not None:
+            self.has_duplicates = False
+        else:
+            counts = np.bincount(sorted_codes[sorted_codes >= 0], minlength=hashmap.count) if len(sorted_codes) else np.zeros(0, np.int64)
+            self.has_duplicates = bool((counts > 1).any())
 
     @classmethod
     def build(cls, values):
+        import os
+
+        from . import native as native_mod
+        device_opt_in = bool(os.environ.get("VAEX_TPU_DEVICE_JOIN")
+                             or os.environ.get("VAEX_TPU_FORCE_DEVICE_JOIN"))
+        if (not device_opt_in and native_mod.available and isinstance(values, np.ndarray)
+                and not np.ma.isMaskedArray(values) and values.dtype.kind in "iufMm"):
+            v = values.view(np.int64) if values.dtype.kind in "Mm" else values
+            kidx = native_mod.NativeKeyIndex.create(v.dtype)
+            if kidx is not None:
+                kidx.build(v)
+                if not kidx.has_duplicates:
+                    index = cls(None, None, None, native_index=kidx, n=len(v))
+                    index._right_values = values  # for cross-dtype fallback
+                    return index
+        return cls._build_slow(values)
+
+    @classmethod
+    def _build_slow(cls, values):
         hashmap = HashMapUnique.from_keys(values)
         codes = hashmap.map_ordinal(values)
         order = np.argsort(codes, kind="stable").astype(np.int64)
         return cls(hashmap, codes[order], order)
 
     def __len__(self):
-        return len(self.order)
+        return self._n
 
     def lookup_first_device(self, values):
         """Device-side first-match lookup for UNIQUE right keys: codes via
@@ -118,10 +148,40 @@ class RowIndex:
 
         return np.asarray(fn(dv, jnp.asarray(row_of_code)))
 
+    def _native_lookup(self, values):
+        """C++ probe when the left dtype casts safely into the index dtype;
+        None → caller falls back to the ordinal path."""
+        mask = None
+        if np.ma.isMaskedArray(values):
+            mask = np.ma.getmaskarray(values)
+            values = values.data
+        if not isinstance(values, np.ndarray):
+            return None
+        if values.dtype.kind in "Mm":
+            values = values.view(np.int64)
+        if values.dtype.kind not in "iuf":
+            return None
+        if values.dtype != self._native.dtype:
+            if not np.can_cast(values.dtype, self._native.dtype, "safe"):
+                return None
+        rows = self._native.lookup(values)
+        if mask is not None:
+            rows = np.where(mask, np.int32(-1), rows)
+        return rows
+
     def lookup_first(self, values):
         """(right_row or -1) per value — first match.  int32 rows when the
         right table fits: the lookup array is len(left)-sized, and halving
         it halves the page-fault/transfer cost of the join's hot path."""
+        if self._native is not None:
+            rows = self._native_lookup(values)
+            if rows is not None:
+                return rows
+            # left dtype outside the native index domain (e.g. float left vs
+            # int right): build the ordinal structures once and reuse them
+            slow = self.__dict__.setdefault(
+                "_slow", RowIndex._build_slow(self._right_values))
+            return slow.lookup_first(values)
         cdt = np.int32 if len(self.order) < 2**31 - 1 else np.int64
         codes = self.hashmap.map_ordinal(values)
         start = np.searchsorted(self.sorted_codes, codes, side="left")

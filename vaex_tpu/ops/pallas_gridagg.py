@@ -1,35 +1,42 @@
-"""Pallas TPU kernel: 2-D binned count/sum as MXU matmuls.
+"""Pallas TPU kernel: flat-cell binned count/sum as MXU matmuls (any rank).
 
-The reference's hot loop is a C++ scalar scatter (agg.hpp:84-143).  The XLA
-path in gridagg.py uses `.at[].add` scatters (~70M rows/s on v5e); this
-kernel maps the same accumulation onto the systolic array and is the default
-2-D strategy on TPU.
+The reference's hot loop is a C++ scalar scatter over a flattened N-d grid
+(agg.hpp:84-143).  The XLA path in gridagg.py uses `.at[].add` scatters
+(~70M rows/s on v5e); this kernel maps the same accumulation onto the
+systolic array and is the default strategy on TPU for any grid that fits.
 
-Design (round 2 — measured on v5e, benchmarks/kernel_lab.py):
+Design (round 3 — measured on v5e, benchmarks/kernel_lab3.py):
 
-* count: two int8 one-hots, ``hxT[nx,T] @ hy[T,ny] -> int32`` at the int8
-  MXU rate.  Exact.
-* sums (P value columns): each value is split in-kernel into ``v = hi + lo``
-  bf16 halves (the split MUST happen inside the kernel: outside, XLA's
-  excess-precision pass elides the f32->bf16->f32 convert pair and lo folds
-  to exactly 0).  All payloads fuse into ONE matmul ``A[2P*nx,T] @ hy[T,ny]``
-  with A built directly in the transposed layout the MXU consumes — no
-  relayout, and the hi/lo accumulation in f32 keeps per-chunk error ~2^-17
-  relative (measured 3e-6 over 8M rows vs f64).
-* one-hot A/B matrices are built on the VPU with compares against iota
-  (constant, hoisted); rows routed out of range (e.g. -1 for
-  filtered/padded rows) drop out of every one-hot — void-cell semantics.
+* One **flat cell index** ``c = q*128 + r`` (q = c>>7, r = c&127) instead of
+  per-axis bin indices: works for 1-D, 2-D, N-D and ordinal (groupby) grids
+  alike, and the matmul output ``[nq, 128]`` has **no lane padding** for any
+  grid size (the round-2 per-axis kernel wasted 384/259 = 48% of the matmul
+  N dimension on 259² grids).
+* count: two int8 one-hots, ``q8[nq,T] ·_T r8[128,T] -> int32`` — measured
+  136 T-MACs/s (69% of the v5e int8 peak) on one-hot operands.  Exact.
+* sums (P ≤ 4 payloads): each value splits in-kernel into bf16 hi/lo halves
+  (the split MUST happen inside the kernel: outside, XLA's excess-precision
+  pass elides the f32->bf16->f32 convert pair and lo folds to exactly 0).
+  Payload products ride the narrow 128-wide r side (``rf*vhi``), all blocks
+  fuse into ONE matmul ``qf[nq,T] ·_T P[2P*128,T] -> [nq, 2P*128]`` and the
+  hi/lo pairs recombine in f32 — per-chunk error ~2^-17 relative (measured
+  2.8e-6 over 8.4M rows vs f64, identical to the round-2 kernel).
+* rows routed out of range (e.g. -1 for filtered/padded rows) have q = -1,
+  miss the q one-hot, and drop out of every product — void-cell semantics.
 
-Measured (v5e, 8.4M rows, 259x259 grid, marginal over tunnel RTT):
-count-only 747M rows/s, count+1 sum 378M, scatter baseline 70M.
+Measured (v5e, 8.4M rows, 259² grid, marginal over tunnel RTT):
+count+sum 522M rows/s (round-2 kernel: 327M), count-only 2.02B rows/s,
+XLA scatter baseline 70M.
 
 Why not scatter on TPU: the VPU has no vector scatter; XLA serializes
-`.at[].add` updates.  Why not all-int8 quantization: the extra VPU
-quantization arithmetic outweighs the MXU saving (273M rows/s measured).
+`.at[].add` updates.  Why not int16 compares for the one-hot build or a
+scalar dynamic-sublane store loop: both die in the remote Mosaic compiler
+(HTTP 500, rounds 1-3).
 
 Grid limits: accumulators + one-hots must fit VMEM; tile size auto-shrinks
-with grid area (see `_pick_tile`), grids beyond ``MAX_CELLS`` fall back to
-the scatter path in execution.py.
+with nq (see `_pick_tile`), larger grids fall back to the scatter path in
+execution.py.  MXU work is O(C) per row, so beyond ~350k cells (payload)
+the scatter path wins anyway.
 """
 
 from __future__ import annotations
@@ -43,28 +50,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# beyond this many cells the one-hot FLOPs (nx*ny MACs/row/payload) lose to
-# the scatter path; 2-D grids of interest (<=512^2 incl. edge slots) fit
-MAX_CELLS = 520 * 520
+# crossover vs the XLA scatter path (~70M rows/s): kernel time/row is
+# ~C * 0.028 ns (count+sum; measured rates above), so it wins up to ~350k
+# cells with payloads and much further for count-only
+MAX_CELLS_PAYLOAD = 350_000
+MAX_CELLS_COUNT = 1_100_000
+MIN_CELLS = 8  # below this the fused XLA one-hot reduce needs no kernel
 
-_VMEM_BUDGET = 48 * 1024 * 1024
+_VMEM_BUDGET = 96 * 1024 * 1024
 
 
-def _pick_tile(nx, ny, n_payloads, with_count):
-    """Largest power-of-two row tile whose working set fits the VMEM budget."""
+def _pick_tile(nq, n_payloads):
+    """Largest row tile whose working set fits the VMEM budget."""
     for tile in (16384, 8192, 4096, 2048, 1024, 512):
-        a_bytes = 2 * (2 * n_payloads) * nx * tile      # A bf16 [2P*nx, T]
-        eq_bytes = 2 * nx * tile                        # eq bf16 [nx, T]
-        hy_bytes = 3 * tile * ny                        # hy int8 + bf16
-        count_bytes = (nx * tile) if with_count else 0  # hxT int8
-        out_bytes = 4 * (n_payloads + (1 if with_count else 0)) * nx * ny
-        total = a_bytes + eq_bytes + hy_bytes + count_bytes + out_bytes
-        if total * 3 // 2 <= _VMEM_BUDGET:              # 50% slack for Mosaic temps
+        per_row = 4 + nq + 128                    # c i32, q8, r8
+        if n_payloads:
+            per_row += 2 * nq                     # qf bf16
+            per_row += 2 * 128 + 4                # rf bf16 + v f32
+            per_row += 2 * 2 * n_payloads * 128   # P bf16 blocks
+        out_bytes = nq * 128 * 4 * (1 + n_payloads)
+        total = per_row * tile + out_bytes
+        if total * 3 // 2 <= _VMEM_BUDGET:        # 50% slack for Mosaic temps
             return tile
     return 256
 
 
-def _kernel(bx_ref, by_ref, *rest, nx, ny, tile, n_payloads, with_count):
+def _kernel(c_ref, *rest, nq, tile, n_payloads, with_count):
     v_refs = rest[:n_payloads]
     out_refs = rest[n_payloads:]
     if with_count:
@@ -79,80 +90,78 @@ def _kernel(bx_ref, by_ref, *rest, nx, ny, tile, n_payloads, with_count):
         for r in out_refs:
             r[...] = jnp.zeros_like(r)
 
-    # ALL inputs arrive lane-major [1, T]: a [T, 1] input block would force a
-    # 128x lane-padded HBM layout for the reshaped [n_tiles, T, 1] array
-    # (s32[8192,8192,1]{T(8,128)} = 34 GB at 67M rows — measured OOM); both
-    # one-hots are built transposed [n, T] and the dot contracts rhs dim 1
-    bx = bx_ref[0]            # [1, T] int32 (void rows < 0 or >= nx)
-    by = by_ref[0]            # [1, T] int32
+    # input arrives lane-major [1, T]; both one-hots are built transposed
+    # [n, T] and the dots contract dim 1 of both operands (native layout,
+    # no relayout — see round-2 notes on the [T, 1] 34GB-layout trap)
+    c = c_ref[0]                                        # [1, T] int32
+    q = jax.lax.shift_right_arithmetic(c, 7)            # -1 stays -1 (void)
+    r = jax.lax.bitwise_and(c, 127)
 
-    iota_y = jax.lax.broadcasted_iota(jnp.int32, (ny, tile), 0)
-    hyT8 = (iota_y == by).astype(jnp.int8)              # [ny, T]
+    iq = jax.lax.broadcasted_iota(jnp.int32, (nq, tile), 0)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (128, tile), 0)
+    q_oh8 = (iq == q).astype(jnp.int8)                  # [nq, T]
+    r_oh8 = (ir == r).astype(jnp.int8)                  # [128, T]
 
     if with_count:
-        iota_x = jax.lax.broadcasted_iota(jnp.int32, (nx, tile), 0)
-        hxT8 = (iota_x == bx).astype(jnp.int8)          # [nx, T]
         count_ref[...] += jax.lax.dot_general(
-            hxT8, hyT8, (((1,), (1,)), ((), ())),
+            q_oh8, r_oh8, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
 
     if n_payloads:
-        iota_x = jax.lax.broadcasted_iota(jnp.int32, (nx, tile), 0)
-        eq = (iota_x == bx).astype(jnp.bfloat16)        # [nx, T]
+        rf = r_oh8.astype(jnp.bfloat16)
         blocks = []
         for p in range(n_payloads):
             v = v_refs[p][0]                            # [1, T] f32
             vhi = v.astype(jnp.bfloat16)
             vlo = (v - vhi.astype(jnp.float32)).astype(jnp.bfloat16)
-            blocks.append(eq * vhi)
-            blocks.append(eq * vlo)
-        A = jnp.concatenate(blocks, axis=0)             # [2P*nx, T]
-        hyT16 = hyT8.astype(jnp.bfloat16)
+            blocks.append(rf * vhi)
+            blocks.append(rf * vlo)
+        P = jnp.concatenate(blocks, axis=0)             # [2P*128, T]
+        qf = q_oh8.astype(jnp.bfloat16)
         out = jax.lax.dot_general(
-            A, hyT16, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)         # [2P*nx, ny]
+            qf, P, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [nq, 2P*128]
         for p in range(n_payloads):
-            sum_refs[p][...] += out[2 * p * nx:(2 * p + 1) * nx] + \
-                out[(2 * p + 1) * nx:(2 * p + 2) * nx]
+            hi = out[:, 2 * p * 128:(2 * p + 1) * 128]
+            lo = out[:, (2 * p + 1) * 128:(2 * p + 2) * 128]
+            sum_refs[p][...] += hi + lo
 
 
-@functools.partial(jax.jit, static_argnames=("nx", "ny", "with_count", "tile"))
-def hist2d_grid(bx, by, values, nx, ny, with_count=True, tile=None):
-    """Fused 2-D binned count + P sums over full-edge-layout bin indices.
+@functools.partial(jax.jit, static_argnames=("C", "with_count", "tile"))
+def histflat_grid(c, values, C, with_count=True, tile=None):
+    """Fused flat-cell binned count + P sums.
 
-    bx/by: [N] int32 in [0, nx)/[0, ny) — indices INCLUDING the reference
-    edge slots; out-of-range rows (e.g. -1 for filtered/padded) drop out of
-    both one-hots (void-cell semantics).  values: tuple of [N] f32 arrays,
-    pre-masked (excluded rows must already be 0 — they contribute nothing).
+    c: [N] int32 in [0, C) — the flattened full-edge-layout cell index
+    (gridagg.flat_index); out-of-range rows (e.g. -1 for filtered/padded)
+    drop out of the q one-hot (void-cell semantics).  values: tuple of [N]
+    f32 arrays, pre-masked (excluded rows must already be 0).
 
-    Returns (count [nx,ny] int32 or None, tuple of sum [nx,ny] f32).
+    Returns (count [C] int32 or None, tuple of sum [C] f32) — flat arrays;
+    the caller reshapes to the grid shape.
     """
     values = tuple(values)
     P = len(values)
+    nq = -(-C // 128)
     if tile is None:
-        tile = _pick_tile(nx, ny, P, with_count)
-    n = bx.shape[0]
+        tile = _pick_tile(nq, P)
+    n = c.shape[0]
     n_tiles = max(1, -(-n // tile))
     pad = n_tiles * tile - n
     if pad:
-        bx = jnp.concatenate([bx, jnp.full(pad, -1, jnp.int32)])
-        by = jnp.concatenate([by, jnp.full(pad, -1, jnp.int32)])
+        c = jnp.concatenate([c, jnp.full(pad, -1, jnp.int32)])
         values = tuple(jnp.concatenate([v, jnp.zeros(pad, v.dtype)]) for v in values)
-    bx2 = bx.reshape(n_tiles, 1, tile)
-    by2 = by.reshape(n_tiles, 1, tile)
-    v2d = tuple(v.astype(jnp.float32).reshape(n_tiles, 1, tile) for v in values)
+    c2 = c.reshape(n_tiles, 1, tile)
+    v2 = tuple(v.astype(jnp.float32).reshape(n_tiles, 1, tile) for v in values)
 
     kernel = functools.partial(
-        _kernel, nx=nx, ny=ny, tile=tile, n_payloads=P, with_count=with_count)
-    out_specs = []
-    out_shape = []
+        _kernel, nq=nq, tile=tile, n_payloads=P, with_count=with_count)
+    out_specs, out_shape = [], []
     if with_count:
-        out_specs.append(pl.BlockSpec((nx, ny), lambda i: (0, 0), memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((nx, ny), jnp.int32))
+        out_specs.append(pl.BlockSpec((nq, 128), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((nq, 128), jnp.int32))
     for _ in range(P):
-        out_specs.append(pl.BlockSpec((nx, ny), lambda i: (0, 0), memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((nx, ny), jnp.float32))
-
+        out_specs.append(pl.BlockSpec((nq, 128), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((nq, 128), jnp.float32))
     row_spec = pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     # Mosaic rejects the i64 grid-index types that x64 mode leaks into the
@@ -161,15 +170,38 @@ def hist2d_grid(bx, by, values, nx, ny, with_count=True, tile=None):
         outs = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
-            in_specs=[row_spec, row_spec] + [row_spec] * P,
+            in_specs=[row_spec] * (1 + P),
             out_specs=out_specs,
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-        )(bx2, by2, *v2d)
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(c2, *v2)
+    outs = [o.reshape(-1)[:C] for o in outs]
     if with_count:
         return outs[0], tuple(outs[1:])
     return None, tuple(outs)
+
+
+def max_cells(n_payloads):
+    return MAX_CELLS_PAYLOAD if n_payloads else MAX_CELLS_COUNT
+
+
+# ---------------------------------------------------------------------------
+# back-compat wrappers (round-2 API; tests_tpu/test_pallas_parity.py)
+# ---------------------------------------------------------------------------
+
+MAX_CELLS = MAX_CELLS_PAYLOAD
+
+
+def hist2d_grid(bx, by, values, nx, ny, with_count=True, tile=None):
+    """2-D wrapper: flatten (bx, by) and run the flat-cell kernel."""
+    valid = (bx >= 0) & (bx < nx) & (by >= 0) & (by < ny)
+    c = jnp.where(valid, bx.astype(jnp.int32) * np.int32(ny) + by.astype(jnp.int32),
+                  np.int32(-1))
+    count, sums = histflat_grid(c, values, nx * ny, with_count=with_count, tile=tile)
+    if count is not None:
+        count = count.reshape(nx, ny)
+    return count, tuple(s.reshape(nx, ny) for s in sums)
 
 
 def hist2d_count_sum(bx, by, values, nx, ny, tile=None):

@@ -16,7 +16,16 @@ from .. import array_types
 
 def lexsort_indices(keys, ascendings):
     """argsort by multiple keys; keys[0] is the primary key (numpy.lexsort
-    takes them reversed).  Stable."""
+    takes them reversed).  Stable.
+
+    Strategy: native radix argsort (C++, no device round-trip) for numeric
+    keys when the extension is built — measured 18.5M rows/s vs 3.1M for the
+    device argsort + permutation fetch at 16.7M f32 rows (the fetch is the
+    device path's wall; reference sorts via numpy, dataframe.py:4700).
+    VAEX_TPU_SORT=device forces the XLA sort (direct-attached TPUs with fast
+    D2H)."""
+    import os
+
     import jax.numpy as jnp
 
     n = len(keys[0])
@@ -29,6 +38,24 @@ def lexsort_indices(keys, ascendings):
                 ar = _invert_order_host(ar)
             cols.append(ar)
         return np.lexsort(cols)
+    if os.environ.get("VAEX_TPU_SORT", "native") != "device":
+        from .. import native
+        if native.available and n < 2**31:
+            indices = None
+            ok = True
+            for key, asc in zip(reversed(keys), reversed(ascendings)):
+                values = _device_key(key)  # plain numpy, mask resolved
+                if not asc:
+                    values = _invert_order_host(values)
+                if indices is not None:
+                    values = values[indices]
+                p = native.argsort(values)
+                if p is None:  # unsupported dtype: fall through to device
+                    ok = False
+                    break
+                indices = p if indices is None else indices[p]
+            if ok:
+                return indices
     # i32 indices when rows fit: on a tunneled device the permutation fetch
     # is the sort's dominant cost (16.7M rows: 134MB i64 vs 67MB i32)
     itype = jnp.int32 if n < 2**31 else jnp.int64
