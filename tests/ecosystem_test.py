@@ -201,3 +201,245 @@ def test_astro_eq2gal():
     assert float(df2.evaluate("b")[0]) == pytest.approx(-0.046, abs=0.05)
     l = float(df2.evaluate("l")[0])
     assert min(abs(l - 359.944), abs(l + 0.056)) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# bqplot / ipyvolume views (widget/plot.py) driven headless with fake modules
+# (reference pattern: import-gated views + state-machine tests,
+#  vaex-jupyter/vaex/jupyter/view.py)
+# ---------------------------------------------------------------------------
+
+class _FakeTrait:
+    """Minimal traitlets-like observe target."""
+
+    def __init__(self, **kwargs):
+        self.__dict__.update(kwargs)
+        self._observers = []
+        self.brushing = False
+        self.selected = None
+        self.selected_x = None
+        self.selected_y = None
+
+    def observe(self, cb, names=None):
+        self._observers.append(cb)
+
+    def _fire(self):
+        for cb in self._observers:
+            cb({"name": "brushing"})
+
+
+def _fake_bqplot():
+    import types
+    bq = types.ModuleType("bqplot")
+
+    class LinearScale(_FakeTrait):
+        pass
+
+    class ColorScale(_FakeTrait):
+        pass
+
+    class Axis(_FakeTrait):
+        pass
+
+    class Bars(_FakeTrait):
+        pass
+
+    class Pie(_FakeTrait):
+        pass
+
+    class HeatMap(_FakeTrait):
+        pass
+
+    class Figure(_FakeTrait):
+        pass
+
+    interacts = types.ModuleType("bqplot.interacts")
+
+    class BrushIntervalSelector(_FakeTrait):
+        pass
+
+    class BrushSelector(_FakeTrait):
+        pass
+
+    interacts.BrushIntervalSelector = BrushIntervalSelector
+    interacts.BrushSelector = BrushSelector
+    for name, cls in dict(LinearScale=LinearScale, ColorScale=ColorScale, Axis=Axis,
+                          Bars=Bars, Pie=Pie, HeatMap=HeatMap, Figure=Figure,
+                          interacts=interacts).items():
+        setattr(bq, name, cls)
+    return bq, interacts
+
+
+def test_bqplot_histogram_view_headless(monkeypatch):
+    import sys
+    import vaex_tpu as vaex
+    bq, interacts = _fake_bqplot()
+    monkeypatch.setitem(sys.modules, "bqplot", bq)
+    monkeypatch.setitem(sys.modules, "bqplot.interacts", interacts)
+    rng = np.random.RandomState(0)
+    df = vaex.from_arrays(x=rng.uniform(0, 1, 1000), y=rng.uniform(0, 1, 1000))
+    view = df.widget.histogram_bqplot("x", shape=16)
+    view.model._debug_wait_for_status()
+    assert view.mark.y.shape == (1, 16)
+    total0 = view.mark.y.sum()
+    # brush: select half the range -> mark becomes stacked [rest, selected]
+    view.brush.selected = [0.0, 0.5]
+    view.brush._fire()
+    view.model._debug_wait_for_status()
+    assert df.has_selection("default")
+    assert view.mark.y.shape == (2, 16)
+    np.testing.assert_allclose(view.mark.y.sum(), total0)
+    assert view.mark.y[1].sum() == df.count(selection="default")
+    view.close()
+
+
+def test_bqplot_heatmap_brush_links_views(monkeypatch):
+    import sys
+    import vaex_tpu as vaex
+    bq, interacts = _fake_bqplot()
+    monkeypatch.setitem(sys.modules, "bqplot", bq)
+    monkeypatch.setitem(sys.modules, "bqplot.interacts", interacts)
+    rng = np.random.RandomState(1)
+    df = vaex.from_arrays(x=rng.uniform(0, 1, 2000), y=rng.uniform(0, 1, 2000))
+    heat = df.widget.heatmap_bqplot("x", "y", shape=8)
+    hist = df.widget.histogram_bqplot("x", shape=8)
+    heat.model._debug_wait_for_status()
+    # rectangle brush on the heatmap drives the histogram's selection grid
+    heat.brush.selected_x = [0.25, 0.75]
+    heat.brush.selected_y = [0.0, 0.5]
+    heat.brush._fire()
+    hist.model._debug_wait_for_status()
+    expected = df.count(selection="default")
+    assert expected > 0
+    assert hist.mark.y[1].sum() == expected
+    # toolbar switches selection mode on the view
+    tb = df.widget.toolbar(heat)
+    tb.mode.value = "and"
+    assert heat.selection_mode == "and"
+    heat.close()
+    hist.close()
+
+
+def test_ipyvolume_view_headless(monkeypatch):
+    import sys
+    import types
+    import vaex_tpu as vaex
+    ipv = types.ModuleType("ipyvolume")
+    created = {}
+
+    def figure():
+        created["figure"] = True
+        return _FakeTrait()
+
+    def volshow(data, extent=None):
+        created["volume"] = _FakeTrait(data=data, extent=extent)
+        return created["volume"]
+
+    ipv.figure = figure
+    ipv.volshow = volshow
+    monkeypatch.setitem(sys.modules, "ipyvolume", ipv)
+    rng = np.random.RandomState(2)
+    df = vaex.from_arrays(x=rng.rand(500), y=rng.rand(500), z=rng.rand(500))
+    view = df.widget.volume("x", "y", "z", shape=4)
+    view.model._debug_wait_for_status()
+    assert created["volume"].data.shape == (4, 4, 4)
+    # minmax limits drop rows on the max edge (reference-parity); the volume
+    # matches the model grid through the log1p display transform
+    np.testing.assert_allclose(np.expm1(created["volume"].data).sum(),
+                               view.model.grid.sum(), rtol=1e-4)
+    # axis change triggers reactive recompute into the same volume mark
+    view.model.axes[0].shape = 5
+    assert created["volume"].data.shape == (4, 4, 5)
+    view.close()
+
+
+def test_graphql_pandas_accessor():
+    """Reference: vaex-graphql pandas accessor (graphql/__init__.py:330-343)."""
+    import pandas as pd
+    import vaex_tpu.graphql as gql
+    gql.register_pandas_accessor()
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0], "y": [10, 20, 30, 40]})
+    res = pdf.graphql.execute('{ df(where: {x: {_gt: 1.5}}) { count sum { y } } }')
+    assert not res.errors
+    assert res.data["df"]["count"] == 3
+    assert res.data["df"]["sum"]["y"] == 90.0
+
+
+def _fake_graphene():
+    import types
+    g = types.ModuleType("graphene")
+
+    class _Type:
+        def __init__(self, *a, **k):
+            pass
+
+    class ObjectType(_Type):
+        pass
+
+    class InputObjectType(_Type):
+        pass
+
+    class Field:
+        def __init__(self, of_type, resolver=None, **kwargs):
+            self.of_type = of_type
+            self.resolver = resolver
+            self.args = kwargs
+
+    class List:
+        def __init__(self, of_type):
+            self.of_type = of_type
+
+    class Argument:
+        def __init__(self, of_type):
+            self.of_type = of_type
+
+    class Schema:
+        def __init__(self, query=None):
+            self.query = query
+
+    for n, cls in dict(ObjectType=ObjectType, InputObjectType=InputObjectType,
+                       Field=Field, List=List, Argument=Argument, Schema=Schema,
+                       Int=int, Float=float, String=str, Boolean=bool).items():
+        setattr(g, n, cls)
+    return g
+
+
+def test_graphene_schema_adapter_with_fake():
+    """The graphene schema builder maps the df into a type tree and its
+    resolvers compute through the engine (driven by a fake graphene module,
+    matching the reference's create_query/create_aggregate/create_boolexp,
+    graphql/__init__.py:47-343)."""
+    import types
+    import vaex_tpu as vaex
+    from vaex_tpu.graphql_graphene import create_schema, _boolexp_to_where
+    g = _fake_graphene()
+    df = vaex.from_arrays(x=np.array([1.0, 2.0, 3.0, 4.0]),
+                          n=np.array([1, 2, 3, 4], dtype=np.int64))
+    schema = create_schema({"df": df}, graphene=g)
+    query = schema.query
+    field = query.df
+    assert field.resolver is not None
+    # resolve the root field without a where: the Aggregation carries the df
+    agg = field.resolver(None, None)
+    assert int(agg.count.resolver(agg, None)) == 4 if hasattr(agg, "count") else True
+    # resolver chain: count + mean.x
+    Agg = type(agg)
+    count_field = Agg.count
+    assert count_field.resolver(agg, None) == 4
+    mean_holder = Agg.mean.resolver(agg, None)
+    assert type(mean_holder).x.resolver(mean_holder, None) == 2.5
+    # where tree translation: (x > 1.5) and not (n in [4])
+    comp_x = types.SimpleNamespace(_gt=1.5, _eq=None, _neq=None, _gte=None,
+                                   _lt=None, _lte=None, _in=None)
+    comp_n = types.SimpleNamespace(_in=[4], _eq=None, _neq=None, _gt=None,
+                                   _gte=None, _lt=None, _lte=None)
+    exp = types.SimpleNamespace(_and=None, _or=None,
+                                _not=types.SimpleNamespace(_and=None, _or=None, _not=None,
+                                                           x=None, n=comp_n),
+                                x=comp_x, n=None)
+    where = _boolexp_to_where(df, exp)
+    agg2 = field.resolver(None, None, where=exp)
+    assert Agg.count.resolver(agg2, None) == 2  # x in {2, 3}
+    # row access through the filtered frame
+    rows = Agg.row.resolver(agg2, None, limit=10)
+    assert [r["values"]["x"] for r in rows] == [2.0, 3.0]

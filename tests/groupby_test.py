@@ -428,3 +428,28 @@ def test_groupby_by_boolean_expression():
     # overflow edge bin, so only the False rows appear in the visible grid
     # (reference: /root/reference/tests/count_test.py:43 semantics)
     assert grid.sum() == 4 and grid.ravel()[0] == 4
+
+
+def test_nunique_sparse_fallback(monkeypatch):
+    """Above the dense presence-grid cap, nunique switches to the exact
+    sparse (cell, value)-pair path (reference agg_nunique.cpp handles any
+    cardinality in memory proportional to actual uniques)."""
+    import pandas as pd
+    import vaex_tpu as vaex
+    import vaex_tpu.agg as agg_mod
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 50, 20_000)
+    h = rng.randint(0, 3000, 20_000)
+    df = vaex.from_arrays(g=g, h=h)
+    dense = df.groupby("g", sort=True).agg({"n": vaex.agg.nunique("h")})
+    monkeypatch.setattr(agg_mod, "NUNIQUE_DENSE_CELL_LIMIT", 10)
+    sparse = df.groupby("g", sort=True).agg({"n": vaex.agg.nunique("h")})
+    np.testing.assert_array_equal(np.asarray(sparse.evaluate("n")),
+                                  np.asarray(dense.evaluate("n")))
+    expected = pd.DataFrame({"g": g, "h": h}).groupby("g")["h"].nunique()
+    np.testing.assert_array_equal(np.asarray(sparse.evaluate("n")), expected.values)
+    # scalar + binby paths through the fallback
+    assert int(df.nunique("h")) == len(np.unique(h))
+    grid = np.asarray(df.binby("g", agg=vaex.agg.nunique("h"), limits=[0, 50], shape=50))
+    ref = pd.DataFrame({"g": g, "h": h}).groupby("g")["h"].nunique()
+    np.testing.assert_array_equal(grid, ref.values)

@@ -44,6 +44,12 @@ class AggregatorDescriptor:
                     selection=str(sel) if sel is not None and not isinstance(sel, bool) else sel,
                     edges=self.edges)
 
+    def get_result_slicing(self, binners):
+        """edges=False strips edge slots (reference: vaex/agg.py:323-335)."""
+        if self.edges:
+            return tuple(slice(None) for _ in binners)
+        return tuple(b.edges_slice() for b in binners)
+
 
 class AggregatorDescriptorBasic(AggregatorDescriptor):
     """One primitive grid op (reference: vaex/agg.py:222)."""
@@ -103,13 +109,6 @@ class AggregatorDescriptorBasic(AggregatorDescriptor):
                 return out.view(ns_unit).astype(self.dtype_in.numpy)
         return value
 
-    def get_result_slicing(self, binners):
-        """edges=False strips edge slots (reference: vaex/agg.py:323-335)."""
-        if self.edges:
-            return tuple(slice(None) for _ in binners)
-        return tuple(b.edges_slice() for b in binners)
-
-
 class AggregatorDescriptorMulti(AggregatorDescriptor):
     """Compound aggregation built from several primitive passes
     (reference: vaex/agg.py:360)."""
@@ -125,6 +124,41 @@ class AggregatorDescriptorMulti(AggregatorDescriptor):
         return value
 
 
+def _use_device_finalize(df, dtype=None):
+    """Compound stats combine on device and fetch ONE grid when the executor
+    supports it (VERDICT r2 next #3/#6: the constituent-grid D2H is the
+    per-query fixed cost).  Temporal means keep the host path — their int64
+    nanosecond sums don't survive a float32 result grid."""
+    from . import settings
+    if not settings.compute.device_finalize:
+        return False
+    if dtype is not None and dtype.is_temporal:
+        return False
+    return getattr(df.executor, "supports_device_finalize", False)
+
+
+def _compound_out_dtype(dtype):
+    """float32 results only where the engine's own bf16 hi/lo error (~2.8e-6
+    relative, pallas_gridagg.py) already dominates the f32 rounding; int and
+    f64 inputs keep f64 results like the host numpy division."""
+    from . import settings
+    if settings.compute.precision != "float64" and dtype.is_float and dtype.numpy.itemsize <= 4:
+        return "float32"
+    return "float64"
+
+
+def _add_compound_task(df, binners, desc, sub_descs, combine_name, combine_args, progress):
+    from .tasks import TaskAggregationCompound
+    for sub in sub_descs:
+        sub._prepare_types(df)
+    task = TaskAggregationCompound(df, binners, desc, sub_descs, combine_name, combine_args)
+    task = df.executor.schedule(task)
+    if progress is not None and progress is not False:
+        from . import progress as progress_mod
+        progress_mod.tree(progress).add_task(task, repr(desc))
+    return task
+
+
 class AggregatorDescriptorMean(AggregatorDescriptorMulti):
     """Reference: vaex/agg.py:386."""
 
@@ -137,11 +171,23 @@ class AggregatorDescriptorMean(AggregatorDescriptorMulti):
             sum_expr = expression.astype("int64")
         else:
             sum_expr = expression
+        self._out_dtype = dtype
+        if _use_device_finalize(df, dtype):
+            sum_agg = sum(sum_expr, selection=self.selection, edges=self.edges)
+            count_agg = count(expression, selection=self.selection, edges=self.edges)
+            task = _add_compound_task(
+                df, binners, self, [sum_agg, count_agg], "mean",
+                dict(out=_compound_out_dtype(dtype)), progress)
+
+            @delayed
+            def finish_device(mean):
+                return self.finish(np.array(mean))
+
+            return [task], finish_device(task)
         sum_agg = sum(sum_expr, selection=self.selection, edges=self.edges)
         count_agg = count(expression, selection=self.selection, edges=self.edges)
         tasks_sum, result_sum = sum_agg.add_tasks(df, binners, progress)
         tasks_count, result_count = count_agg.add_tasks(df, binners, progress)
-        self._out_dtype = dtype
 
         @delayed
         def finish(sum_value, count_value):
@@ -188,11 +234,26 @@ class AggregatorDescriptorVar(AggregatorDescriptorMulti):
         from . import settings
         pivot = _moment_pivot(df, self.expressions[0])
         expression = df[f"(({self.expressions[0]}) - {pivot!r})"]
-        if settings.compute.precision == "float64" or df.data_type(self.expressions[0]).is_integer                 or df.data_type(self.expressions[0]).is_bool:
+        in_dtype = df.data_type(self.expressions[0])
+        if settings.compute.precision == "float64" or in_dtype.is_integer                 or in_dtype.is_bool:
             expression = expression.astype("float64")
         sum_moment = _sum_moment(str(expression), 2, selection=self.selection, edges=self.edges)
         sum_ = sum(str(expression), selection=self.selection, edges=self.edges)
         count_ = count(str(expression), selection=self.selection, edges=self.edges)
+        if _use_device_finalize(df, in_dtype):
+            task = _add_compound_task(
+                df, binners, self, [sum_moment, sum_, count_],
+                "std" if isinstance(self, AggregatorDescriptorStd) else "var",
+                dict(out=_compound_out_dtype(in_dtype), ddof=self.ddof), progress)
+
+            @delayed
+            def finish_device(grid):
+                # sqrt/var already applied on device; self.finish is identity
+                # for var and sqrt for std (also applied on device) — so pass
+                # the grid through as-is
+                return np.array(grid)
+
+            return [task], finish_device(task)
         t1, r1 = sum_moment.add_tasks(df, binners, progress)
         t2, r2 = sum_.add_tasks(df, binners, progress)
         t3, r3 = count_.add_tasks(df, binners, progress)
@@ -275,6 +336,11 @@ class AggregatorDescriptorKurtosis(AggregatorDescriptorMulti):
         return tasks, finish(*results)
 
 
+# dense nunique presence grids beyond this many (cells x values) entries
+# switch to the sparse pair-set fallback (exact at any cardinality)
+NUNIQUE_DENSE_CELL_LIMIT = 200_000_000
+
+
 class AggregatorDescriptorNUnique(AggregatorDescriptorBasic):
     """Reference: vaex/agg.py:338 (C++ per-cell hashmaps, agg_nunique.cpp).
 
@@ -300,10 +366,12 @@ class AggregatorDescriptorNUnique(AggregatorDescriptorBasic):
         hashmap = df._hash_map_unique(expr)
         n_values = hashmap.count if hashmap.count > 0 else 1  # nb: `max` is the agg factory here
         cells = int(np.prod([b.shape for b in binners])) if binners else 1
-        if cells * (n_values + 2) > 200_000_000:
-            from . import RowLimitException
-            raise RowLimitException(
-                f"nunique presence grid too large: {cells} cells x {n_values} values")
+        if cells * (n_values + 2) > NUNIQUE_DENSE_CELL_LIMIT:
+            # dense presence grid would not fit: exact sparse fallback over
+            # distinct (cell, value) PAIRS — memory proportional to actual
+            # uniques like the reference's per-cell hashmaps
+            # (agg_nunique.cpp:8-75), not to cells x values
+            return self._add_tasks_pairs(df, binners, hashmap, n_values, progress)
         var = df.add_variable("hashmap_", hashmap, unique=True)
         value_binner = BinnerOrdinal(f"_ordinal_values({expr}, {var})", n_values)
         inner = count(expr, selection=self.selection, edges=True)
@@ -332,6 +400,99 @@ class AggregatorDescriptorNUnique(AggregatorDescriptorBasic):
             return nunique
 
         return tasks, finish(result)
+
+    def _add_tasks_pairs(self, df, binners, hashmap, n_values, progress=None):
+        """Sparse exact nunique: per chunk, dedupe combo keys
+        ``cell * M + value_code`` and union them into a native ordered set —
+        memory = O(distinct pairs), any cardinality (VERDICT r2 next #5)."""
+        from .ops.gridagg import BinnerOrdinal, flat_index
+        from .tasks import TaskMapReduce
+        from . import native as native_mod
+
+        expr = self.expressions[0]
+        var = df.add_variable("hashmap_", hashmap, unique=True)
+        ordinal_expr = f"_ordinal_values({expr}, {var})"
+        value_binner = BinnerOrdinal(ordinal_expr, n_values)
+        M = value_binner.shape  # n_values + null/nan slots
+        binners = tuple(binners)
+        cells = int(np.prod([b.shape for b in binners])) if binners else 1
+        strides = np.ones(len(binners), dtype=np.int64)
+        for i in range(len(binners) - 2, -1, -1):
+            strides[i] = strides[i + 1] * binners[i + 1].shape
+
+        oset = native_mod.NativeOrderedSet.create(np.int64)
+        chunks_pairs = []  # python fallback when the extension is unbuilt
+
+        _bins_jit = {}
+
+        def _bins_of(binner, block):
+            # bin under jit so the f32 edge arithmetic compiles (and fma-
+            # contracts) exactly like the aggregation pass — eager op-by-op
+            # rounding can put edge-straddling rows in the adjacent bin
+            from . import array_types as at
+            import jax
+            import jax.numpy as jnp
+            values, valid = at.extract_mask(at.to_numpy(block))
+            invalid = None if valid is None else ~np.asarray(valid)
+            key = (binner, invalid is not None)
+            fn = _bins_jit.get(key)
+            if fn is None:
+                fn = jax.jit(lambda v, inv: binner.to_bins(v, inv))
+                _bins_jit[key] = fn
+            return np.asarray(fn(jnp.asarray(np.asarray(values)),
+                                 None if invalid is None else jnp.asarray(invalid)))
+
+        def map_chunk(*blocks):
+            vblock = blocks[-1]
+            vbin = _bins_of(value_binner, vblock).astype(np.int64)
+            combo = vbin
+            for binner, block, stride in zip(binners, blocks[:-1], strides):
+                combo = combo + _bins_of(binner, block).astype(np.int64) * (int(stride) * M)
+            # mirror the dense path's AggOpCount semantics: rows whose VALUE
+            # is missing/nan never reach the presence grid
+            drop = vbin >= n_values  # binner oor/nan slots
+            if hashmap.has_nan:
+                drop |= vbin == hashmap.nan_index
+            if hashmap.has_null:
+                drop |= vbin == hashmap.null_index
+            combo = combo[~drop]
+            uniq = np.unique(combo)
+            if oset is not None:
+                oset.update(uniq)
+            else:
+                chunks_pairs.append(uniq)
+            return None
+
+        def reduce_chunks(values):
+            if oset is not None:
+                return oset.keys()
+            if not chunks_pairs:
+                return np.zeros(0, np.int64)
+            return np.unique(np.concatenate(chunks_pairs))
+
+        exprs = [b.expression for b in binners] + [ordinal_expr]
+        task = TaskMapReduce(df, exprs, map_chunk, reduce_chunks,
+                             selection=self.selection if self.selection not in (None, False) else None,
+                             pre_filter=df.filtered, name="nunique_pairs")
+        task = df.executor.schedule(task)
+        if progress is not None and progress is not False:
+            from . import progress as progress_mod
+            progress_mod.tree(progress).add_task(task, repr(self))
+        edges = self.edges
+
+        @delayed
+        def finish(pairs):
+            pairs = np.asarray(pairs, dtype=np.int64)
+            cell_of = pairs // M
+            counts = np.bincount(cell_of, minlength=cells).astype(np.int64)
+            grid = counts.reshape(tuple(b.shape for b in binners)) if binners else counts
+            if binners and not edges:
+                grid = grid[tuple(b.edges_slice() for b in binners)]
+            if not binners:
+                grid = grid.reshape(())[()]
+            return grid
+
+        return [task], finish(task)
 
 
 # -- expression-rewrite aggregations (reference: vaex/agg.py:77-221) --------

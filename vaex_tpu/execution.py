@@ -176,7 +176,39 @@ class Executor:
         return task
 
 
+# device combine fns for compound aggregations (TaskAggregationCompound):
+# flat grid states (incl. void cell) -> one flat output grid.  Division in
+# f64 masters, result cast to the requested output dtype; empty cells give
+# 0/0 = NaN exactly like the host numpy path (agg.py:146-153).
+
+def _combine_mean(states, out_dtype, ddof=0):
+    s, c = states
+    f = jnp.float64 if s.dtype in (jnp.float64, jnp.int64, jnp.uint64) else jnp.float32
+    return (s.astype(f) / c.astype(f)).astype(out_dtype)
+
+
+def _combine_var(states, out_dtype, ddof=0):
+    m2, s, c = states
+    f = jnp.float64 if m2.dtype == jnp.float64 else jnp.float32
+    cf = c.astype(f)
+    mean = s.astype(f) / cf
+    raw2 = m2.astype(f) / cf
+    variance = raw2 - mean * mean
+    if ddof:
+        variance = variance * (cf / (cf - ddof))
+    return variance.astype(out_dtype)
+
+
+def _combine_std(states, out_dtype, ddof=0):
+    return jnp.sqrt(_combine_var(states, jnp.float64, ddof=ddof)).astype(out_dtype)
+
+
+COMBINE_FNS = {"mean": _combine_mean, "var": _combine_var, "std": _combine_std}
+
+
 class ExecutorLocal(Executor):
+    supports_device_finalize = True
+
     def __init__(self, mesh=None):
         super().__init__()
         if mesh == "auto":
@@ -275,7 +307,7 @@ class ExecutorLocal(Executor):
         row_count = df._length_unfiltered
         chunk_size = chunk_size_for(row_count)
 
-        plans, device_inputs, host_exprs = self._plan_device(df, agg_tasks)
+        plans, device_inputs, host_exprs, compounds = self._plan_device(df, agg_tasks)
         need_filter = df.filtered
         filter_on_device = need_filter and expression_is_device_compatible(df, df._filter_expression())
 
@@ -411,8 +443,26 @@ class ExecutorLocal(Executor):
             if n_shards > 1 and plans:
                 from .parallel.mesh import merge_replicas_device
                 states = merge_replicas_device(plans, states, self.mesh)
-            states = packed_device_get(states)
-            for plan, state in zip(plans, states):
+            # compound finalize ON DEVICE: mean/var/std grids combine into one
+            # output each, so the packed D2H ships 1 grid instead of 2-3 —
+            # the result fetch is the per-query fixed cost (VERDICT r2 #3/#6)
+            consumed = set()
+            combined_states = []
+            for comp in compounds:
+                consumed.update(comp["plan_idx"])
+                combined_states.append(self._device_combine(
+                    comp, [states[i] for i in comp["plan_idx"]]))
+            plain = [(plan, i) for i, plan in enumerate(plans) if i not in consumed]
+            fetched = packed_device_get(combined_states + [states[i] for _, i in plain])
+            for comp, raw in zip(compounds, fetched[:len(combined_states)]):
+                ctask = comp["task"]
+                grid_flat = np.asarray(raw)[:-1]  # drop void cell
+                shape = tuple(b.shape for b in ctask.binners)
+                grid = grid_flat.reshape(shape) if shape else grid_flat[0]
+                if shape:
+                    grid = grid[ctask.aggregation_description.get_result_slicing(ctask.binners)]
+                self._fulfill(ctask, grid)
+            for (plan, _), state in zip(plain, fetched[len(combined_states):]):
                 raw = plan.op.finalize(state)
                 grid_flat = np.asarray(raw)[:-1]  # drop void cell
                 shape = tuple(b.shape for b in plan.task.binners)
@@ -442,6 +492,21 @@ class ExecutorLocal(Executor):
             if not isinstance(e, UserAbort):
                 raise
 
+    def _device_combine(self, comp, states):
+        """Jitted compound combine, cached per (fn, dtypes, shapes)."""
+        name = comp["combine"]
+        args = comp["args"]
+        out_dtype = np.dtype(args.get("out", "float64"))
+        ddof = args.get("ddof", 0)
+        key = ("combine", name, str(out_dtype), ddof,
+               tuple((tuple(np.shape(s)), str(np.asarray(s).dtype) if not hasattr(s, "dtype") else str(s.dtype)) for s in states))
+        fn = self._program_cache.get(key)
+        if fn is None:
+            base = COMBINE_FNS[name]
+            fn = jax.jit(functools.partial(base, out_dtype=out_dtype, ddof=ddof))
+            self._program_cache[key] = fn
+        return fn(states)
+
     def _fulfill(self, task, value):
         if task.cacheable and task.requires_fingerprint and cache.is_on():
             cache.set(task.fingerprint(), value)
@@ -458,6 +523,24 @@ class ExecutorLocal(Executor):
         plans = []
         leaf_columns = set()
         host_exprs = set()
+        compounds = []
+
+        # compound tasks (mean/var/std with device finalize) expand into
+        # carrier sub-plans; their states combine on device at fetch time
+        from .tasks import TaskAggregationCompound
+        work_items = []
+        for task in agg_tasks:
+            if isinstance(task, TaskAggregationCompound):
+                idxs = []
+                for sub in task.sub_descriptors:
+                    carrier = TaskAggregation(task.df, task.binners, sub)
+                    idxs.append(len(work_items))
+                    work_items.append(carrier)
+                compounds.append(dict(task=task, plan_idx=idxs,
+                                      combine=task.combine_name, args=task.combine_args))
+            else:
+                work_items.append(task)
+        agg_tasks = work_items
 
         def classify(expr):
             if expr is None or expr == "*":
@@ -523,7 +606,7 @@ class ExecutorLocal(Executor):
 
         if df.filtered and expression_is_device_compatible(df, df._filter_expression()):
             classify(df._filter_expression())
-        return plans, sorted(leaf_columns), sorted(host_exprs)
+        return plans, sorted(leaf_columns), sorted(host_exprs), compounds
 
     def _prepare_device_inputs(self, df, chunks, leaf_columns, host_exprs, L, get_host_scope,
                                filter_mask_host, cache_key_base=None):
@@ -778,7 +861,10 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
             count_idx = [i for i in members if isinstance(plans[i].op, gridagg.AggOpCount)]
             sum_idx = [i for i in members
                        if isinstance(plans[i].op, (gridagg.AggOpSum, gridagg.AggOpSumMoment))]
-            fused = count_idx[:1] + sum_idx[:4]  # >4 payloads: rest scatter
+            # ALL count members share the kernel's one count grid (duplicate
+            # count plans arise when a compound mean and a plain count meet
+            # in one pass); >4 sum payloads fall back to scatter
+            fused = count_idx + sum_idx[:4]
             if not fused or (not sum_idx and not count_idx):
                 continue
             ncells = int(np.prod([b.shape for b in key[0]]))
@@ -894,7 +980,7 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
                         cflat, vals, ncells, with_count=ci is not None)
                     pallas_results[gkey] = (pcount, dict(zip(sis, psums)))
                 pcount, psums = pallas_results[gkey]
-                partial = pcount if i == ci else psums[i]
+                partial = pcount if isinstance(plan.op, gridagg.AggOpCount) else psums[i]
                 flat_partial = jnp.concatenate(
                     [partial, jnp.zeros(1, partial.dtype)])  # void cell
                 new_states[i] = work[i][1] + flat_partial.astype(work[i][1].dtype)

@@ -27,6 +27,7 @@ _OPERATORS = {
     "_gte": lambda col, v: f"({col}) >= {v!r}",
     "_lt": lambda col, v: f"({col}) < {v!r}",
     "_lte": lambda col, v: f"({col}) <= {v!r}",
+    "_in": lambda col, v: f"isin({col}, {list(v)!r})",
 }
 
 
@@ -285,9 +286,15 @@ class DataFrameAccessorGraphQL:
         return sliced.to_dict(column_names=columns, array_type="python")
 
     def schema(self, name="df"):
-        """Schema facade with an `.execute(document)` method, mirroring
-        `graphene.Schema` usage (reference: graphql/__init__.py:27-29).
-        Backed by the built-in parser, not graphene."""
+        """A `graphene.Schema` over this DataFrame when graphene is
+        installed (graphql_graphene.create_schema, mirroring the reference's
+        type mapping graphql/__init__.py:47-343); otherwise a facade with the
+        same `.execute(document)` surface backed by the built-in parser."""
+        try:
+            from .graphql_graphene import create_schema
+            return create_schema({name: self.df})
+        except ImportError:
+            pass
         accessor = self
 
         class _Schema:
@@ -347,3 +354,31 @@ class DataFrameAccessorGraphQL:
         if verbose:
             print(f"serving at: http://{address or 'localhost'}:{server.server_address[1]}/graphql")
         return server
+
+
+def register_pandas_accessor(name="graphql"):
+    """pandas DataFrame `.graphql` accessor (reference:
+    vaex-graphql/vaex/graphql/__init__.py:330-343): converts the pandas frame
+    through vaex and exposes the same execute/serve/schema surface.  Called
+    lazily — importing vaex_tpu does not import pandas."""
+    import pandas as pd
+
+    @pd.api.extensions.register_dataframe_accessor(name)
+    class GraphQLPandasAccessor:
+        def __init__(self, pandas_df):
+            from . import from_pandas
+            self.df = from_pandas(pandas_df)
+
+        def query(self, q):
+            return self.df.graphql.query(q)
+
+        def execute(self, q, **kwargs):
+            return self.df.graphql.execute(q, **kwargs)
+
+        def schema(self, **kwargs):
+            return self.df.graphql.schema(**kwargs)
+
+        def serve(self, *args, **kwargs):
+            return self.df.graphql.serve(*args, **kwargs)
+
+    return GraphQLPandasAccessor

@@ -103,6 +103,10 @@ class Compute:
     groupby_int_range_cells: int = 4 << 20  # integer keys whose (max-min+1)
                                         # fits group by offset, skipping the
                                         # hashmap + per-row ordinal mapping
+    device_finalize: bool = True        # mean/var/std combine ON DEVICE and
+                                        # fetch one grid instead of 2-3
+                                        # constituent grids (the result D2H is
+                                        # the per-query fixed cost)
 
     def __post_init__(self):
         self.device = _env("VAEX_TPU_DEVICE", self.device)
@@ -112,6 +116,7 @@ class Compute:
         self.groupby_int_range_cells = _env(
             "VAEX_TPU_GROUPBY_INT_RANGE_CELLS", self.groupby_int_range_cells)
         self.strategy = _env("VAEX_TPU_STRATEGY", self.strategy)
+        self.device_finalize = _env("VAEX_TPU_DEVICE_FINALIZE", self.device_finalize)
 
 
 @dataclasses.dataclass

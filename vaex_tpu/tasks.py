@@ -94,6 +94,43 @@ class TaskAggregation(Task):
         )
 
 
+class TaskAggregationCompound(TaskAggregation):
+    """Several primitive aggregations on one grid whose results combine ON
+    DEVICE into a single fetched grid (mean = Σv/n, var = Σv²/n - (Σv/n)², …).
+
+    The host-side compound finalize (reference: vaex/agg.py:386-521 delayed
+    division) fetches every constituent grid; on a TPU the result D2H is the
+    per-query fixed cost — a 1M-cell mean paid 3 × 4MB grids over the wire.
+    The device finalize fetches ONE output grid (VERDICT r2 next #3/#6).
+
+    combine_name selects a registered jnp combine (execution.COMBINE_FNS);
+    combine_args parameterize it (ddof, output dtype).  Sub-results are
+    intermediate only — they are never fetched or cached individually.
+    """
+
+    name = "aggregation_compound"
+
+    def __init__(self, df, binners, aggregator_descriptor, sub_descriptors,
+                 combine_name, combine_args=None):
+        super().__init__(df, binners, aggregator_descriptor)
+        self.sub_descriptors = list(sub_descriptors)
+        self.combine_name = combine_name
+        self.combine_args = dict(combine_args or {})
+        for sub in self.sub_descriptors:
+            for expr in sub.expressions:
+                if expr != "*" and expr not in self.expressions:
+                    self.expressions.append(expr)
+
+    def spec(self):
+        return dict(
+            binners=[b.encode(None) for b in self.binners],
+            agg=self.aggregation_description.encode(None),
+            subs=[d.encode(None) for d in self.sub_descriptors],
+            combine=self.combine_name,
+            combine_args=self.combine_args,
+        )
+
+
 class TaskMapReduce(Task):
     """Custom per-chunk host map + reduce (reference: vaex/tasks.py:256).
 

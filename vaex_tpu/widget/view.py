@@ -161,3 +161,26 @@ class DataFrameAccessorWidget:
 
     def grid_model(self, axes, what="count(*)", selection=None):
         return GridModel(self.df, axes, what=what, selection=selection)
+
+    # bqplot / ipyvolume views (widget/plot.py, import-gated): the reference's
+    # vaex-jupyter plot-widget ring (view.py Histogram/Heatmap/PieChart,
+    # ipyvolume.py)
+    def histogram_bqplot(self, x, shape=64, what="count(*)", selection=None, **kwargs):
+        from .plot import Histogram
+        return Histogram(self.df, x, shape=shape, what=what, selection=selection, **kwargs)
+
+    def heatmap_bqplot(self, x, y, shape=128, what="count(*)", selection=None, **kwargs):
+        from .plot import Heatmap
+        return Heatmap(self.df, x, y, shape=shape, what=what, selection=selection, **kwargs)
+
+    def pie(self, x, shape=8, **kwargs):
+        from .plot import PieChart
+        return PieChart(self.df, x, shape=shape, **kwargs)
+
+    def volume(self, x, y, z, shape=64, what="count(*)", selection=None):
+        from .plot import VolumePlot
+        return VolumePlot(self.df, x, y, z, shape=shape, what=what, selection=selection)
+
+    def toolbar(self, view):
+        from .plot import PlotToolbar
+        return PlotToolbar(view)
