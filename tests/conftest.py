@@ -66,14 +66,25 @@ def df_local():
     return create_base_df()
 
 
-@pytest.fixture(params=["plain", "sliced", "concat", "filtered_all", "hdf5", "arrow"])
+_REMOTE_BACKEND = [] if os.environ.get("VAEX_TEST_SKIP_REMOTE") else ["remote"]
+
+
+@pytest.fixture(params=["plain", "sliced", "concat", "filtered_all", "hdf5", "arrow"]
+                + _REMOTE_BACKEND)
 def df(request, tmp_path_factory):
     """Backend-parametrized dataframe with identical logical content
     (reference fixture matrix: tests/common.py:225-241 — local / trimmed /
-    fragmented / filtered / file-backed)."""
+    fragmented / filtered / file-backed / remote-over-dummy-transport;
+    VAEX_TEST_SKIP_REMOTE gates the remote param like the reference)."""
     base = create_base_df()
     if request.param == "plain":
         return base
+    if request.param == "remote":
+        # API assertions run through DataFrameRemote + encoded tasks over the
+        # in-process dummy transport (reference: common.py:149-153 ds_remote)
+        from vaex_tpu.server.dummy import create_client_server
+        client, _server = create_client_server({"df": base})
+        return client["df"]
     if request.param in ("hdf5", "arrow"):
         # file-backed (mmap path); object column not supported by writers
         d = tmp_path_factory.mktemp("dfbackend")

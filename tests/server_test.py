@@ -296,3 +296,49 @@ def test_executor_deep_delayed_chain():
     while not state["done"]:
         df.execute()
     assert state["n"] == depth
+
+
+def test_server_concurrent_execute(tmp_path):
+    """Two clients' execute requests must run CONCURRENTLY server-side
+    (reference: AsyncThreadedService's pool of executors, service.py:61-95).
+    Each request evaluates a UDF that blocks until BOTH requests have
+    reached it — with the old process-wide executor lock this rendezvous
+    can never complete."""
+    import threading
+    import time as _time
+    from vaex_tpu.server.dummy import DummyTransport, create_client_server
+    from vaex_tpu.server.client import Client
+
+    rendezvous = str(tmp_path / "rendezvous")
+
+    def make_slow(tag):
+        def rendezvous_udf(x):
+            import os as _os
+            import time as _t
+            _os.makedirs(rendezvous, exist_ok=True)
+            open(f"{rendezvous}/{tag}", "w").write("here")
+            deadline = _t.time() + 15
+            while _t.time() < deadline:
+                if len(_os.listdir(rendezvous)) >= 2:
+                    return x * 0 + 1.0  # both requests in flight: success
+                _t.sleep(0.01)
+            return x * 0 - 1.0  # timed out: requests were serialized
+        return rendezvous_udf
+
+    base = vaex.from_arrays(x=np.arange(4.0))
+    client1, server = create_client_server({"df": base})
+    client2 = Client(DummyTransport(server))
+
+    results = {}
+
+    def work(tag, client):
+        df = client["df"]
+        df["slow"] = df.x.apply(make_slow(tag))
+        results[tag] = float(df.sum("slow"))
+
+    t1 = threading.Thread(target=work, args=("a", client1))
+    t2 = threading.Thread(target=work, args=("b", client2))
+    t1.start(); t2.start()
+    t1.join(timeout=30); t2.join(timeout=30)
+    assert results.get("a") == 4.0, results
+    assert results.get("b") == 4.0, results

@@ -336,6 +336,42 @@ class AggregatorDescriptorKurtosis(AggregatorDescriptorMulti):
         return tasks, finish(*results)
 
 
+def presence_tasks(df, binners, progress=None):
+    """Delayed presence grid (count > 0 per cell, full edge layout) fetched
+    as a device-packed BITMAP — C/8 bytes instead of a count grid (the
+    empty-group mask is the groupby's second-largest fetch at high
+    cardinality).  Falls back to a plain count when the executor lacks
+    device finalize."""
+    if not _use_device_finalize(df):
+        tasks, result = count(edges=True).add_tasks(df, binners, progress)
+
+        @delayed
+        def finish_counts(counts):
+            return np.asarray(counts) > 0
+
+        return finish_counts(result)
+    from .tasks import TaskAggregationCompound
+    count_desc = count(edges=True)
+    count_desc._prepare_types(df)
+    desc = AggregatorDescriptorBasic("AggPresence", [], "presence", edges=True)
+    task = TaskAggregationCompound(df, binners, desc, [count_desc],
+                                   "presence_bits", dict(raw=True))
+    task = df.executor.schedule(task)
+    if progress is not None and progress is not False:
+        from . import progress as progress_mod
+        progress_mod.tree(progress).add_task(task, "presence")
+    shape = tuple(b.shape for b in binners)
+
+    @delayed
+    def finish(packed):
+        bits = np.unpackbits(np.asarray(packed, dtype=np.uint8), bitorder="little")
+        n = int(np.prod(shape)) if shape else 1
+        grid = bits[:n].astype(bool)
+        return grid.reshape(shape) if shape else grid[0]
+
+    return finish(task)
+
+
 # dense nunique presence grids beyond this many (cells x values) entries
 # switch to the sparse pair-set fallback (exact at any cardinality)
 NUNIQUE_DENSE_CELL_LIMIT = 200_000_000

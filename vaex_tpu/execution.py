@@ -203,7 +203,23 @@ def _combine_std(states, out_dtype, ddof=0):
     return jnp.sqrt(_combine_var(states, jnp.float64, ddof=ddof)).astype(out_dtype)
 
 
-COMBINE_FNS = {"mean": _combine_mean, "var": _combine_var, "std": _combine_std}
+def _combine_presence_bits(states, out_dtype, ddof=0):
+    """count grid -> little-endian packed presence bitmap: the groupby
+    empty-group mask fetches C/8 bytes instead of a 4-8 byte/cell count grid
+    (raw output: the host unpacks with np.unpackbits(bitorder='little'))."""
+    (c,) = states
+    present = (c[:-1] != 0)  # void cell dropped here (raw skips the slicing)
+    n = present.shape[0]
+    pad = (-n) % 8
+    if pad:
+        present = jnp.concatenate([present, jnp.zeros(pad, bool)])
+    weights = (2 ** jnp.arange(8, dtype=jnp.int32)).astype(jnp.uint8)
+    return (present.reshape(-1, 8).astype(jnp.uint8) * weights).sum(
+        axis=1, dtype=jnp.int32).astype(jnp.uint8)
+
+
+COMBINE_FNS = {"mean": _combine_mean, "var": _combine_var, "std": _combine_std,
+               "presence_bits": _combine_presence_bits}
 
 
 class ExecutorLocal(Executor):
@@ -456,6 +472,11 @@ class ExecutorLocal(Executor):
             fetched = packed_device_get(combined_states + [states[i] for _, i in plain])
             for comp, raw in zip(compounds, fetched[:len(combined_states)]):
                 ctask = comp["task"]
+                if comp["args"].get("raw"):
+                    # combine output is not a cell grid (e.g. packed presence
+                    # bits): deliver verbatim, the descriptor's finish decodes
+                    self._fulfill(ctask, np.asarray(raw))
+                    continue
                 grid_flat = np.asarray(raw)[:-1]  # drop void cell
                 shape = tuple(b.shape for b in ctask.binners)
                 grid = grid_flat.reshape(shape) if shape else grid_flat[0]

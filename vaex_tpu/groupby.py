@@ -622,7 +622,9 @@ class GroupBy(GroupByBase):
                 synth[:grouper.N] = 1
                 counts_promise = synth
             else:
-                tasks, counts_promise = agg_mod.count(edges=True).add_tasks(self.df, self.binners)
+                # presence only (the counts' values are never used): fetched
+                # as a device-packed bitmap, C/8 bytes instead of a count grid
+                counts_promise = agg_mod.presence_tasks(self.df, self.binners)
 
         @delayed
         def finish(counts, *values):

@@ -8,15 +8,45 @@ server's executor (which drives the TPU mesh).
 
 from __future__ import annotations
 
-import threading
+import contextlib
+import os
+import queue
 
 from .. import encoding as encoding_mod
+
+
+class _ExecutorPool:
+    """Pool of private executors so concurrent client requests overlap
+    (reference: AsyncThreadedService's thread pool of ExecutorLocal,
+    service.py:61-95).  The executor is non-reentrant, so each in-flight
+    request owns one for its duration; device work serializes on the chip
+    while host-side chunk prep, result fetches and progress streams of
+    different requests interleave."""
+
+    def __init__(self, size=None):
+        if size is None:
+            size = int(os.environ.get("VAEX_TPU_SERVER_EXECUTORS", "4"))
+        self._q = queue.Queue()
+        self.size = size
+        for _ in range(size):
+            self._q.put(None)  # executors are created lazily on first use
+
+    @contextlib.contextmanager
+    def acquire(self):
+        ex = self._q.get()
+        if ex is None:
+            from ..execution import ExecutorLocal
+            ex = ExecutorLocal(mesh="auto")
+        try:
+            yield ex
+        finally:
+            self._q.put(ex)
 
 
 class Service:
     def __init__(self, dataframes: dict):
         self.dataframes = dict(dataframes)
-        self._lock = threading.Lock()
+        self._pool = _ExecutorPool()
 
     def add_dataframe(self, name, df):
         self.dataframes[name] = df
@@ -60,9 +90,10 @@ class Service:
                 return True
             for task in tasks:
                 task.progress(callback)
-        with self._lock:  # executor is process-wide; serialize remote runs
+        with self._pool.acquire() as executor:
+            df.executor = executor
             for task in tasks:
-                df.executor.schedule(task)
+                executor.schedule(task)
             df.execute()
         out_enc = encoding_mod.Encoding()
         results = [out_enc.encode("task-result", task.get()) for task in tasks]
@@ -70,7 +101,8 @@ class Service:
 
     def evaluate(self, name, state, expression, i1=None, i2=None):
         df = self._df_for(name, state)
-        with self._lock:
+        with self._pool.acquire() as executor:
+            df.executor = executor
             result = df.evaluate(expression, i1=i1, i2=i2)
         out_enc = encoding_mod.Encoding()
         return out_enc.encode("array", _as_encodable(result)), out_enc
@@ -87,7 +119,8 @@ class Service:
         if method not in allowed:
             raise ValueError(f"method {method!r} not allowed remotely")
         df = self._df_for(name, state)
-        with self._lock:
+        with self._pool.acquire() as executor:
+            df.executor = executor
             out = getattr(df, method)(*args, **kwargs) if method != "__len__" else len(df)
         return out
 
