@@ -524,10 +524,28 @@ static inline uint64_t key_u64_from_f64(double x) {
     return (u & 0x8000000000000000ull) ? ~u : (u | 0x8000000000000000ull);
 }
 
+struct WritableView {
+    Py_buffer view{};
+    bool ok = false;
+    ~WritableView() {
+        if (ok) PyBuffer_Release(&view);
+    }
+    bool acquire(PyObject* obj) {
+        if (PyObject_GetBuffer(obj, &view, PyBUF_CONTIG | PyBUF_WRITABLE) != 0) return false;
+        ok = true;
+        return true;
+    }
+};
+
 static PyObject* native_argsort(PyObject*, PyObject* args) {
+    // argsort(values, dtype[, out_buffer]) — with out_buffer (writable,
+    // n*4 bytes, e.g. a pooled bytearray) the permutation is written in
+    // place and None is returned: callers recycle result buffers instead of
+    // paying fresh-page faults per call (native.py _BufferPool)
     PyObject* array;
     const char* dtype_str;
-    if (!PyArg_ParseTuple(args, "Os", &array, &dtype_str)) return nullptr;
+    PyObject* out_obj = nullptr;
+    if (!PyArg_ParseTuple(args, "Os|O", &array, &dtype_str, &out_obj)) return nullptr;
     BufferView buf;
     if (!buf.acquire(array)) return nullptr;
     std::string dt(dtype_str);
@@ -541,9 +559,21 @@ static PyObject* native_argsort(PyObject*, PyObject* args) {
         PyErr_SetString(PyExc_OverflowError, "argsort: >=2^31 rows needs the chunked path");
         return nullptr;
     }
-    PyObject* out_bytes = PyBytes_FromStringAndSize(nullptr, n * 4);
-    if (!out_bytes) return nullptr;
-    int32_t* idx = (int32_t*)PyBytes_AS_STRING(out_bytes);
+    PyObject* out_bytes = nullptr;
+    WritableView out_view;
+    int32_t* idx;
+    if (out_obj != nullptr && out_obj != Py_None) {
+        if (!out_view.acquire(out_obj)) return nullptr;
+        if (out_view.view.len < n * 4) {
+            PyErr_SetString(PyExc_ValueError, "out buffer too small");
+            return nullptr;
+        }
+        idx = (int32_t*)out_view.view.buf;
+    } else {
+        out_bytes = PyBytes_FromStringAndSize(nullptr, n * 4);
+        if (!out_bytes) return nullptr;
+        idx = (int32_t*)PyBytes_AS_STRING(out_bytes);
+    }
     bool bad_dtype = false;
     Py_BEGIN_ALLOW_THREADS {
         std::lock_guard<std::mutex> guard(g_scratch.m);
@@ -580,10 +610,11 @@ static PyObject* native_argsort(PyObject*, PyObject* args) {
     }
     Py_END_ALLOW_THREADS
     if (bad_dtype) {
-        Py_DECREF(out_bytes);
+        Py_XDECREF(out_bytes);
         PyErr_Format(PyExc_ValueError, "argsort: unsupported dtype %s", dtype_str);
         return nullptr;
     }
+    if (out_bytes == nullptr) Py_RETURN_NONE;
     return out_bytes;
 }
 
@@ -842,8 +873,10 @@ static PyObject* KeyIndex_build(KeyIndexObject* self, PyObject* args) {
 }
 
 static PyObject* KeyIndex_lookup(KeyIndexObject* self, PyObject* args) {
+    // lookup(values[, out_buffer]) — see native_argsort on out_buffer
     PyObject* array;
-    if (!PyArg_ParseTuple(args, "O", &array)) return nullptr;
+    PyObject* out_obj = nullptr;
+    if (!PyArg_ParseTuple(args, "O|O", &array, &out_obj)) return nullptr;
     BufferView buf;
     if (!buf.acquire(array)) return nullptr;
     size_t isz = itemsize_of(self->dtype);
@@ -852,15 +885,28 @@ static PyObject* KeyIndex_lookup(KeyIndexObject* self, PyObject* args) {
         return nullptr;
     }
     int64_t n = buf.view.len / (Py_ssize_t)isz;
-    PyObject* out_bytes = PyBytes_FromStringAndSize(nullptr, n * 4);
-    if (!out_bytes) return nullptr;
-    int32_t* out = (int32_t*)PyBytes_AS_STRING(out_bytes);
+    PyObject* out_bytes = nullptr;
+    WritableView out_view;
+    int32_t* out;
+    if (out_obj != nullptr && out_obj != Py_None) {
+        if (!out_view.acquire(out_obj)) return nullptr;
+        if (out_view.view.len < n * 4) {
+            PyErr_SetString(PyExc_ValueError, "out buffer too small");
+            return nullptr;
+        }
+        out = (int32_t*)out_view.view.buf;
+    } else {
+        out_bytes = PyBytes_FromStringAndSize(nullptr, n * 4);
+        if (!out_bytes) return nullptr;
+        out = (int32_t*)PyBytes_AS_STRING(out_bytes);
+    }
     Py_BEGIN_ALLOW_THREADS
     index_dispatch(self, [&](auto& index) {
         using KeyT = std::decay_t<decltype(index.keys[0])>;
         index.lookup((const KeyT*)buf.view.buf, n, out);
     });
     Py_END_ALLOW_THREADS
+    if (out_bytes == nullptr) Py_RETURN_NONE;
     return out_bytes;
 }
 

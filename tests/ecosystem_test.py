@@ -443,3 +443,78 @@ def test_graphene_schema_adapter_with_fake():
     # row access through the filtered frame
     rows = Agg.row.resolver(agg2, None, limit=10)
     assert [r["values"]["x"] for r in rows] == [2.0, 3.0]
+
+
+def test_image_layers():
+    """rgba grid rendering (reference: vaex-core/vaex/image.py:17-181)."""
+    from vaex_tpu import image
+    I = np.array([[0.0, 1.0], [0.5, np.nan]])
+    mono = image.monochrome(I, "red")
+    assert mono.shape == (2, 2, 4)
+    np.testing.assert_allclose(mono[0, 1], [1, 0, 0, 1])   # max intensity
+    assert mono[1, 1, 3] == 0                               # nan -> transparent
+    bg = image.background((2, 2), color="white")
+    assert bg.shape == (2, 2, 4) and bg.dtype == np.uint8 and bg[0, 0, 0] == 255
+    out = image.blend([bg, mono], blend_mode="multiply")
+    assert out.shape == (2, 2, 4)
+    assert out[..., 3].max() <= 1.0
+    # polychrome: one color per stacked slice
+    stack = np.stack([I, 1 - I], axis=-1)
+    poly = image.polychrome(stack, ["red", "blue"])
+    assert poly.shape == (2, 2, 4)
+    # faded history stack keeps the top layer strongest
+    faded = image.fade([mono, mono], opacity=0.5)
+    assert faded.shape == (2, 2, 4)
+    url = image.rgba_to_url(out)
+    assert url.startswith("data:image/png;base64,")
+    cm = image.colormap(I, "viridis")
+    assert cm.shape == (2, 2, 4)
+
+
+def test_ml_tensorflow_bridge_with_fake(monkeypatch):
+    """df.ml.tensorflow streams chunk dicts into tf.data (driven with a fake
+    tensorflow module; reference: vaex-ml/vaex/ml/tensorflow.py)."""
+    import sys
+    import types
+    tf = types.ModuleType("tensorflow")
+
+    class TensorSpec:
+        def __init__(self, shape=None, dtype=None):
+            self.shape, self.dtype = shape, dtype
+
+    class _Dataset:
+        def __init__(self, gen, signature):
+            self._gen, self.signature = gen, signature
+            self.shuffled = self.repeated = None
+
+        def shuffle(self, buffer_size):
+            self.shuffled = buffer_size
+            return self
+
+        def repeat(self, n):
+            self.repeated = n
+            return self
+
+        def __iter__(self):
+            return self._gen()
+
+    data = types.SimpleNamespace(
+        Dataset=types.SimpleNamespace(
+            from_generator=lambda gen, output_signature: _Dataset(gen, output_signature)))
+    tf.TensorSpec = TensorSpec
+    tf.data = data
+    monkeypatch.setitem(sys.modules, "tensorflow", tf)
+
+    df = vaex.from_arrays(a=np.arange(10.0), b=np.arange(10.0) * 2,
+                          label=(np.arange(10) % 2).astype(np.int64))
+    ds = df.ml.tensorflow.to_dataset(features=["a", "b"], target="label", chunk_size=4)
+    batches = list(ds)
+    assert len(batches) == 3
+    feats, y = batches[0]
+    np.testing.assert_array_equal(feats["a"], [0, 1, 2, 3])
+    np.testing.assert_array_equal(y, [0, 1, 0, 1])
+    assert set(ds.signature[0]) == {"a", "b"}
+    input_fn = df.ml.tensorflow.make_input_function(
+        features=["a"], target="label", shuffle=True, repeat=2)
+    ds2 = input_fn()
+    assert ds2.shuffled == 8 and ds2.repeated == 2

@@ -11,23 +11,23 @@ from __future__ import annotations
 
 
 def _tune_malloc():
-    """Keep large buffers on the heap instead of per-call mmap/munmap.
+    """OPT-IN (VAEX_TPU_MALLOC_TUNE=1): keep large buffers on the heap
+    instead of per-call mmap/munmap.
 
-    glibc serves >128KB allocations with mmap and returns them on free, so
-    every pass re-faults its working set; in sandboxed runtimes (gVisor-
-    style) a 4KB fault costs ~0.4ms and a fresh 134MB numpy temp takes
-    ~13 SECONDS to first-touch (measured; 50ms once reused).  Raising
-    M_MMAP_THRESHOLD/M_TRIM_THRESHOLD makes the allocator retain and reuse
-    those buffers — repeated passes then run at memory speed.  Trade-off:
-    the process retains its high-water heap; opt out with
-    VAEX_TPU_MALLOC_TUNE=0.
+    Round-2 measured heap retention as a 2x win; on the round-3 kernel the
+    sign FLIPPED: sbrk-grown heap pages fault ~100x slower than fresh
+    anonymous mmap pages (measured in-process: np.empty first-touch of 64MB
+    = 6.5s on the heap vs 9-28ms via mmap; a warm 16.7M-row join = 2.1s vs
+    0.11s).  Default is therefore glibc's stock behavior (mmap for >128KB);
+    set VAEX_TPU_MALLOC_TUNE=1 on runtimes where heap reuse wins — measure
+    one warm `np.empty(64<<20, np.uint8)[::4096] = 1` to decide.
     """
     import ctypes
     import os
     import sys
     if not sys.platform.startswith("linux"):
         return
-    if os.environ.get("VAEX_TPU_MALLOC_TUNE", "1").lower() in ("0", "false", "no"):
+    if os.environ.get("VAEX_TPU_MALLOC_TUNE", "0").lower() in ("0", "false", "no", ""):
         return
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)

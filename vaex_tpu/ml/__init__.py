@@ -655,6 +655,13 @@ class DataFrameAccessorML:
     def __init__(self, df):
         self.df = df
 
+    @property
+    def tensorflow(self):
+        """tf.data bridge (import-gated; reference: vaex-ml/vaex/ml/
+        tensorflow.py DataFrameAccessorTensorflow)."""
+        from .tensorflow import DataFrameAccessorTensorflow
+        return DataFrameAccessorTensorflow(self)
+
     def train_test_split(self, test_size=0.2, verbose=True):
         """Ordered split (reference warns about non-shuffled split too)."""
         n = len(self.df)

@@ -88,7 +88,7 @@ class NativeOrderedSet:
     def map(self, values: np.ndarray) -> np.ndarray:
         """codes int32; -1 unknown, -2 NaN. Multithreaded hash probes."""
         values = np.ascontiguousarray(values, dtype=self.dtype)
-        return np.frombuffer(self._set.map(values), dtype=np.int32).copy()
+        return np.frombuffer(self._set.map(values), dtype=np.int32)  # no-copy view
 
     def __len__(self):
         return self._set.length()
@@ -102,6 +102,48 @@ def pad_to(values: np.ndarray, L: int, fill=0):
     out = np.full(L, fill, dtype=values.dtype)
     out[: len(values)] = values
     return out
+
+
+class _PoolBuffer:
+    """A recyclable bytearray: numpy arrays built over it (np.frombuffer via
+    the PEP-688 buffer protocol) keep it as their .base; when the LAST such
+    array dies, __del__ puts the bytearray back in the pool.  Large result
+    buffers (join lookups, sort permutations) are re-used across calls
+    instead of paying fresh-page first-touch faults per call (measured
+    ~0.15-1 ms per 4KB page in sandboxed runtimes — seconds per 64MB)."""
+
+    __slots__ = ("data", "_pool", "_key")
+
+    def __init__(self, data, pool, key):
+        self.data = data
+        self._pool = pool
+        self._key = key
+
+    def __buffer__(self, flags):
+        return memoryview(self.data)
+
+    def __del__(self):
+        try:
+            free = self._pool.setdefault(self._key, [])
+            if len(free) < 4:
+                free.append(self.data)
+        except Exception:  # pragma: no cover - interpreter shutdown
+            pass
+
+
+_result_pool = {}
+
+
+def _pooled_i32(n):
+    """(writable bytearray of n*4 bytes, owner) — owner must outlive users."""
+    key = int(n) * 4
+    free = _result_pool.get(key)
+    data = free.pop() if free else bytearray(key)
+    return _PoolBuffer(data, _result_pool, key)
+
+
+def _pooled_array(owner, n):
+    return np.frombuffer(owner, dtype=np.int32, count=n)
 
 
 _SORTABLE = {"int32", "uint32", "float32", "int64", "uint64", "float64"}
@@ -120,7 +162,14 @@ def argsort(values: np.ndarray):
     if dt.name not in _SORTABLE or not dt.isnative or len(values) >= 2**31:
         return None
     values = np.ascontiguousarray(values)
-    return np.frombuffer(_native.argsort(values, dt.name), dtype=np.int32).copy()
+    # write into a pooled buffer: result arrays keep it alive, and the pool
+    # re-uses it across calls — a fresh 67MB result buffer pays ~0.4ms/4KB
+    # first-touch faults in sandboxed runtimes (measured 6.5s at 16.7M rows,
+    # 200x the C++ sort itself)
+    n = len(values)
+    owner = _pooled_i32(n)
+    _native.argsort(values, dt.name, owner.data)
+    return _pooled_array(owner, n)
 
 
 class NativeKeyIndex:
@@ -145,9 +194,12 @@ class NativeKeyIndex:
         return self.has_duplicates
 
     def lookup(self, values: np.ndarray) -> np.ndarray:
-        """int32 first-occurrence right rows; -1 for missing/NaN keys."""
+        """int32 first-occurrence right rows; -1 for missing/NaN keys.
+        Written into a pooled recyclable buffer (see _PoolBuffer)."""
         values = np.ascontiguousarray(values, dtype=self.dtype)
-        return np.frombuffer(self._index.lookup(values), dtype=np.int32).copy()
+        owner = _pooled_i32(len(values))
+        self._index.lookup(values, owner.data)
+        return _pooled_array(owner, len(values))
 
     def __len__(self):
         return self._index.length()
