@@ -221,3 +221,36 @@ def test_temporal_units_normalize():
     # literal comparison across units
     assert df.count(selection=df.td > np.timedelta64(90, "m")) == 3
     assert df.count(selection=df.t >= np.datetime64("2020-01-02")) == 3
+
+
+def test_self_referential_virtual_column_rejected():
+    """A virtual column whose expression references its own name (e.g. a UDF
+    registered under the column name) must raise cleanly, not blow the
+    stack at first use."""
+    import vaex_tpu as vaex
+    df = vaex.from_arrays(x=np.arange(5.0))
+
+    def slow(x):
+        return x * 2
+
+    with pytest.raises(ValueError, match="self-referential"):
+        df["slow"] = df.x.apply(slow)
+    # the failed definition must not leave a broken column behind
+    assert "slow" not in df.get_column_names()
+    assert float(df.sum("x")) == 10.0
+
+
+def test_redefine_virtual_column_in_terms_of_itself():
+    """Reference semantics (dataframe.py:3800): redefining an existing
+    virtual column hides the old definition, so df['v'] = df.v + 1 chains."""
+    import vaex_tpu as vaex
+    df = vaex.from_arrays(x=np.arange(5.0))
+    df["v"] = df.x * 2
+    df["v"] = df.v + 1
+    np.testing.assert_array_equal(df.evaluate("v"), np.arange(5.0) * 2 + 1)
+    df["v"] = df.v + df.x
+    np.testing.assert_array_equal(df.evaluate("v"), np.arange(5.0) * 3 + 1)
+    # state roundtrip keeps the chain
+    df2 = vaex.from_arrays(x=np.arange(5.0))
+    df2.state_set(df.state_get())
+    np.testing.assert_array_equal(df2.evaluate("v"), np.arange(5.0) * 3 + 1)

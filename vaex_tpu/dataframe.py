@@ -270,9 +270,34 @@ class DataFrame:
             renamed = utils.find_valid_name("__" + name, used=self.get_column_names(hidden=True))
             self._rename_column(name, renamed)
             expression = expresso.translate(expression, {name: renamed})
+        elif name in self.virtual_columns:
+            # redefining a virtual column, possibly in terms of itself
+            # (df['v'] = df.v + 1): hide the old definition under a fresh
+            # name and rewrite every reference (reference renames ANY
+            # existing column here, dataframe.py:3800-3804)
+            renamed = utils.find_valid_name("__" + name, used=self.get_column_names(hidden=True))
+            self.virtual_columns[renamed] = self.virtual_columns.pop(name)
+            self.column_names[self.column_names.index(name)] = renamed
+            for vname, vexpr in list(self.virtual_columns.items()):
+                if vname != renamed:
+                    self.virtual_columns[vname] = expresso.translate(vexpr, {name: renamed})
+            expression = expresso.translate(expression, {name: renamed})
         self.virtual_columns[name] = expression
         if name not in self.column_names:
             self.column_names.append(name)
+        # reject self-referential definitions up front (e.g. a virtual column
+        # whose expression calls a UDF registered under the same name):
+        # downstream expression expansion would recurse without bound
+        try:
+            self[name].root_columns()
+        except RecursionError:
+            del self.virtual_columns[name]
+            if name in self.column_names:
+                self.column_names.remove(name)
+            raise ValueError(
+                f"virtual column {name!r} is self-referential (its expression "
+                f"{expression!r} depends on {name!r}); pick a different column "
+                "or function name") from None
         return self[name]
 
     def add_column(self, name, data):
