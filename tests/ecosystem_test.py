@@ -518,3 +518,45 @@ def test_ml_tensorflow_bridge_with_fake(monkeypatch):
         features=["a"], target="label", shuffle=True, repeat=2)
     ds2 = input_fn()
     assert ds2.shuffled == 8 and ds2.repeated == 2
+
+
+def test_astro_tap_client():
+    """Sync-TAP query against a local HTTP 'service' serving a VOTable
+    (reference: vaex-astro TAP access; ours is astropy-free)."""
+    import http.server
+    import threading
+    import urllib.parse
+    from vaex_tpu import astro
+
+    df_src = vaex.from_arrays(ra=np.array([1.5, 2.5]), dec=np.array([-3.0, 4.0]))
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "t.vot")
+    astro.export_votable(df_src, path)
+    votable = open(path, "rb").read()
+    seen = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            seen.update(urllib.parse.parse_qs(self.rfile.read(n).decode()))
+            seen["path"] = self.path
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(votable)))
+            self.end_headers()
+            self.wfile.write(votable)
+
+        def log_message(self, *a):
+            pass
+
+    server = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}/tap"
+        df = astro.from_tap(url, "SELECT ra, dec FROM t", maxrec=100)
+        assert seen["path"] == "/tap/sync"
+        assert seen["QUERY"] == ["SELECT ra, dec FROM t"]
+        assert seen["MAXREC"] == ["100"]
+        np.testing.assert_allclose(df.evaluate("ra"), [1.5, 2.5])
+        np.testing.assert_allclose(df.evaluate("dec"), [-3.0, 4.0])
+    finally:
+        server.shutdown()

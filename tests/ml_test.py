@@ -229,3 +229,58 @@ def test_boosted_wrappers_gated():
     out = p.transform(df)
     pred = np.asarray(out.evaluate("pred"))
     assert pred.shape == (100,) and np.isfinite(pred).all()
+
+
+def test_incubator_river_wrapper():
+    """RiverModel streams chunks into learn_many (reference:
+    ml/incubator/river.py); driven with a fake river estimator."""
+    from vaex_tpu.ml.incubator import RiverModel
+
+    class FakeRiver:
+        def __init__(self):
+            self.batches = []
+            self.coef = 2.0
+
+        def learn_many(self, X, y):
+            self.batches.append((len(X), list(X.columns)))
+
+        def predict_many(self, X):
+            return X["a"].values * self.coef
+
+    df = vaex.from_arrays(a=np.arange(10.0), t=np.arange(10.0) * 2)
+    m = RiverModel(FakeRiver(), ["a"], "t", batch_size=4)
+    m.fit(df)
+    assert [b[0] for b in m.model.batches] == [4, 4, 2]
+    out = m.transform(df)
+    np.testing.assert_array_equal(out.evaluate("prediction"), np.arange(10.0) * 2)
+
+
+def test_incubator_annoy_wrapper():
+    """ANNOYModel builds a chunked index (reference: ml/incubator/annoy.py);
+    driven with a fake annoy module."""
+    import types
+    from vaex_tpu.ml.incubator import ANNOYModel
+
+    class FakeIndex:
+        def __init__(self, dim, metric):
+            self.items = {}
+            self.built = None
+
+        def add_item(self, i, vec):
+            self.items[i] = vec
+
+        def build(self, n_trees):
+            self.built = n_trees
+
+        def get_nns_by_vector(self, vec, k):
+            dists = sorted(self.items, key=lambda i: sum((a - b) ** 2 for a, b in zip(self.items[i], vec)))
+            return dists[:k]
+
+    fake = types.SimpleNamespace(AnnoyIndex=FakeIndex)
+    df = vaex.from_arrays(x=np.arange(6.0), y=np.arange(6.0))
+    m = ANNOYModel(["x", "y"], n_trees=3, n_neighbours=2, batch_size=4)
+    m.fit(df, annoy_module=fake)
+    assert m.index_builder.built == 3 and len(m.index_builder.items) == 6
+    nn = m.predict(df)
+    assert nn.shape == (6, 2)
+    np.testing.assert_array_equal(nn[:, 0], np.arange(6))  # self is nearest

@@ -402,3 +402,43 @@ def export_votable(df, path, table_name="vaex_tpu"):
     lines += ['    </TABLEDATA>', '   </DATA>', '  </TABLE>', ' </RESOURCE>', '</VOTABLE>', '']
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(lines))
+
+
+# ---------------------------------------------------------------------------
+# TAP (Table Access Protocol) remote queries
+# (reference: vaex-astro/vaex/astro tap support — astropy TAP; here a
+# self-contained sync-TAP client over urllib + the VOTable reader above)
+# ---------------------------------------------------------------------------
+
+def from_tap(url, query, maxrec=None, timeout=60):
+    """Run an ADQL query against a TAP service's synchronous endpoint and
+    return a DataFrame (e.g. url="https://gea.esac.esa.int/tap-server/tap",
+    query="SELECT TOP 10 ra, dec FROM gaiadr3.gaia_source").
+
+    Sync TAP is a plain HTTP POST returning a VOTable — parsed by the
+    engine's own reader, no astropy needed."""
+    import io
+    import tempfile
+    import urllib.parse
+    import urllib.request
+
+    params = {
+        "REQUEST": "doQuery",
+        "LANG": "ADQL",
+        "FORMAT": "votable",
+        "QUERY": query,
+    }
+    if maxrec is not None:
+        params["MAXREC"] = str(int(maxrec))
+    endpoint = url.rstrip("/") + "/sync"
+    data = urllib.parse.urlencode(params).encode()
+    req = urllib.request.Request(endpoint, data=data, headers={
+        "User-Agent": "vaex_tpu", "Accept": "application/x-votable+xml"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        body = resp.read()
+    with tempfile.NamedTemporaryFile(suffix=".vot", delete=False) as f:
+        f.write(body)
+        path = f.name
+    columns = read_votable(path)
+    from . import from_arrays
+    return from_arrays(**columns)
