@@ -338,6 +338,8 @@ def main():
         ("flat count t8192", lambda c, v: histflat(c, (), C, tile=8192)),
         ("flat_i8lo t8192", lambda c, v: histflat_i8lo(c, (v,), C, tile=8192)),
         ("flat_i8lo t16384", lambda c, v: histflat_i8lo(c, (v,), C, tile=16384)),
+        ("flat_i16 t8192", lambda c, v: histflat_i16(c, (v,), C, tile=8192)),
+        ("flat_i16 t16384", lambda c, v: histflat_i16(c, (v,), C, tile=16384)),
         ("flat16 count t16k", lambda c, v: histflat(c, (), C, tile=16384, cmp16=True)),
         ("probe mxu8 r4", lambda c, v: mxu_probe(c, C, reps=4, dtype8=True)),
         ("probe mxu8 r1", lambda c, v: mxu_probe(c, C, reps=1, dtype8=True)),
@@ -371,10 +373,6 @@ def main():
         print(line)
 
 
-if __name__ == "__main__":
-    main()
-
-
 # ------------------------------------------------------- flat int8-lo payload
 def _kernel_flat_i8lo(c_ref, v_ref, count_ref, sum_ref, *, nq, tile):
     """count + int8-quantized lo residual share ONE int8 matmul
@@ -399,15 +397,19 @@ def _kernel_flat_i8lo(c_ref, v_ref, count_ref, sum_ref, *, nq, tile):
     iq = jax.lax.broadcasted_iota(jnp.int32, (nq, tile), 0)
     ir = jax.lax.broadcasted_iota(jnp.int32, (128, tile), 0)
     q_oh8 = (iq == q).astype(jnp.int8)
-    r_oh8 = (ir == r).astype(jnp.int8)
+    r_oh32 = (ir == r).astype(jnp.int32)
+    r_oh8 = r_oh32.astype(jnp.int8)
 
     v = v_ref[0]
     vhi = v.astype(jnp.bfloat16)
     lo = v - vhi.astype(jnp.float32)
     s = jnp.maximum(jnp.max(jnp.abs(lo)), 1e-30) / 127.0
-    qlo = jnp.round(lo / s).astype(jnp.int8)
+    qlo = jnp.round(lo / s).astype(jnp.int32)
 
-    B8 = jnp.concatenate([r_oh8, r_oh8 * qlo], axis=0)     # [256, T]
+    # int8 elementwise products crash the remote Mosaic compiler (see
+    # PROGRESS round-3 negatives): stay int32 elementwise, cast the
+    # concatenated operand to int8 once at the matmul boundary
+    B8 = jnp.concatenate([r_oh32, r_oh32 * qlo], axis=0).astype(jnp.int8)  # [256, T]
     out = jax.lax.dot_general(
         q_oh8, B8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
     count_ref[...] += out[:, :128]
@@ -450,3 +452,78 @@ def histflat_i8lo(c, values, C, tile=8192):
                 vmem_limit_bytes=110 * 1024 * 1024),
         )(c2, v2)
     return count.reshape(-1)[:C], (total.reshape(-1)[:C],)
+
+# --------------------------------------------- all-int8 two-channel payload
+def _kernel_flat_i16(c_ref, v_ref, count_ref, sum_ref, *, nq, tile):
+    """count + value quantized to TWO int8 channels (shared per-tile scale)
+    share ONE int8 matmul [nq,T]@[T,384] -> int32.  No bf16 matmul at all:
+    MXU cost 3C int8 = 3C/136 vs i8lo's 2C/136 + C/98.5 — predicted ~674M
+    vs 602M rows/s at 259².
+
+    qv = round(v/s), s = max|v|/32512 per tile; a = (qv+128)>>8 in [-127,127],
+    b = qv - 256a in [-128,127]; sum = s*(256A + B) with A,B exact int32.
+    Per-row error <= s/2 ~ 1.54e-5 * max|v|_tile."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        count_ref[...] = jnp.zeros_like(count_ref)
+        sum_ref[...] = jnp.zeros_like(sum_ref)
+
+    c = c_ref[0]
+    q = jax.lax.shift_right_arithmetic(c, 7)
+    r = jax.lax.bitwise_and(c, 127)
+    iq = jax.lax.broadcasted_iota(jnp.int32, (nq, tile), 0)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (128, tile), 0)
+    q_oh8 = (iq == q).astype(jnp.int8)
+    r_oh32 = (ir == r).astype(jnp.int32)
+
+    v = v_ref[0]
+    s = jnp.maximum(jnp.max(jnp.abs(v)), 1e-30) / 32512.0
+    qv = jnp.round(v / s).astype(jnp.int32)
+    a = jax.lax.shift_right_arithmetic(qv + 128, 8)
+    b = qv - a * 256
+    # int8 elementwise crashes remote Mosaic: build int32, cast at boundary
+    B8 = jnp.concatenate([r_oh32, r_oh32 * a, r_oh32 * b], axis=0).astype(jnp.int8)
+    out = jax.lax.dot_general(
+        q_oh8, B8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    count_ref[...] += out[:, :128]
+    sum_ref[...] += (out[:, 128:256].astype(jnp.float32) * 256.0
+                     + out[:, 256:].astype(jnp.float32)) * s
+
+
+@functools.partial(jax.jit, static_argnames=("C", "tile"))
+def histflat_i16(c, values, C, tile=8192):
+    (v,) = values
+    nq = -(-C // 128)
+    n = c.shape[0]
+    n_tiles = max(1, -(-n // tile))
+    pad = n_tiles * tile - n
+    if pad:
+        c = jnp.concatenate([c, jnp.full(pad, -1, jnp.int32)])
+        v = jnp.concatenate([v, jnp.zeros(pad, v.dtype)])
+    c2 = c.reshape(n_tiles, 1, tile)
+    v2 = v.astype(jnp.float32).reshape(n_tiles, 1, tile)
+    kernel = functools.partial(_kernel_flat_i16, nq=nq, tile=tile)
+    row_spec = pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        count, total = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[row_spec, row_spec],
+            out_specs=[
+                pl.BlockSpec((nq, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nq, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nq, 128), jnp.int32),
+                jax.ShapeDtypeStruct((nq, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(c2, v2)
+    return count.reshape(-1)[:C], (total.reshape(-1)[:C],)
+
+
+if __name__ == "__main__":
+    main()

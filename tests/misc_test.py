@@ -333,6 +333,33 @@ def test_pallas_hist2d_interpret():
     assert np.allclose(np.asarray(total), expected_sum, atol=1e-4)
 
 
+def test_pallas_histflat_i8lo_interpret():
+    """i8lo payload mode: count exact, sum within the quantized-lo bound."""
+    from jax.experimental import pallas as pl
+    import vaex_tpu.ops.pallas_gridagg as pg
+    rng = np.random.RandomState(2)
+    N, C = 3000, 500
+    c = rng.randint(-1, C, N).astype(np.int32)
+    v1 = rng.normal(3, 2, N).astype(np.float32)
+    v2 = (v1 * v1).astype(np.float32)
+    orig = pl.pallas_call
+    pl.pallas_call = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    try:
+        count, (s1, s2) = pg.histflat_grid(
+            np.asarray(c), (np.asarray(v1), np.asarray(v2)), C,
+            tile=256, mode="i8lo")
+    finally:
+        pl.pallas_call = orig
+    mask = c >= 0
+    ref_c = np.bincount(c[mask], minlength=C)
+    assert np.array_equal(np.asarray(count), ref_c)
+    for s, v in ((s1, v1), (s2, v2)):
+        ref_s = np.bincount(c[mask], weights=v[mask].astype(np.float64), minlength=C)
+        # per-row error <= max|lo|/254 per tile ~ 2^-9 max|v| / 254
+        atol = np.abs(v).max() * 2**-9 / 127 * np.sqrt(max(1, N / C)) * 4 + 1e-3
+        np.testing.assert_allclose(np.asarray(s), ref_s, rtol=0, atol=atol)
+
+
 def test_open_convert(tmp_path):
     df = vaex.from_arrays(x=np.arange(10.0))
     csv_path = str(tmp_path / "c.csv")

@@ -198,3 +198,20 @@ def test_binned_1d_count_sum_kernel():
     ref_s = np.bincount(bins, weights=v.astype(np.float64), minlength=1024)
     np.testing.assert_array_equal(cnt, ref_c)
     np.testing.assert_allclose(s, ref_s, atol=2e-3)
+
+
+def test_histflat_i8lo_mode_on_device():
+    """i8lo payload mode (int8-quantized lo shares the count matmul):
+    count exact, sum within the quantization bound, on real Mosaic."""
+    from vaex_tpu.ops.pallas_gridagg import histflat_grid
+    rng = np.random.RandomState(17)
+    N, C = 400_000, 259 * 259
+    c = rng.randint(-1, C, N).astype(np.int32)
+    v = rng.normal(3, 2, N).astype(np.float32)
+    count, (s,) = histflat_grid(jnp.asarray(c), (jnp.asarray(v),), C, mode="i8lo")
+    mask = c >= 0
+    ref_c = np.bincount(c[mask], minlength=C)
+    ref_s = np.bincount(c[mask], weights=v[mask].astype(np.float64), minlength=C)
+    np.testing.assert_array_equal(np.asarray(count), ref_c)
+    err = np.abs(np.asarray(s) - ref_s).sum() / np.abs(ref_s).sum()
+    assert err < 5e-5, err

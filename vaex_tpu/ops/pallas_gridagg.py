@@ -60,14 +60,19 @@ MIN_CELLS = 8  # below this the fused XLA one-hot reduce needs no kernel
 _VMEM_BUDGET = 96 * 1024 * 1024
 
 
-def _pick_tile(nq, n_payloads):
+def _pick_tile(nq, n_payloads, i8lo=False):
     """Largest row tile whose working set fits the VMEM budget."""
     for tile in (16384, 8192, 4096, 2048, 1024, 512):
         per_row = 4 + nq + 128                    # c i32, q8, r8
         if n_payloads:
             per_row += 2 * nq                     # qf bf16
             per_row += 2 * 128 + 4                # rf bf16 + v f32
-            per_row += 2 * 2 * n_payloads * 128   # P bf16 blocks
+            if i8lo:
+                per_row += (1 + n_payloads) * 128       # int8 B blocks
+                per_row += (1 + n_payloads) * 512       # int32 build temps
+                per_row += 2 * n_payloads * 128         # bf16 hi blocks
+            else:
+                per_row += 2 * 2 * n_payloads * 128     # P bf16 blocks
         out_bytes = nq * 128 * 4 * (1 + n_payloads)
         total = per_row * tile + out_bytes
         if total * 3 // 2 <= _VMEM_BUDGET:        # 50% slack for Mosaic temps
@@ -75,7 +80,17 @@ def _pick_tile(nq, n_payloads):
     return 256
 
 
-def _kernel(c_ref, *rest, nq, tile, n_payloads, with_count):
+def payload_mode():
+    """'hilo' (default, ~2.8e-6 rel) or 'i8lo' (~11% faster, ~2.2e-5 rel):
+    the count one-hot and an int8-quantized lo residual share one int8
+    matmul, so the sum costs C·(2/136 + 1/98.5) instead of C·(1/136 +
+    2/98.5) T-MACs (602M vs 540M rows/s measured at 259²,
+    benchmarks/kernel_lab3.py flat_i8lo)."""
+    from .. import settings
+    return settings.compute.pallas_payload
+
+
+def _kernel(c_ref, *rest, nq, tile, n_payloads, with_count, mode="hilo"):
     v_refs = rest[:n_payloads]
     out_refs = rest[n_payloads:]
     if with_count:
@@ -100,6 +115,50 @@ def _kernel(c_ref, *rest, nq, tile, n_payloads, with_count):
     iq = jax.lax.broadcasted_iota(jnp.int32, (nq, tile), 0)
     ir = jax.lax.broadcasted_iota(jnp.int32, (128, tile), 0)
     q_oh8 = (iq == q).astype(jnp.int8)                  # [nq, T]
+
+    if mode == "i8lo" and n_payloads:
+        # count one-hot + per-payload int8-quantized lo residuals share ONE
+        # int8 matmul [nq,T]·[(1+P)*128,T]^T; only the bf16 hi blocks remain
+        # on the slower bf16 path.  MXU cost (1+P)C int8 + PC bf16 vs
+        # C int8 + 2PC bf16 — measured 602M vs 540M rows/s at 259², P=1
+        # (benchmarks/kernel_lab3.py flat_i8lo).  qlo = round(lo/s), s =
+        # max|lo|/127 per tile -> per-row error <= s/2 ~ 7.7e-6*max|v|_tile;
+        # the scaled lo partial folds into the f32 accumulator every step
+        # (s varies per tile, so the int32 lo cannot accumulate across steps).
+        r_oh32 = (ir == r).astype(jnp.int32)
+        r_oh8 = r_oh32.astype(jnp.int8)
+        i8_blocks = [r_oh32] if with_count else []
+        hi_blocks = []
+        scales = []
+        rf = r_oh8.astype(jnp.bfloat16)
+        for p in range(n_payloads):
+            v = v_refs[p][0]                            # [1, T] f32
+            vhi = v.astype(jnp.bfloat16)
+            lo = v - vhi.astype(jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(lo)), 1e-30) / 127.0
+            # int8 elementwise products crash the remote Mosaic compiler
+            # (PROGRESS round-3 negatives): build int32, cast at the boundary
+            i8_blocks.append(r_oh32 * jnp.round(lo / s).astype(jnp.int32))
+            hi_blocks.append(rf * vhi)
+            scales.append(s)
+        B8 = jnp.concatenate(i8_blocks, axis=0).astype(jnp.int8)
+        out8 = jax.lax.dot_general(
+            q_oh8, B8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)           # [nq, (wc+P)*128]
+        off = 0
+        if with_count:
+            count_ref[...] += out8[:, :128]
+            off = 1
+        qf = q_oh8.astype(jnp.bfloat16)
+        outh = jax.lax.dot_general(
+            qf, jnp.concatenate(hi_blocks, axis=0), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [nq, P*128]
+        for p in range(n_payloads):
+            hi = outh[:, p * 128:(p + 1) * 128]
+            lo = out8[:, (off + p) * 128:(off + p + 1) * 128]
+            sum_refs[p][...] += hi + lo.astype(jnp.float32) * scales[p]
+        return
+
     r_oh8 = (ir == r).astype(jnp.int8)                  # [128, T]
 
     if with_count:
@@ -127,8 +186,7 @@ def _kernel(c_ref, *rest, nq, tile, n_payloads, with_count):
             sum_refs[p][...] += hi + lo
 
 
-@functools.partial(jax.jit, static_argnames=("C", "with_count", "tile"))
-def histflat_grid(c, values, C, with_count=True, tile=None):
+def histflat_grid(c, values, C, with_count=True, tile=None, mode=None):
     """Fused flat-cell binned count + P sums.
 
     c: [N] int32 in [0, C) — the flattened full-edge-layout cell index
@@ -136,14 +194,24 @@ def histflat_grid(c, values, C, with_count=True, tile=None):
     drop out of the q one-hot (void-cell semantics).  values: tuple of [N]
     f32 arrays, pre-masked (excluded rows must already be 0).
 
+    mode: 'hilo' (default) | 'i8lo' — see `payload_mode`; resolved at trace
+    time from settings when None.
+
     Returns (count [C] int32 or None, tuple of sum [C] f32) — flat arrays;
     the caller reshapes to the grid shape.
     """
     values = tuple(values)
+    if mode is None:
+        mode = payload_mode() if values else "hilo"
+    return _histflat_grid(c, values, C, with_count, tile, mode)
+
+
+@functools.partial(jax.jit, static_argnames=("C", "with_count", "tile", "mode"))
+def _histflat_grid(c, values, C, with_count, tile, mode):
     P = len(values)
     nq = -(-C // 128)
     if tile is None:
-        tile = _pick_tile(nq, P)
+        tile = _pick_tile(nq, P, i8lo=mode == "i8lo")
     n = c.shape[0]
     n_tiles = max(1, -(-n // tile))
     pad = n_tiles * tile - n
@@ -154,7 +222,8 @@ def histflat_grid(c, values, C, with_count=True, tile=None):
     v2 = tuple(v.astype(jnp.float32).reshape(n_tiles, 1, tile) for v in values)
 
     kernel = functools.partial(
-        _kernel, nq=nq, tile=tile, n_payloads=P, with_count=with_count)
+        _kernel, nq=nq, tile=tile, n_payloads=P, with_count=with_count,
+        mode=mode)
     out_specs, out_shape = [], []
     if with_count:
         out_specs.append(pl.BlockSpec((nq, 128), lambda i: (0, 0), memory_space=pltpu.VMEM))

@@ -107,6 +107,11 @@ class Compute:
                                         # fetch one grid instead of 2-3
                                         # constituent grids (the result D2H is
                                         # the per-query fixed cost)
+    pallas_payload: str = "hilo"        # sum-payload precision in the MXU
+                                        # grid kernel: 'hilo' (bf16 hi+lo,
+                                        # ~2.8e-6 rel err) or 'i8lo' (int8-
+                                        # quantized lo shares the count
+                                        # matmul: ~11% faster, ~2e-5 rel)
 
     def __post_init__(self):
         self.device = _env("VAEX_TPU_DEVICE", self.device)
@@ -117,6 +122,7 @@ class Compute:
             "VAEX_TPU_GROUPBY_INT_RANGE_CELLS", self.groupby_int_range_cells)
         self.strategy = _env("VAEX_TPU_STRATEGY", self.strategy)
         self.device_finalize = _env("VAEX_TPU_DEVICE_FINALIZE", self.device_finalize)
+        self.pallas_payload = _env("VAEX_TPU_PALLAS_PAYLOAD", self.pallas_payload)
 
 
 @dataclasses.dataclass
