@@ -8,7 +8,7 @@ Baseline = 1e9 rows/s (reference claim on a laptop; BASELINE.md north star:
 A per-stage breakdown (fixed overhead vs marginal engine rate) goes to
 stderr: on the tunneled single-chip dev setup every result fetch pays a
 ~30ms round-trip, so the headline number is measured at a row count large
-enough to amortize it (BENCH_ROWS, default 64M).
+enough to amortize it (BENCH_ROWS, default 256M).
 """
 
 import json
@@ -22,20 +22,33 @@ BASELINE_ROWS_PER_S = 1e9
 
 
 def main():
-    # 128M rows: large enough that the tunnel's fixed per-query cost
+    # 256M rows: large enough that the tunnel's fixed per-query cost
     # (~50ms of result-fetch RTTs that production hardware doesn't pay)
     # is <15% of the pass; the marginal rate is reported alongside
-    n = int(os.environ.get("BENCH_ROWS", 1 << 27))
+    n = int(os.environ.get("BENCH_ROWS", 1 << 28))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
 
     import vaex_tpu as vaex
 
-    rng = np.random.RandomState(42)
-    # float32 columns: the TPU-native layout (bench data; counts stay exact —
-    # int accumulation — and sums carry the documented bf16 hi/lo bound)
-    x = rng.normal(0, 1, n).astype(np.float32)
-    y = rng.normal(0, 1, n).astype(np.float32)
-    E = (x * x + y * y).astype(np.float32)
+    # float32 columns generated ON DEVICE (jax.Array columns are first-class
+    # in this engine): 256M rows x 3 cols = 3GB stays in HBM, skipping both
+    # host-side generation (which pays this sandbox's ~0.4ms/4KB first-touch
+    # page faults — minutes at this size) and the ~1GB/s tunnel H2D.  The
+    # timed query path is identical to host-backed columns once the HBM
+    # column cache is warm, which the old 128M host-numpy bench also relied
+    # on; counts stay exact (int accumulation) and sums carry the documented
+    # i24 error bound (pallas_gridagg.payload_mode).
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def make(seed):
+        kx, ky = jax.random.split(jax.random.PRNGKey(seed))
+        x = jax.random.normal(kx, (n,), jnp.float32)
+        y = jax.random.normal(ky, (n,), jnp.float32)
+        return x, y, x * x + y * y
+
+    x, y, E = make(42)
     df = vaex.from_arrays(x=x, y=y, E=E)
 
     limits = [[-3.0, 3.0], [-3.0, 3.0]]

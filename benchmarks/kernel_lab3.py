@@ -340,6 +340,13 @@ def main():
         ("flat_i8lo t16384", lambda c, v: histflat_i8lo(c, (v,), C, tile=16384)),
         ("flat_i16 t8192", lambda c, v: histflat_i16(c, (v,), C, tile=8192)),
         ("flat_i16 t16384", lambda c, v: histflat_i16(c, (v,), C, tile=16384)),
+        ("flat_i24 t4096", lambda c, v: histflat_i24(c, (v,), C, tile=4096)),
+        ("flat_i24 t8192", lambda c, v: histflat_i24(c, (v,), C, tile=8192)),
+        ("flat_i24 t16384", lambda c, v: histflat_i24(c, (v,), C, tile=16384)),
+        ("countw128 t16384", lambda c, v: histflat_countw(c, C, tile=16384, W=128)),
+        ("countw256 t16384", lambda c, v: histflat_countw(c, C, tile=16384, W=256)),
+        ("countw512 t8192", lambda c, v: histflat_countw(c, C, tile=8192, W=512)),
+        ("countw512 t16384", lambda c, v: histflat_countw(c, C, tile=16384, W=512)),
         ("flat16 count t16k", lambda c, v: histflat(c, (), C, tile=16384, cmp16=True)),
         ("probe mxu8 r4", lambda c, v: mxu_probe(c, C, reps=4, dtype8=True)),
         ("probe mxu8 r1", lambda c, v: mxu_probe(c, C, reps=1, dtype8=True)),
@@ -523,6 +530,126 @@ def histflat_i16(c, values, C, tile=8192):
                 vmem_limit_bytes=110 * 1024 * 1024),
         )(c2, v2)
     return count.reshape(-1)[:C], (total.reshape(-1)[:C],)
+
+
+# ------------------------------------------- all-int8 three-channel payload
+def _kernel_flat_i24(c_ref, v_ref, count_ref, sum_ref, *, nq, tile):
+    """count + value as THREE balanced base-256 int8 digits in ONE int8
+    matmul [nq,T]@[T,512].  24-bit mantissa per tile: error <= s/2 =
+    max|v|/2^24 — BETTER than bf16 hi/lo (2^-17) and all-int8 speed.
+    qv = round(v/s), s = max|v|/8323072 (=127*2^16, keeps the top digit in
+    int8 after balanced carries)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        count_ref[...] = jnp.zeros_like(count_ref)
+        sum_ref[...] = jnp.zeros_like(sum_ref)
+
+    c = c_ref[0]
+    q = jax.lax.shift_right_arithmetic(c, 7)
+    r = jax.lax.bitwise_and(c, 127)
+    iq = jax.lax.broadcasted_iota(jnp.int32, (nq, tile), 0)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (128, tile), 0)
+    q_oh8 = (iq == q).astype(jnp.int8)
+    r_oh32 = (ir == r).astype(jnp.int32)
+
+    v = v_ref[0]
+    s = jnp.maximum(jnp.max(jnp.abs(v)), 1e-30) / 8323072.0
+    qv = jnp.round(v / s).astype(jnp.int32)
+    # balanced base-256 digits: d in [-128, 127], carry absorbed upward
+    q1 = jax.lax.shift_right_arithmetic(qv + 128, 8)
+    d0 = qv - q1 * 256
+    q2 = jax.lax.shift_right_arithmetic(q1 + 128, 8)
+    d1 = q1 - q2 * 256
+    B8 = jnp.concatenate(
+        [r_oh32, r_oh32 * q2, r_oh32 * d1, r_oh32 * d0], axis=0).astype(jnp.int8)
+    out = jax.lax.dot_general(
+        q_oh8, B8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    count_ref[...] += out[:, :128]
+    sum_ref[...] += (out[:, 128:256].astype(jnp.float32) * 65536.0
+                     + out[:, 256:384].astype(jnp.float32) * 256.0
+                     + out[:, 384:].astype(jnp.float32)) * s
+
+
+@functools.partial(jax.jit, static_argnames=("C", "tile"))
+def histflat_i24(c, values, C, tile=8192):
+    (v,) = values
+    nq = -(-C // 128)
+    n = c.shape[0]
+    n_tiles = max(1, -(-n // tile))
+    pad = n_tiles * tile - n
+    if pad:
+        c = jnp.concatenate([c, jnp.full(pad, -1, jnp.int32)])
+        v = jnp.concatenate([v, jnp.zeros(pad, v.dtype)])
+    c2 = c.reshape(n_tiles, 1, tile)
+    v2 = v.astype(jnp.float32).reshape(n_tiles, 1, tile)
+    kernel = functools.partial(_kernel_flat_i24, nq=nq, tile=tile)
+    row_spec = pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        count, total = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[row_spec, row_spec],
+            out_specs=[
+                pl.BlockSpec((nq, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nq, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nq, 128), jnp.int32),
+                jax.ShapeDtypeStruct((nq, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(c2, v2)
+    return count.reshape(-1)[:C], (total.reshape(-1)[:C],)
+
+
+# ----------------------------------------- wide-lane count-only (W=256/512)
+def _kernel_flat_countw(c_ref, count_ref, *, nq, tile, W):
+    """count-only with an r one-hot of width W (lanes = W instead of 128):
+    same total MACs (C/row) but a wider matmul N dim — probes whether the
+    194-T-MACs near-peak rate of [T,384+] extends to the count kernel."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        count_ref[...] = jnp.zeros_like(count_ref)
+
+    shift = {128: 7, 256: 8, 512: 9}[W]
+    c = c_ref[0]
+    q = jax.lax.shift_right_arithmetic(c, shift)
+    r = jax.lax.bitwise_and(c, W - 1)
+    iq = jax.lax.broadcasted_iota(jnp.int32, (nq, tile), 0)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (W, tile), 0)
+    q_oh8 = (iq == q).astype(jnp.int8)
+    r_oh8 = (ir == r).astype(jnp.int8)
+    count_ref[...] += jax.lax.dot_general(
+        q_oh8, r_oh8, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("C", "tile", "W"))
+def histflat_countw(c, C, tile=8192, W=256):
+    nq = -(-C // W)
+    n = c.shape[0]
+    n_tiles = max(1, -(-n // tile))
+    pad = n_tiles * tile - n
+    if pad:
+        c = jnp.concatenate([c, jnp.full(pad, -1, jnp.int32)])
+    c2 = c.reshape(n_tiles, 1, tile)
+    kernel = functools.partial(_kernel_flat_countw, nq=nq, tile=tile, W=W)
+    row_spec = pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        count = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[row_spec],
+            out_specs=[pl.BlockSpec((nq, W), lambda i: (0, 0), memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((nq, W), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(c2)[0]
+    return count.reshape(-1)[:C], ()
 
 
 if __name__ == "__main__":

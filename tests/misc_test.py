@@ -333,8 +333,9 @@ def test_pallas_hist2d_interpret():
     assert np.allclose(np.asarray(total), expected_sum, atol=1e-4)
 
 
-def test_pallas_histflat_i8lo_interpret():
-    """i8lo payload mode: count exact, sum within the quantized-lo bound."""
+@pytest.mark.parametrize("mode,tol_bits", [("i24", 22), ("hilo", 15), ("i8lo", 13)])
+def test_pallas_histflat_payload_modes_interpret(mode, tol_bits):
+    """Payload encodings: count exact, sum within each mode's error bound."""
     from jax.experimental import pallas as pl
     import vaex_tpu.ops.pallas_gridagg as pg
     rng = np.random.RandomState(2)
@@ -347,7 +348,7 @@ def test_pallas_histflat_i8lo_interpret():
     try:
         count, (s1, s2) = pg.histflat_grid(
             np.asarray(c), (np.asarray(v1), np.asarray(v2)), C,
-            tile=256, mode="i8lo")
+            tile=256, mode=mode)
     finally:
         pl.pallas_call = orig
     mask = c >= 0
@@ -355,9 +356,25 @@ def test_pallas_histflat_i8lo_interpret():
     assert np.array_equal(np.asarray(count), ref_c)
     for s, v in ((s1, v1), (s2, v2)):
         ref_s = np.bincount(c[mask], weights=v[mask].astype(np.float64), minlength=C)
-        # per-row error <= max|lo|/254 per tile ~ 2^-9 max|v| / 254
-        atol = np.abs(v).max() * 2**-9 / 127 * np.sqrt(max(1, N / C)) * 4 + 1e-3
+        atol = np.abs(v).max() * 2.0**-tol_bits * np.sqrt(max(1, N / C)) * 4 + 1e-4
         np.testing.assert_allclose(np.asarray(s), ref_s, rtol=0, atol=atol)
+
+
+def test_pallas_histflat_count_wide_interpret():
+    """Count-only rides the 512-wide r one-hot when C >= 4096."""
+    from jax.experimental import pallas as pl
+    import vaex_tpu.ops.pallas_gridagg as pg
+    rng = np.random.RandomState(4)
+    C = 9000
+    c = rng.randint(-1, C, 40000).astype(np.int32)
+    orig = pl.pallas_call
+    pl.pallas_call = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    try:
+        count, sums = pg.histflat_grid(np.asarray(c), (), C, tile=1024)
+    finally:
+        pl.pallas_call = orig
+    assert sums == ()
+    assert np.array_equal(np.asarray(count), np.bincount(c[c >= 0], minlength=C))
 
 
 def test_open_convert(tmp_path):
@@ -760,3 +777,22 @@ def test_vaexfast_compat():
     arr = np.zeros(100, dtype=np.int64)
     vaexfast.shuffled_sequence(arr)
     np.testing.assert_array_equal(np.sort(arr), np.arange(100))
+
+
+def test_jax_array_columns():
+    """Device-resident jax.Array columns are first-class (TPU-native
+    feature): stats, virtual columns, filters, evaluate."""
+    import jax.numpy as jnp
+    x = jnp.arange(20.0, dtype=jnp.float32)
+    df = vaex.from_arrays(x=x)
+    assert df.count() == 20
+    assert df.sum("x") == 190.0
+    df["y"] = df.x * 2
+    assert df.sum("y") == 380.0
+    assert df[df.x > 9].count() == 10
+    counts = np.asarray(df.count(binby="x", limits=[0, 20], shape=4))
+    assert counts.tolist() == [5, 5, 5, 5]
+    np.testing.assert_array_equal(df.evaluate("x"), np.arange(20.0, dtype=np.float32))
+    # mixed jax + numpy columns in one frame
+    df2 = vaex.from_arrays(a=jnp.ones(5, jnp.float32), b=np.arange(5.0))
+    assert df2.sum("a") == 5.0 and df2.sum("b") == 10.0

@@ -31,6 +31,15 @@ def is_arrow_array(ar):
 def is_numpy_array(ar):
     return isinstance(ar, np.ndarray)
 
+
+def is_jax_array(ar):
+    """Device-resident jax.Array columns are first-class on this engine:
+    they skip the host pad/H2D path entirely (no reference equivalent —
+    TPU-native feature)."""
+    import sys
+    jax = sys.modules.get("jax")
+    return jax is not None and isinstance(ar, jax.Array)
+
 def is_string_type(t: DataType):
     return t.is_string
 
@@ -40,6 +49,8 @@ def data_type(ar) -> DataType:
         return DataType(ar.type)
     if isinstance(ar, np.ndarray):
         return DataType(ar.dtype)
+    if is_jax_array(ar):
+        return DataType(np.dtype(ar.dtype))
     # lazy Column objects expose .data_type
     dt = getattr(ar, "data_type", None)
     if dt is not None:
@@ -139,6 +150,9 @@ def concat(arrays):
     arrays = list(arrays)
     if len(arrays) == 1:
         return arrays[0]
+    if all(is_jax_array(a) for a in arrays):
+        import jax.numpy as jnp
+        return jnp.concatenate(arrays)
     if any(is_arrow_array(a) for a in arrays):
         chunks = []
         for a in arrays:

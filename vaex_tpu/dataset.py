@@ -229,6 +229,14 @@ class DatasetArrays(Dataset):
                 parts[name] = col.fingerprint()
             elif isinstance(col, np.ndarray):
                 parts[name] = utils.hash_array_data(col.data if np.ma.isMaskedArray(col) else col)
+            elif array_types.is_jax_array(col):
+                # device array: hash metadata + the first 256Ki elements
+                # (mirrors the arrow branch's 1MB-prefix content hash —
+                # fetching gigabytes off-device for a cache key defeats the
+                # point of device-resident columns)
+                head = np.asarray(col[:262144])
+                parts[name] = utils.fingerprint(
+                    "jax", str(col.dtype), col.shape, utils.hash_array_data(head))
             else:  # arrow
                 import hashlib
                 h = hashlib.blake2b(digest_size=16)

@@ -794,6 +794,8 @@ def packed_device_get(tree):
 
 def _device_view(values):
     """Host ndarray → dtype the device accepts (temporals as int64)."""
+    if array_types.is_jax_array(values):
+        return values           # already device-resident, nothing to fix up
     values = np.asarray(values)
     if values.dtype.kind in "Mm":
         # normalize to nanoseconds: every temporal consumer in the pass
@@ -811,6 +813,13 @@ def _device_view(values):
 
 
 def _pad_to(values, L, fill=0):
+    if array_types.is_jax_array(values):
+        import jax.numpy as jnp
+        n = len(values)
+        if n == L:
+            return values
+        return jnp.concatenate(
+            [values, jnp.full(L - n, fill, dtype=values.dtype)])
     values = np.asarray(values)
     n = len(values)
     if n == L:

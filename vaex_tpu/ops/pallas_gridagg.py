@@ -12,21 +12,23 @@ Design (round 3 — measured on v5e, benchmarks/kernel_lab3.py):
   alike, and the matmul output ``[nq, 128]`` has **no lane padding** for any
   grid size (the round-2 per-axis kernel wasted 384/259 = 48% of the matmul
   N dimension on 259² grids).
-* count: two int8 one-hots, ``q8[nq,T] ·_T r8[128,T] -> int32`` — measured
-  136 T-MACs/s (69% of the v5e int8 peak) on one-hot operands.  Exact.
-* sums (P ≤ 4 payloads): each value splits in-kernel into bf16 hi/lo halves
-  (the split MUST happen inside the kernel: outside, XLA's excess-precision
-  pass elides the f32->bf16->f32 convert pair and lo folds to exactly 0).
-  Payload products ride the narrow 128-wide r side (``rf*vhi``), all blocks
-  fuse into ONE matmul ``qf[nq,T] ·_T P[2P*128,T] -> [nq, 2P*128]`` and the
-  hi/lo pairs recombine in f32 — per-chunk error ~2^-17 relative (measured
-  2.8e-6 over 8.4M rows vs f64, identical to the round-2 kernel).
+* count-only: two int8 one-hots, ``q8[nq,T] ·_T r8[W,T] -> int32`` with a
+  512-wide r side — the wide-N int8 matmul runs at ~194 T-MACs/s (98% of
+  the v5e int8 peak; N=128 only reaches 136).  Exact.
+* sums (P ≤ 4 payloads), mode 'i24' (default): count + THREE balanced
+  base-256 int8 digits per value share ONE int8 matmul
+  ``q8[nq,T] ·_T B8[(1+3P)*128,T] -> int32``; digits recombine in f32 with
+  a per-tile scale s = max|v|/(127·2^16) — per-row error ≤ s/2 =
+  max|v|_tile/2^24 (measured 5e-7 over 8.4M rows vs f64).  Modes 'hilo'
+  (bf16 hi/lo pair, error relative to each value — better for magnitudes
+  spanning decades within a tile) and 'i8lo' remain selectable
+  (settings.compute.pallas_payload).
 * rows routed out of range (e.g. -1 for filtered/padded rows) have q = -1,
   miss the q one-hot, and drop out of every product — void-cell semantics.
 
 Measured (v5e, 8.4M rows, 259² grid, marginal over tunnel RTT):
-count+sum 522M rows/s (round-2 kernel: 327M), count-only 2.02B rows/s,
-XLA scatter baseline 70M.
+count+sum 946M rows/s i24 / 540M hilo (round-2 kernel: 327M), count-only
+2.23B rows/s at W=512, XLA scatter baseline 70M.
 
 Why not scatter on TPU: the VPU has no vector scatter; XLA serializes
 `.at[].add` updates.  Why not int16 compares for the one-hot build or a
@@ -35,7 +37,7 @@ scalar dynamic-sublane store loop: both die in the remote Mosaic compiler
 
 Grid limits: accumulators + one-hots must fit VMEM; tile size auto-shrinks
 with nq (see `_pick_tile`), larger grids fall back to the scatter path in
-execution.py.  MXU work is O(C) per row, so beyond ~350k cells (payload)
+execution.py.  MXU work is O(C) per row, so beyond ~700k cells (payload)
 the scatter path wins anyway.
 """
 
@@ -50,30 +52,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# crossover vs the XLA scatter path (~70M rows/s): kernel time/row is
-# ~C * 0.028 ns (count+sum; measured rates above), so it wins up to ~350k
-# cells with payloads and much further for count-only
-MAX_CELLS_PAYLOAD = 350_000
+# crossover vs the XLA scatter path (~70M rows/s): i24 measured 125M rows/s
+# at 350k cells and ~66M (scatter parity) at 700k, so payload kernels win up
+# to ~700k cells; count-only much further (capped where VMEM tiling degrades)
+MAX_CELLS_PAYLOAD = 700_000
 MAX_CELLS_COUNT = 1_100_000
 MIN_CELLS = 8  # below this the fused XLA one-hot reduce needs no kernel
 
 _VMEM_BUDGET = 96 * 1024 * 1024
 
 
-def _pick_tile(nq, n_payloads, i8lo=False):
+def _pick_tile(nq, n_payloads, mode="hilo", W=128):
     """Largest row tile whose working set fits the VMEM budget."""
     for tile in (16384, 8192, 4096, 2048, 1024, 512):
-        per_row = 4 + nq + 128                    # c i32, q8, r8
+        per_row = 4 + nq + W                      # c i32, q8, r8
         if n_payloads:
             per_row += 2 * nq                     # qf bf16
             per_row += 2 * 128 + 4                # rf bf16 + v f32
-            if i8lo:
+            if mode == "i24":
+                per_row += (1 + 3 * n_payloads) * 128   # int8 B blocks
+                per_row += (1 + 3 * n_payloads) * 512   # int32 build temps
+            elif mode == "i8lo":
                 per_row += (1 + n_payloads) * 128       # int8 B blocks
                 per_row += (1 + n_payloads) * 512       # int32 build temps
                 per_row += 2 * n_payloads * 128         # bf16 hi blocks
             else:
                 per_row += 2 * 2 * n_payloads * 128     # P bf16 blocks
-        out_bytes = nq * 128 * 4 * (1 + n_payloads)
+        out_bytes = nq * W * 4 * (1 + n_payloads)
         total = per_row * tile + out_bytes
         if total * 3 // 2 <= _VMEM_BUDGET:        # 50% slack for Mosaic temps
             return tile
@@ -81,16 +86,22 @@ def _pick_tile(nq, n_payloads, i8lo=False):
 
 
 def payload_mode():
-    """'hilo' (default, ~2.8e-6 rel) or 'i8lo' (~11% faster, ~2.2e-5 rel):
-    the count one-hot and an int8-quantized lo residual share one int8
-    matmul, so the sum costs C·(2/136 + 1/98.5) instead of C·(1/136 +
-    2/98.5) T-MACs (602M vs 540M rows/s measured at 259²,
-    benchmarks/kernel_lab3.py flat_i8lo)."""
+    """Sum-payload encoding (measured at 259², benchmarks/kernel_lab3.py):
+
+    - 'i24' (default): count + three balanced base-256 int8 digits per value
+      in ONE wide int8 matmul — 946M rows/s marginal, 5e-7 relative error
+      (per-row bound max|v|_tile/2^24; beats bf16 hi/lo on BOTH axes since
+      the wide-N int8 matmul runs at ~194 T-MACs/s, 98% of v5e peak).
+    - 'hilo': bf16 hi/lo split pair — 540M, 2.8e-6 (error relative to each
+      VALUE rather than the tile max: preferable for data whose magnitudes
+      span many decades within one 4k-row tile).
+    - 'i8lo': bf16 hi + int8-quantized lo sharing the count matmul — 643M,
+      2.2e-5."""
     from .. import settings
     return settings.compute.pallas_payload
 
 
-def _kernel(c_ref, *rest, nq, tile, n_payloads, with_count, mode="hilo"):
+def _kernel(c_ref, *rest, nq, tile, n_payloads, with_count, mode="hilo", W=128):
     v_refs = rest[:n_payloads]
     out_refs = rest[n_payloads:]
     if with_count:
@@ -108,13 +119,67 @@ def _kernel(c_ref, *rest, nq, tile, n_payloads, with_count, mode="hilo"):
     # input arrives lane-major [1, T]; both one-hots are built transposed
     # [n, T] and the dots contract dim 1 of both operands (native layout,
     # no relayout — see round-2 notes on the [T, 1] 34GB-layout trap)
+    shift = {128: 7, 256: 8, 512: 9}[W]
     c = c_ref[0]                                        # [1, T] int32
-    q = jax.lax.shift_right_arithmetic(c, 7)            # -1 stays -1 (void)
-    r = jax.lax.bitwise_and(c, 127)
+    q = jax.lax.shift_right_arithmetic(c, shift)        # -1 stays -1 (void)
+    r = jax.lax.bitwise_and(c, W - 1)
 
     iq = jax.lax.broadcasted_iota(jnp.int32, (nq, tile), 0)
-    ir = jax.lax.broadcasted_iota(jnp.int32, (128, tile), 0)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (W, tile), 0)
     q_oh8 = (iq == q).astype(jnp.int8)                  # [nq, T]
+
+    if n_payloads == 0:
+        # count-only rides a W-wide r one-hot: same MACs (C per row) but the
+        # wide-N int8 matmul runs at ~194 T-MACs/s vs 136 at N=128 —
+        # measured 2.23B rows/s at 259²/W=512 vs 1.8B at W=128
+        # (benchmarks/kernel_lab3.py countw512)
+        count_ref[...] += jax.lax.dot_general(
+            q_oh8, (ir == r).astype(jnp.int8), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return
+
+    if mode == "i24" and n_payloads:
+        # count + each value as THREE balanced base-256 int8 digits, ALL in
+        # ONE int8 matmul [nq,T]·[(1+3P)*128,T]^T.  The wide-N int8 matmul
+        # runs at ~194 T-MACs/s (98% of v5e peak) vs 136 for the narrow
+        # count/bf16 pair — measured 720M+ rows/s vs hilo's 540M at 259²,
+        # AND more accurate: per-row error <= s/2 = max|v|_tile/2^24 vs
+        # bf16 hi/lo's 2^-17|v| (benchmarks/kernel_lab3.py flat_i24).
+        # qv = round(v/s), s = max|v|/8323072 (=127*2^16: top digit stays
+        # int8 after the balanced carries).  Exact int32 accumulation of the
+        # digits per tile; the scale varies per tile so the scaled partial
+        # folds into the f32 accumulator every step.
+        r_oh32 = (ir == r).astype(jnp.int32)
+        i8_blocks = [r_oh32] if with_count else []
+        scales = []
+        for p in range(n_payloads):
+            v = v_refs[p][0]                            # [1, T] f32
+            s = jnp.maximum(jnp.max(jnp.abs(v)), 1e-30) / 8323072.0
+            qv = jnp.round(v / s).astype(jnp.int32)
+            # balanced digits d in [-128, 127], carry absorbed upward;
+            # int8 elementwise products crash the remote Mosaic compiler
+            # (PROGRESS round-3 negatives): build int32, cast at the boundary
+            q1 = jax.lax.shift_right_arithmetic(qv + 128, 8)
+            d0 = qv - q1 * 256
+            q2 = jax.lax.shift_right_arithmetic(q1 + 128, 8)
+            d1 = q1 - q2 * 256
+            i8_blocks += [r_oh32 * q2, r_oh32 * d1, r_oh32 * d0]
+            scales.append(s)
+        B8 = jnp.concatenate(i8_blocks, axis=0).astype(jnp.int8)
+        out8 = jax.lax.dot_general(
+            q_oh8, B8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)           # [nq, (wc+3P)*128]
+        off = 0
+        if with_count:
+            count_ref[...] += out8[:, :128]
+            off = 1
+        for p in range(n_payloads):
+            j = (off + 3 * p) * 128
+            sum_refs[p][...] += (
+                out8[:, j:j + 128].astype(jnp.float32) * 65536.0
+                + out8[:, j + 128:j + 256].astype(jnp.float32) * 256.0
+                + out8[:, j + 256:j + 384].astype(jnp.float32)) * scales[p]
+        return
 
     if mode == "i8lo" and n_payloads:
         # count one-hot + per-payload int8-quantized lo residuals share ONE
@@ -194,24 +259,31 @@ def histflat_grid(c, values, C, with_count=True, tile=None, mode=None):
     drop out of the q one-hot (void-cell semantics).  values: tuple of [N]
     f32 arrays, pre-masked (excluded rows must already be 0).
 
-    mode: 'hilo' (default) | 'i8lo' — see `payload_mode`; resolved at trace
-    time from settings when None.
+    mode: 'i24' (default) | 'hilo' | 'i8lo' — see `payload_mode`; resolved
+    at trace time from settings when None.
 
     Returns (count [C] int32 or None, tuple of sum [C] f32) — flat arrays;
     the caller reshapes to the grid shape.
     """
     values = tuple(values)
     if mode is None:
-        mode = payload_mode() if values else "hilo"
+        mode = payload_mode() if values else "i24"
     return _histflat_grid(c, values, C, with_count, tile, mode)
 
 
 @functools.partial(jax.jit, static_argnames=("C", "with_count", "tile", "mode"))
 def _histflat_grid(c, values, C, with_count, tile, mode):
     P = len(values)
-    nq = -(-C // 128)
+    # count-only rides 512 lanes (wide-N matmul, ~2.2B rows/s); payload
+    # modes keep the narrow 128-wide r side for the value products
+    W = 512 if (P == 0 and C >= 4096) else 128
+    nq = -(-C // W)
     if tile is None:
-        tile = _pick_tile(nq, P, i8lo=mode == "i8lo")
+        tile = _pick_tile(nq, P, mode=mode, W=W)
+        if mode == "i24" and P:
+            tile = min(tile, 4096)   # measured optimum (kernel_lab3 flat_i24)
+        if P == 0:
+            tile = min(tile, 8192)   # measured optimum (countw512 t8192)
     n = c.shape[0]
     n_tiles = max(1, -(-n // tile))
     pad = n_tiles * tile - n
@@ -223,14 +295,14 @@ def _histflat_grid(c, values, C, with_count, tile, mode):
 
     kernel = functools.partial(
         _kernel, nq=nq, tile=tile, n_payloads=P, with_count=with_count,
-        mode=mode)
+        mode=mode, W=W)
     out_specs, out_shape = [], []
     if with_count:
-        out_specs.append(pl.BlockSpec((nq, 128), lambda i: (0, 0), memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((nq, 128), jnp.int32))
+        out_specs.append(pl.BlockSpec((nq, W), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((nq, W), jnp.int32))
     for _ in range(P):
-        out_specs.append(pl.BlockSpec((nq, 128), lambda i: (0, 0), memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((nq, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec((nq, W), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((nq, W), jnp.float32))
     row_spec = pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     # Mosaic rejects the i64 grid-index types that x64 mode leaks into the
