@@ -1,0 +1,153 @@
+"""Lab: sort+segment aggregation for high-cardinality grids (C ~ 1M cells).
+
+The one-hot MXU kernel family costs O(C) MACs per row — at C = 1M it loses
+to the XLA scatter path (~70M rows/s), which is itself two orders below the
+reference's multithreaded hashmap build (hash_primitives.hpp:98-260).  The
+classic accelerator answer is sort-by-cell + segmented reduction:
+
+  sort (c, v) pairs            -> XLA TPU sort (measure!)
+  count[g] = searchsorted diff -> O(C log N) vectorized
+  sum[g]   = cumsum gather     -> O(N) + O(C) gathers
+
+Sum precision: a straight f32 cumsum over 16M rows accumulates O(N·eps)
+error.  Variants measured here:
+  - f32 cumsum (error reference)
+  - blocked two-level cumsum: f32 within 4096-row blocks, f64(emulated)
+    over block totals — error bounded by 4096 additions per row
+
+Run: python benchmarks/sortagg_lab.py [--rows 16777216] [--cells 1048576]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def timeit(fn, *args, repeats=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return min(times), out
+
+
+@jax.jit
+def sort_pairs(c, v):
+    return lax.sort((c, v), num_keys=1)
+
+
+@jax.jit
+def sort_keys_only(c):
+    return lax.sort(c)
+
+
+@jax.jit
+def argsort_gather(c, v):
+    perm = jnp.argsort(c)
+    return c[perm], v[perm]
+
+
+@functools.partial(jax.jit, static_argnames=("C",))
+def seg_from_sorted_f32(sc, sv, C):
+    S = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(sv)])
+    idx = jnp.arange(C, dtype=jnp.int32)
+    starts = jnp.searchsorted(sc, idx, side="left")
+    ends = jnp.searchsorted(sc, idx, side="right")
+    return (ends - starts).astype(jnp.int32), S[ends] - S[starts]
+
+
+@functools.partial(jax.jit, static_argnames=("C", "B"))
+def seg_from_sorted_blocked(sc, sv, C, B=4096):
+    n = sv.shape[0]
+    nb = n // B
+    sv2 = sv[: nb * B].reshape(nb, B)
+    inner = jnp.cumsum(sv2, axis=1)                      # f32, <=B adds
+    totals = inner[:, -1].astype(jnp.float64)
+    prefix = jnp.concatenate([jnp.zeros(1, jnp.float64), jnp.cumsum(totals)])
+    S_full = prefix[:-1, None] + inner.astype(jnp.float64)
+    S = jnp.concatenate([jnp.zeros(1, jnp.float64), S_full.reshape(-1),
+                         ])
+    idx = jnp.arange(C, dtype=jnp.int32)
+    starts = jnp.searchsorted(sc, idx, side="left")
+    ends = jnp.searchsorted(sc, idx, side="right")
+    return (ends - starts).astype(jnp.int32), (S[ends] - S[starts]).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("C",))
+def scatter_baseline(c, v, C):
+    cnt = jnp.zeros(C, jnp.int32).at[c].add(1, mode="drop")
+    s = jnp.zeros(C, jnp.float32).at[c].add(v, mode="drop")
+    return cnt, s
+
+
+@functools.partial(jax.jit, static_argnames=("C",))
+def full_sort_seg(c, v, C):
+    sc, sv = lax.sort((c, v), num_keys=1)
+    return seg_from_sorted_f32(sc, sv, C)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1 << 24)
+    ap.add_argument("--cells", type=int, default=1 << 20)
+    args = ap.parse_args()
+    N, C = args.rows, args.cells
+
+    key = jax.random.PRNGKey(0)
+    kc, kv = jax.random.split(key)
+    c = jax.random.randint(kc, (N,), 0, C, jnp.int32)
+    v = jax.random.normal(kv, (N,), jnp.float32)
+    jax.block_until_ready((c, v))
+
+    rows = []
+
+    def rec(name, seconds):
+        rate = N / seconds
+        rows.append((name, seconds, rate))
+        print(f"{name:28s} {seconds*1e3:9.1f}ms  {rate/1e6:9.1f}M rows/s", flush=True)
+
+    t, _ = timeit(sort_keys_only, c)
+    rec("sort keys only", t)
+    t, (sc, sv) = timeit(sort_pairs, c, v)
+    rec("sort (c,v) pairs", t)
+    t, _ = timeit(argsort_gather, c, v)
+    rec("argsort + gather", t)
+    t, (cnt_f, sum_f) = timeit(seg_from_sorted_f32, sc, sv, C)
+    rec("segment f32 (sorted input)", t)
+    t, _ = timeit(seg_from_sorted_blocked, sc, sv, C)
+    rec("segment blocked (sorted)", t)
+    t, (cnt_fs, sum_fs) = timeit(full_sort_seg, c, v, C)
+    rec("FULL sort+segment f32", t)
+    t, (cnt_s, sum_s) = timeit(scatter_baseline, c, v, C)
+    rec("scatter baseline", t)
+
+    # correctness vs host
+    cn = np.asarray(c)
+    vn = np.asarray(v)
+    ref_cnt = np.bincount(cn, minlength=C)
+    ref_sum = np.bincount(cn, weights=vn.astype(np.float64), minlength=C)
+    print("count exact (sortseg):", np.array_equal(np.asarray(cnt_fs), ref_cnt))
+    err = np.abs(np.asarray(sum_fs, np.float64) - ref_sum).max()
+    print(f"sum max abs err (f32 cumsum): {err:.3e}")
+    _, sum_b = seg_from_sorted_blocked(sc, sv, C)
+    errb = np.abs(np.asarray(sum_b, np.float64) - ref_sum).max()
+    print(f"sum max abs err (blocked):    {errb:.3e}")
+    _, sum_sc = scatter_baseline(c, v, C)
+    errs = np.abs(np.asarray(sum_sc, np.float64) - ref_sum).max()
+    print(f"sum max abs err (scatter):    {errs:.3e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -358,6 +358,12 @@ class DataFrame:
         expression = _ensure_string_expression(expression)
         if expression == "*":
             return DataType(np.dtype("int64"))
+        if expression in self.dataset and expression not in self.virtual_columns:
+            # bare stored column: dtype comes from column metadata, never a
+            # sample eval — a device (jax.Array) column sample costs a D2H
+            # round-trip (~28ms on a tunneled TPU), and data_type runs ~20x
+            # per aggregation query
+            return array_types.data_type(self.dataset[expression])
         sample = self.evaluate(expression, 0, min(1, self._length_unfiltered), filtered=False, parallel=False)
         dt = array_types.data_type(sample)
         return dt

@@ -20,6 +20,28 @@ from .datatype import DataType
 
 _dataset_types = {}
 
+# identity fingerprints for device-resident (jax.Array) columns: immutable
+# objects, so one uuid per object; salted per process since device buffers
+# never survive a process (keeps disk/redis cache keys collision-free)
+_jax_fp_memo = {}   # id(array) -> fp; weakref.finalize evicts on GC so a
+_jax_fp_salt = None  # recycled id can never alias a dead array's key
+
+
+def _jax_array_fingerprint(col):
+    global _jax_fp_salt
+    key = id(col)
+    fp = _jax_fp_memo.get(key)
+    if fp is None:
+        import uuid
+        import weakref
+        if _jax_fp_salt is None:
+            _jax_fp_salt = uuid.uuid4().hex
+        fp = utils.fingerprint(
+            "jax", _jax_fp_salt, uuid.uuid4().hex, str(col.dtype), col.shape)
+        _jax_fp_memo[key] = fp
+        weakref.finalize(col, _jax_fp_memo.pop, key, None)
+    return fp
+
 
 def register(cls):
     _dataset_types[cls.snake_name] = cls
@@ -230,13 +252,13 @@ class DatasetArrays(Dataset):
             elif isinstance(col, np.ndarray):
                 parts[name] = utils.hash_array_data(col.data if np.ma.isMaskedArray(col) else col)
             elif array_types.is_jax_array(col):
-                # device array: hash metadata + the first 256Ki elements
-                # (mirrors the arrow branch's 1MB-prefix content hash —
-                # fetching gigabytes off-device for a cache key defeats the
-                # point of device-resident columns)
-                head = np.asarray(col[:262144])
-                parts[name] = utils.fingerprint(
-                    "jax", str(col.dtype), col.shape, utils.hash_array_data(head))
+                # device array: identity fingerprint.  jax.Arrays are
+                # immutable and device buffers cannot outlive the process,
+                # so (per-process salt, per-object uuid) is a sound cache
+                # key — and it needs ZERO device work (a content prefix
+                # hash pays a remote slice compile + D2H; measured 170s on
+                # a contended tunnel)
+                parts[name] = _jax_array_fingerprint(col)
             else:  # arrow
                 import hashlib
                 h = hashlib.blake2b(digest_size=16)
