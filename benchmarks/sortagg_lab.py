@@ -31,16 +31,31 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def timeit(fn, *args, repeats=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
+def timeit(fn, *args, repeats=3, K=4):
+    """Marginal seconds per call: K chained calls vs 1, synced by fetching a
+    tiny on-device reduction (block_until_ready is a no-op on the tunneled
+    axon platform — kernel_lab3.measure pattern)."""
+    @jax.jit
+    def probe(out):
+        leaves = jax.tree.leaves(out)
+        return sum(jnp.sum(l[:64].astype(jnp.float32)) for l in leaves)
+
+    def run(k):
+        acc = None
+        for i in range(k):
+            o = fn(*args)
+            p = probe(o)
+            acc = p if acc is None else acc + p
+        return float(acc), o
+
+    _, out = run(1)
+    t1s, tks = [], []
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return min(times), out
+        t0 = time.perf_counter(); run(1); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); run(K); tks.append(time.perf_counter() - t0)
+    t1, tk = min(t1s), min(tks)
+    marginal = max(1e-9, (tk - t1) / (K - 1))
+    return marginal, out
 
 
 @jax.jit

@@ -281,7 +281,8 @@ def _histflat_grid(c, values, C, with_count, tile, mode):
     if tile is None:
         tile = _pick_tile(nq, P, mode=mode, W=W)
         if mode == "i24" and P:
-            tile = min(tile, 4096)   # measured optimum (kernel_lab3 flat_i24)
+            tile = min(tile, 8192)   # measured optimum (kernel_lab3 flat_i24
+            # t8192 700M vs t4096 616M rows/s marginal at 259², re-measured)
         if P == 0:
             tile = min(tile, 8192)   # measured optimum (countw512 t8192)
     n = c.shape[0]
