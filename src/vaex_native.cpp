@@ -510,6 +510,66 @@ struct RadixSorter {
     }
 };
 
+// Packed path for 32-bit keys: (key << 32) | row, one u64 array — each
+// scatter writes ONE 8-byte stream instead of separate 4-byte key+index
+// streams (half the randomly-touched cache lines per pass; measured ~1.4x
+// on the low-bandwidth sandbox host).  LSD passes over the two high
+// 16-bit digits only; the low 32 bits (row index) ride along, so the sort
+// stays stable in the original row order.
+static uint64_t* radix_sort_hi32(uint64_t* a, int64_t n, uint64_t* b) {
+    constexpr int64_t NDIG = 1 << 16;
+    int64_t nthreads = (int64_t)std::thread::hardware_concurrency();
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 16) nthreads = 16;
+    if (n < (int64_t)1 << 16) nthreads = 1;
+    int64_t step = (n + nthreads - 1) / nthreads;
+    for (int p = 0; p < 2; p++) {
+        int shift = 32 + p * 16;
+        std::vector<int64_t> hist((size_t)(nthreads * NDIG), 0);
+        auto count_block = [&](int64_t t) {
+            int64_t i0 = t * step, i1 = std::min(n, i0 + step);
+            int64_t* h = hist.data() + t * NDIG;
+            for (int64_t i = i0; i < i1; i++) h[(a[i] >> shift) & 0xffff]++;
+        };
+        if (nthreads == 1) {
+            count_block(0);
+        } else {
+            std::vector<std::thread> ws;
+            for (int64_t t = 0; t < nthreads; t++) ws.emplace_back(count_block, t);
+            for (auto& w : ws) w.join();
+        }
+        bool constant = false;
+        for (int64_t d = 0; d < NDIG; d++) {
+            int64_t total = 0;
+            for (int64_t t = 0; t < nthreads; t++) total += hist[(size_t)(t * NDIG + d)];
+            if (total == n) { constant = true; break; }
+            if (total) break;
+        }
+        if (constant) continue;
+        int64_t run = 0;
+        for (int64_t d = 0; d < NDIG; d++) {
+            for (int64_t t = 0; t < nthreads; t++) {
+                int64_t& h = hist[(size_t)(t * NDIG + d)];
+                int64_t c = h; h = run; run += c;
+            }
+        }
+        auto scatter_block = [&](int64_t t) {
+            int64_t i0 = t * step, i1 = std::min(n, i0 + step);
+            int64_t* off = hist.data() + t * NDIG;
+            for (int64_t i = i0; i < i1; i++) b[off[(a[i] >> shift) & 0xffff]++] = a[i];
+        };
+        if (nthreads == 1) {
+            scatter_block(0);
+        } else {
+            std::vector<std::thread> ws;
+            for (int64_t t = 0; t < nthreads; t++) ws.emplace_back(scatter_block, t);
+            for (auto& w : ws) w.join();
+        }
+        std::swap(a, b);
+    }
+    return a;  // 0/1/2 skip-dependent swaps: the sorted data lives here
+}
+
 // order-preserving unsigned key transforms (descending handled python-side)
 static inline uint32_t key_u32_from_i32(int32_t x) { return (uint32_t)x ^ 0x80000000u; }
 static inline uint64_t key_u64_from_i64(int64_t x) { return (uint64_t)x ^ 0x8000000000000000ull; }
@@ -577,23 +637,31 @@ static PyObject* native_argsort(PyObject*, PyObject* args) {
     bool bad_dtype = false;
     Py_BEGIN_ALLOW_THREADS {
         std::lock_guard<std::mutex> guard(g_scratch.m);
-        for (int64_t i = 0; i < n; i++) idx[i] = (int32_t)i;
         const void* data = buf.view.buf;
-        int32_t* ib = (int32_t*)g_scratch.get(2, (size_t)n * 4);
         if (isz == 4) {
-            uint32_t* keys = (uint32_t*)g_scratch.get(0, (size_t)n * 4);
-            uint32_t* kb = (uint32_t*)g_scratch.get(1, (size_t)n * 4);
+            // packed (key<<32 | row) u64 radix: one scattered stream/pass
+            uint64_t* pk = (uint64_t*)g_scratch.get(0, (size_t)n * 8);
+            uint64_t* pb = (uint64_t*)g_scratch.get(1, (size_t)n * 8);
             if (dt == "int32") {
                 const int32_t* d = (const int32_t*)data;
-                for (int64_t i = 0; i < n; i++) keys[i] = key_u32_from_i32(d[i]);
+                for (int64_t i = 0; i < n; i++)
+                    pk[i] = ((uint64_t)key_u32_from_i32(d[i]) << 32) | (uint32_t)i;
             } else if (dt == "uint32") {
-                std::memcpy(keys, data, (size_t)n * 4);
+                const uint32_t* d = (const uint32_t*)data;
+                for (int64_t i = 0; i < n; i++)
+                    pk[i] = ((uint64_t)d[i] << 32) | (uint32_t)i;
             } else if (dt == "float32") {
                 const float* d = (const float*)data;
-                for (int64_t i = 0; i < n; i++) keys[i] = key_u32_from_f32(d[i]);
+                for (int64_t i = 0; i < n; i++)
+                    pk[i] = ((uint64_t)key_u32_from_f32(d[i]) << 32) | (uint32_t)i;
             } else bad_dtype = true;
-            if (!bad_dtype) RadixSorter<uint32_t>::sort(keys, idx, n, kb, ib);
+            if (!bad_dtype) {
+                uint64_t* sorted = radix_sort_hi32(pk, n, pb);
+                for (int64_t i = 0; i < n; i++) idx[i] = (int32_t)(uint32_t)sorted[i];
+            }
         } else {
+            for (int64_t i = 0; i < n; i++) idx[i] = (int32_t)i;
+            int32_t* ib = (int32_t*)g_scratch.get(2, (size_t)n * 4);
             uint64_t* keys = (uint64_t*)g_scratch.get(0, (size_t)n * 8);
             uint64_t* kb = (uint64_t*)g_scratch.get(1, (size_t)n * 8);
             if (dt == "int64") {
