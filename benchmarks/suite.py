@@ -104,6 +104,36 @@ def bench_all(n, which=None, repeats=3):
     import vaex_tpu as _vaex
     right = _vaex.from_arrays(id1=np.arange(100), label=np.arange(100) * 2)
     run("join_small_right", lambda d: d.join(right, on="id1", rsuffix="_r"))
+
+    # ---- device-resident frame variants ----------------------------------
+    # the engine's production data path is device-resident jax.Array columns
+    # (bench.py generates the headline frame on device); these rows measure
+    # the same workloads with zero host<->device row traffic
+    dev_names = {"sort_f32_dev", "groupby_highcard_mean_dev", "mean_binby_2d_256_dev"}
+    if which is None or (which & dev_names):
+        import jax.numpy as jnp
+        ddf = _vaex.from_arrays(**{name: jnp.asarray(col) for name, col in
+                                   zip(df.get_column_names(),
+                                       [df.columns[c] for c in df.get_column_names()])})
+
+        def run_dev(name, query):
+            if which and name not in which:
+                return
+
+            def make(rows):
+                d = ddf if rows is None else ddf[:rows]
+                return lambda: query(d)
+
+            seconds, marginal = timeit_marginal(make, n, repeats)
+            out = {"name": name, "rows": n, "seconds": round(seconds, 4),
+                   "rows_per_s": round(n / seconds),
+                   "marginal_rows_per_s": round(marginal)}
+            print(json.dumps(out), flush=True)
+            results.append(out)
+
+        run_dev("sort_f32_dev", lambda d: d.sort("E"))
+        run_dev("mean_binby_2d_256_dev", lambda d: d.mean("E", binby=["x", "y"], limits=limits2d, shape=256))
+        run_dev("groupby_highcard_mean_dev", lambda d: d.groupby("id_hi", agg={"v3": "mean"}))
     return results
 
 

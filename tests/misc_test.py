@@ -796,3 +796,42 @@ def test_jax_array_columns():
     # mixed jax + numpy columns in one frame
     df2 = vaex.from_arrays(a=jnp.ones(5, jnp.float32), b=np.arange(5.0))
     assert df2.sum("a") == 5.0 and df2.sum("b") == 10.0
+
+
+def test_device_resident_sort():
+    """Sort over a device-column frame keeps the permutation on device
+    (no D2H): lazy take gathers on device; results match host numpy."""
+    import jax.numpy as jnp
+    from vaex_tpu import array_types
+    rng = np.random.RandomState(7)
+    x = rng.rand(4000).astype(np.float32)
+    y = np.arange(4000, dtype=np.int32)
+    df = vaex.from_arrays(x=jnp.asarray(x), y=jnp.asarray(y))
+    s = df.sort("x")
+    # permutation is device-resident
+    assert array_types.is_jax_array(s.dataset.indices)
+    order = np.argsort(x, kind="stable")
+    np.testing.assert_array_equal(np.asarray(s.evaluate("x")), x[order])
+    np.testing.assert_array_equal(np.asarray(s.evaluate("y")), y[order])
+    # aggregations ride the device gather path
+    assert s.count() == 4000
+    np.testing.assert_allclose(s.sum("x"), x.sum(), rtol=1e-6)
+    # descending + multi-key, and composition of device takes
+    d = df.sort("x", ascending=False)
+    np.testing.assert_array_equal(np.asarray(d.evaluate("y")), y[order[::-1]])
+    s2 = s.sort("y")  # device ColumnIndexed composition back to identity
+    np.testing.assert_array_equal(np.asarray(s2.evaluate("y")), y)
+
+
+def test_device_sort_falls_back_on_host_or_virtual_keys():
+    """Mixed/host frames and virtual-column keys keep the host lexsort."""
+    import jax.numpy as jnp
+    x = np.random.RandomState(3).rand(100).astype(np.float32)
+    df = vaex.from_arrays(x=jnp.asarray(x), h=x.copy())
+    s = df.sort("h")  # host column present -> host path
+    assert isinstance(s.dataset.indices, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(s.evaluate("x")), np.sort(x))
+    df2 = vaex.from_arrays(x=jnp.asarray(x))
+    df2["v"] = df2.x * -1
+    s2 = df2.sort("v")  # virtual key -> host path result parity
+    np.testing.assert_array_equal(np.asarray(s2.evaluate("x")), np.sort(x)[::-1])

@@ -69,6 +69,14 @@ def slice_array(ar, start, stop):
 
 
 def take(ar, indices):
+    if is_jax_array(ar):
+        # device gather: stays on device whether indices are host or device
+        # (sorted/joined frames over device-resident columns never round-trip)
+        import jax.numpy as jnp
+        return jnp.take(ar, jnp.asarray(indices))
+    if is_jax_array(indices):
+        # host column, device indices (mixed frame): fetch the index slice
+        indices = np.asarray(indices)
     if is_arrow_array(ar):
         return ar.take(pa.array(np.asarray(indices)))
     if np.ma.isMaskedArray(ar):

@@ -135,6 +135,14 @@ class ColumnIndexed(Column):
         indirection (reference: vaex/column.py:308)."""
         if isinstance(column, ColumnIndexed):
             base_indices = column.indices
+            if array_types.is_jax_array(base_indices) or array_types.is_jax_array(indices):
+                if not masked and not column.masked:
+                    # device composition (sorted-then-sorted device frames):
+                    # plain gather, no -1 sentinel handling needed
+                    import jax.numpy as jnp
+                    return ColumnIndexed(column.column,
+                                         jnp.take(jnp.asarray(base_indices), jnp.asarray(indices)))
+                base_indices = np.asarray(base_indices)
             indices = np.asarray(indices)
             new_indices = np.full(len(indices), -1, dtype=np.int64)
             ok = indices != -1
@@ -152,6 +160,14 @@ class ColumnIndexed(Column):
 
     def __getitem__(self, slice_):
         start, stop, _ = slice_.indices(len(self))
+        if array_types.is_jax_array(self.indices) and not self.masked:
+            # device permutation (device sort/join): the chunk is gathered on
+            # device — array_types.take keeps jax columns resident, and for a
+            # host column it fetches only this chunk's index slice
+            take_from = self.column
+            if isinstance(take_from, Column):
+                take_from = take_from[0:len(take_from)]
+            return array_types.take(take_from, self.indices[start:stop])
         indices = np.asarray(self.indices[start:stop])
         if self.masked:
             mask = indices == -1
@@ -178,6 +194,9 @@ class ColumnIndexed(Column):
 
     def _fingerprint_info(self):
         from . import utils
+        if array_types.is_jax_array(self.indices):
+            from .dataset import _jax_array_fingerprint
+            return dict(column=self.column, indices=_jax_array_fingerprint(self.indices), masked=self.masked)
         return dict(column=self.column, indices=utils.hash_array_data(np.asarray(self.indices)), masked=self.masked)
 
 

@@ -1951,13 +1951,19 @@ class DataFrameLocal(DataFrame):
         """Row subset by (filtered) positional indices (reference:
         dataframe.py:4444)."""
         df = self
-        indices = np.asarray(indices)
+        device_indices = array_types.is_jax_array(indices)
+        if not device_indices:
+            indices = np.asarray(indices)
         if self.filtered and filtered:
             base = self._filtered_indices()
+            if device_indices:  # filtered base lives on host
+                indices = np.asarray(indices)
+                device_indices = False
             indices = base[indices]
             df = self._unfiltered_copy()
         else:
-            indices = indices + self._index_start
+            if self._index_start:
+                indices = indices + self._index_start
         out = df._unfiltered_copy() if df.filtered and dropfilter else df.copy()
         out.dataset = self.dataset.take(indices)
         out._index_start = 0
@@ -2012,9 +2018,31 @@ class DataFrameLocal(DataFrame):
         by = _ensure_strings_from_expressions(by)
         by_list = by if isinstance(by, list) else [by]
         ascending_list = ascending if isinstance(ascending, list) else [ascending] * len(by_list)
-        keys = [self.evaluate(b) for b in by_list]
+        keys = self._device_sort_keys(by_list)
+        if keys is None:
+            keys = [self.evaluate(b) for b in by_list]
         indices = sorting.lexsort_indices(keys, ascending_list)
         return self.take(indices)
+
+    def _device_sort_keys(self, by_list):
+        """Device-resident fast path for sort: when the frame's columns are
+        jax.Arrays, hand lexsort the device keys directly so the argsort AND
+        the permutation stay on device (no reference equivalent — the
+        reference sorts via host numpy, dataframe.py:4700)."""
+        from .column import Column as _Column
+        if self.filtered:
+            return None
+        cols = dict(self.dataset.items())
+        if not cols or not all(array_types.is_jax_array(c) for c in cols.values()):
+            return None
+        keys = []
+        for b in by_list:
+            col = cols.get(b)
+            if col is None or isinstance(col, _Column):
+                return None
+            keys.append(col[self._index_start:self._index_end]
+                        if (self._index_start, self._index_end) != (0, len(col)) else col)
+        return keys
 
     def fillna(self, value, column_names=None, prefix="__original_", inplace=False):
         df = self if inplace else self.copy()

@@ -338,7 +338,9 @@ class DatasetTake(DatasetDecorator):
 
     def __init__(self, original, indices, masked=False):
         super().__init__(original)
-        self.indices = np.asarray(indices)
+        # device (jax.Array) index vectors stay resident: every column gather
+        # then happens on device (sort/join over device-resident frames)
+        self.indices = indices if array_types.is_jax_array(indices) else np.asarray(indices)
         self.masked = masked
         self._columns = {name: ColumnIndexed.index(col, self.indices, masked=masked) if isinstance(col, Column)
                          else ColumnIndexed(col, self.indices, masked=masked)
@@ -346,7 +348,11 @@ class DatasetTake(DatasetDecorator):
         self._row_count = len(self.indices)
 
     def _fingerprint(self):
-        return utils.fingerprint(self.original.fingerprint, utils.hash_array_data(self.indices), self.masked)
+        if array_types.is_jax_array(self.indices):
+            idx_fp = _jax_array_fingerprint(self.indices)
+        else:
+            idx_fp = utils.hash_array_data(self.indices)
+        return utils.fingerprint(self.original.fingerprint, idx_fp, self.masked)
 
 
 @register

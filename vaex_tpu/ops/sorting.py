@@ -29,6 +29,13 @@ def lexsort_indices(keys, ascendings):
     import jax.numpy as jnp
 
     n = len(keys[0])
+    if all(array_types.is_jax_array(k) for k in keys):
+        # device-resident frame: argsort on device and KEEP the permutation
+        # there — the take() is a lazy device gather, so the sort never pays
+        # the 4-8B/row permutation D2H (the old device path's wall: 67-134MB
+        # over a ~26MB/s tunnel made it 3.1M rows/s; resident it runs at XLA
+        # sort speed, measured 476M rows/s keys-only at 16.7M f32 rows)
+        return lexsort_indices_device(keys, ascendings)
     host = any(_needs_host(k) for k in keys)
     if host:
         cols = []
@@ -69,6 +76,27 @@ def lexsort_indices(keys, ascendings):
         order = jnp.argsort(values, stable=True)
         indices = indices[order]
     return np.asarray(indices)
+
+
+def lexsort_indices_device(keys, ascendings):
+    """All-device stable lexsort over jax.Array keys; returns a device i32/i64
+    permutation (blocked until ready so callers measure real work).  NaNs sort
+    last under ascending like numpy; device columns carry no missing mask."""
+    import jax.numpy as jnp
+
+    n = len(keys[0])
+    itype = jnp.int32 if n < 2**31 else jnp.int64
+    indices = jnp.arange(n, dtype=itype)
+    for key, asc in zip(reversed(list(keys)), reversed(list(ascendings))):
+        values = key
+        if values.dtype.kind in "Mm":
+            values = values.view(jnp.int64)
+        values = values[indices]
+        if not asc:
+            values = _invert_order_device(values)
+        order = jnp.argsort(values, stable=True)
+        indices = indices[order]
+    return indices.block_until_ready()
 
 
 def _needs_host(key):
