@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import utils
+from . import array_types, utils
 from .delayed import delayed
 from .tasks import TaskAggregation
 
@@ -181,6 +181,8 @@ class AggregatorDescriptorMean(AggregatorDescriptorMulti):
 
             @delayed
             def finish_device(mean):
+                if array_types.is_jax_array(mean):
+                    return self.finish(mean)  # keep_device: stays in HBM
                 return self.finish(np.array(mean))
 
             return [task], finish_device(task)
@@ -251,6 +253,8 @@ class AggregatorDescriptorVar(AggregatorDescriptorMulti):
                 # sqrt/var already applied on device; self.finish is identity
                 # for var and sqrt for std (also applied on device) — so pass
                 # the grid through as-is
+                if array_types.is_jax_array(grid):
+                    return grid  # keep_device: stays in HBM
                 return np.array(grid)
 
             return [task], finish_device(task)
@@ -336,7 +340,32 @@ class AggregatorDescriptorKurtosis(AggregatorDescriptorMulti):
         return tasks, finish(*results)
 
 
-def presence_tasks(df, binners, progress=None):
+def descriptor_device_ok(df, desc):
+    """True when this descriptor's grids can be fulfilled as device-resident
+    jax arrays (keep_device): numeric non-temporal inputs, device finalize
+    available, and no host-side decode step (f64 minmax keys on TPU)."""
+    import jax
+    short = getattr(desc, "short_name", None)
+    if short not in ("count", "sum", "summoment", "mean", "std", "var",
+                     "min", "max", "first", "last"):
+        return False
+    if not _use_device_finalize(df):
+        return False
+    exprs = [e for e in getattr(desc, "expressions", []) if e != "*"]
+    for e in exprs:
+        try:
+            dt = df.data_type(e)
+        except Exception:  # noqa: BLE001
+            return False
+        if not dt.is_numeric or dt.is_temporal:
+            return False
+        if (short in ("min", "max") and dt.numpy == np.dtype("float64")
+                and jax.default_backend() == "tpu"):
+            return False  # order-preserving i64 keys decode host-side
+    return True
+
+
+def presence_tasks(df, binners, progress=None, keep_device=False):
     """Delayed presence grid (count > 0 per cell, full edge layout) fetched
     as a device-packed BITMAP — C/8 bytes instead of a count grid (the
     empty-group mask is the groupby's second-largest fetch at high
@@ -356,6 +385,8 @@ def presence_tasks(df, binners, progress=None):
     desc = AggregatorDescriptorBasic("AggPresence", [], "presence", edges=True)
     task = TaskAggregationCompound(df, binners, desc, [count_desc],
                                    "presence_bits", dict(raw=True))
+    if keep_device:
+        task.keep_device = True
     task = df.executor.schedule(task)
     if progress is not None and progress is not False:
         from . import progress as progress_mod
@@ -364,8 +395,15 @@ def presence_tasks(df, binners, progress=None):
 
     @delayed
     def finish(packed):
-        bits = np.unpackbits(np.asarray(packed, dtype=np.uint8), bitorder="little")
         n = int(np.prod(shape)) if shape else 1
+        if array_types.is_jax_array(packed):
+            # keep_device: unpack the bitmap on device (little-endian), so
+            # the presence mask feeds device compaction with zero D2H
+            import jax.numpy as jnp
+            bits = (packed[:, None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+            grid = bits.reshape(-1)[:n].astype(bool)
+            return grid.reshape(shape) if shape else grid[0]
+        bits = np.unpackbits(np.asarray(packed, dtype=np.uint8), bitorder="little")
         grid = bits[:n].astype(bool)
         return grid.reshape(shape) if shape else grid[0]
 

@@ -469,6 +469,36 @@ class ExecutorLocal(Executor):
                 combined_states.append(self._device_combine(
                     comp, [states[i] for i in comp["plan_idx"]]))
             plain = [(plan, i) for i, plan in enumerate(plans) if i not in consumed]
+            # keep_device tasks (device-resident groupby results): post-process
+            # and fulfill ON DEVICE — zero bytes of the grid cross the link
+            if any(getattr(c["task"], "keep_device", False) for c in compounds) \
+                    or any(getattr(p.task, "keep_device", False) for p, _ in plain):
+                keep_comp = [(c, s) for c, s in zip(compounds, combined_states)
+                             if getattr(c["task"], "keep_device", False)]
+                fetch_comp = [(c, s) for c, s in zip(compounds, combined_states)
+                              if not getattr(c["task"], "keep_device", False)]
+                keep_plain, fetch_plain = [], []
+                for plan, i in plain:
+                    dev = None
+                    if getattr(plan.task, "keep_device", False):
+                        dev = plan.op.finalize_device(states[i])
+                    if dev is not None:
+                        keep_plain.append((plan, dev))
+                    else:
+                        fetch_plain.append((plan, i))
+                for comp, cstate in keep_comp:
+                    ctask = comp["task"]
+                    if comp["args"].get("raw"):
+                        self._fulfill(ctask, cstate)
+                        continue
+                    self._fulfill(ctask, _shape_device_grid(cstate, ctask.binners,
+                                                            ctask.aggregation_description))
+                for plan, dev in keep_plain:
+                    self._fulfill(plan.task, _shape_device_grid(dev, plan.task.binners,
+                                                                plan.task.aggregation_description))
+                compounds = [c for c, _ in fetch_comp]
+                combined_states = [s for _, s in fetch_comp]
+                plain = fetch_plain
             fetched = packed_device_get(combined_states + [states[i] for _, i in plain])
             for comp, raw in zip(compounds, fetched[:len(combined_states)]):
                 ctask = comp["task"]
@@ -529,7 +559,10 @@ class ExecutorLocal(Executor):
         return fn(states)
 
     def _fulfill(self, task, value):
-        if task.cacheable and task.requires_fingerprint and cache.is_on():
+        if (task.cacheable and task.requires_fingerprint and cache.is_on()
+                and not array_types.is_jax_array(value)):
+            # device-resident results are process-local (buffers die with the
+            # process) — never serialized into the result cache
             cache.set(task.fingerprint(), value)
         task.fulfill(value)
 
@@ -765,6 +798,18 @@ def _group_packer(metas):
         return tuple(groups)
 
     return jax.jit(pack), order
+
+
+def _shape_device_grid(raw, binners, desc):
+    """Device-side mirror of the host raw→grid post-processing: drop the void
+    cell, reshape to the binner shape, apply the result slicing — all lazy jax
+    ops (keep_device tasks: the grid never leaves HBM)."""
+    grid_flat = raw[:-1]
+    shape = tuple(b.shape for b in binners)
+    grid = grid_flat.reshape(shape) if shape else grid_flat[0]
+    if shape:
+        grid = grid[desc.get_result_slicing(binners)]
+    return grid
 
 
 def packed_device_get(tree):

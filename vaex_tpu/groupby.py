@@ -40,7 +40,21 @@ def _str(e):
 
 
 class BinnerBase:
-    pass
+    def supports_device_labels(self):
+        """True when this grouper's bin labels can be produced as a device
+        array (numeric keys, plain-slice extract_center) — enables the
+        device-resident groupby result frame (settings.compute.device_result)."""
+        bv = getattr(self, "bin_values", None)
+        return (isinstance(bv, np.ndarray) and not np.ma.isMaskedArray(bv)
+                and bv.dtype.kind in "iuf")
+
+    def device_labels(self):
+        import jax.numpy as jnp
+        return jnp.asarray(self.bin_values)
+
+    def labels_take_device(self, indices):
+        import jax.numpy as jnp
+        return jnp.take(jnp.asarray(self.bin_values), indices)
 
 
 class Grouper(BinnerBase):
@@ -125,6 +139,10 @@ class GrouperCategory(BinnerBase):
     def labels_take(self, indices):
         return _take_labels(self.bin_values, indices)
 
+    def supports_device_labels(self):
+        # sorted categories reorder bins host-side in extract_center
+        return self._order is None and super().supports_device_labels()
+
 
 class BinnerInteger(BinnerBase):
     """Small-int fast path for uint8/int8/bool (reference: groupby.py:147)."""
@@ -208,6 +226,17 @@ class GrouperIntRange(BinnerBase):
     def labels_take(self, indices):
         # labels ARE the key values: bin i ↔ key (min + i), no table needed
         return np.asarray(indices, dtype=np.int64) + self.min_value
+
+    def supports_device_labels(self):
+        return True
+
+    def device_labels(self):
+        import jax.numpy as jnp
+        return jnp.arange(self.min_value, self.min_value + self.N, dtype=jnp.int64)
+
+    def labels_take_device(self, indices):
+        import jax.numpy as jnp
+        return indices.astype(jnp.int64) + self.min_value
 
 
 def _int_range_candidate(df, expr, row_limit):
@@ -526,6 +555,15 @@ class GroupByBase:
                 column_name = aggregate.pretty_name(override_name, df)
             aggregate.edges = True
             tasks, result = aggregate.add_tasks(df, self.binners)
+            if getattr(self, "_keep_device", False) and agg_mod.descriptor_device_ok(df, aggregate):
+                # device-resident result frame: the executor fulfills these
+                # grids as jax arrays (no grid D2H); finish() compacts on
+                # device.  A descriptor that can't stay on device clears the
+                # flag — finish falls back to the host path for all grids.
+                for t in tasks:
+                    t.keep_device = True
+            else:
+                self._keep_device = False
             grids[column_name] = result
             if (isinstance(aggregate, agg_mod.AggregatorDescriptorBasic)
                     and aggregate.short_name == "count" and aggregate.expression == "*"
@@ -609,6 +647,15 @@ class GroupBy(GroupByBase):
     """Reference: groupby.py GroupBy."""
 
     def agg(self, actions, delay=False):
+        # device-resident result frame gate (settings.compute.device_result):
+        # single numeric grouper, executor supports device finalize, and every
+        # action survives descriptor_device_ok (checked per-add in _agg_grids)
+        self._keep_device = (
+            settings.compute.device_result
+            and not self.combine and len(self.by) == 1
+            and not getattr(self.by[0], "dense", False)
+            and self.by[0].supports_device_labels()
+            and getattr(self.df.executor, "supports_device_finalize", False))
         grids = self._agg_grids(actions)
         counts_promise = self._counts_promise
         if counts_promise is None:
@@ -624,11 +671,49 @@ class GroupBy(GroupByBase):
             else:
                 # presence only (the counts' values are never used): fetched
                 # as a device-packed bitmap, C/8 bytes instead of a count grid
-                counts_promise = agg_mod.presence_tasks(self.df, self.binners)
+                counts_promise = agg_mod.presence_tasks(
+                    self.df, self.binners, keep_device=getattr(self, "_keep_device", False))
+
+        def finish_device(counts, values):
+            """Device-resident result frame: extract-center, presence-mask and
+            compact the grids with jax ops; the only host sync is the nonzero
+            group count.  Result columns are jax.Arrays (first-class here) —
+            at 1M groups this skips ~4MB of grid D2H per aggregation."""
+            import jax.numpy as jnp
+            g = self.by[0]
+            names = list(grids.keys())
+            arrays = {name: g.extract_center(0, jnp.atleast_1d(v))
+                      for name, v in zip(names, values)}
+            columns = {}
+            if array_types.is_jax_array(counts):
+                c = g.extract_center(0, jnp.atleast_1d(counts))
+                mask = c if c.dtype == bool else (c > 0)
+                idx = jnp.nonzero(mask)[0]
+                all_present = int(idx.shape[0]) == g.N
+            else:  # synthesized host presence (hashmap groupers: all slots live)
+                counts_c = self._extract_center(np.atleast_1d(np.asarray(counts)))
+                mask_h = counts_c > 0
+                all_present = bool(mask_h.all())
+                idx = None if all_present else jnp.asarray(np.nonzero(mask_h)[0])
+            if all_present:
+                columns[g.label] = g.device_labels()
+                columns.update(arrays)
+            else:
+                columns[g.label] = g.labels_take_device(idx)
+                for key, value in arrays.items():
+                    columns[key] = jnp.take(value, idx)
+            from . import from_arrays, from_dataset
+            res = from_arrays(**columns)
+            wrapped = DatasetGroupby(res.dataset, self.df_original, self._by_spec,
+                                     actions, sort=self._sort_spec)
+            return from_dataset(wrapped)
 
         @delayed
         def finish(counts, *values):
             names = list(grids.keys())
+            if (getattr(self, "_keep_device", False)
+                    and values and all(array_types.is_jax_array(v) for v in values)):
+                return finish_device(counts, values)
             arrays = {name: np.asarray(v) for name, v in zip(names, values)}
             arrays = {k: self._extract_center(np.atleast_1d(v)) for k, v in arrays.items()}
             counts = self._extract_center(np.atleast_1d(np.asarray(counts)))
@@ -773,7 +858,10 @@ class DatasetGroupby(dataset_mod.DatasetDecorator):
     def _fingerprint(self):
         from . import utils as _utils
         by = self.by if isinstance(self.by, (list, tuple)) else str(self.by)
-        return _utils.fingerprint(self.original.fingerprint, self.df.fingerprint(),
+        # spec-only: the result is fully determined by (source, by, agg, sort).
+        # The materialized columns must NOT contribute — device-resident
+        # results carry identity fingerprints that differ per execution
+        return _utils.fingerprint(self.df.fingerprint(),
                                   list(map(str, by)), str(self.agg), self.sort)
 
     def chunk_iterator(self, *args, **kwargs):

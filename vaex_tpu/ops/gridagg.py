@@ -266,6 +266,12 @@ class AggOp:
         dropped by caller)."""
         return state
 
+    def finalize_device(self, state):
+        """Device-side finalize for keep_device tasks (groupby result frames
+        stay on device): return a jax array, or None when this op needs host
+        post-processing (f64 minmax key decode)."""
+        return state
+
 
 class AggOpCount(AggOp):
     """agg_count.cpp: counts rows with valid (non-missing, non-nan) value;
@@ -307,6 +313,9 @@ class AggOpCount(AggOp):
         if np.asarray(out).dtype == np.int32:
             out = np.asarray(out).astype(np.int64)
         return out
+
+    def finalize_device(self, state):
+        return state.astype(jnp.int64) if state.dtype == jnp.int32 else state
 
 
 def _segment_sum_sorted(state, routed, values):
@@ -562,6 +571,10 @@ class AggOpMin(AggOp):
             return _key_to_f64(state)
         return state
 
+    def finalize_device(self, state):
+        # f64 keys decode host-side (no 64-bit bitcasts on TPU)
+        return None if self._use_f64_keys() else state
+
 
 class AggOpMax(AggOp):
     _use_f64_keys = AggOpMin._use_f64_keys
@@ -615,6 +628,8 @@ class AggOpMax(AggOp):
             return _key_to_f64(state)
         return state
 
+    finalize_device = AggOpMin.finalize_device
+
 
 _ORDER_SENTINEL = np.iinfo(np.int64).max
 
@@ -659,6 +674,9 @@ class AggOpFirst(AggOp):
         return (jnp.where(take_other, oo, bo), jnp.where(take_other, ov, bv))
 
     def finalize(self, state):
+        return state[1]
+
+    def finalize_device(self, state):
         return state[1]
 
 

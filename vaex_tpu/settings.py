@@ -107,6 +107,12 @@ class Compute:
                                         # fetch one grid instead of 2-3
                                         # constituent grids (the result D2H is
                                         # the per-query fixed cost)
+    device_result: bool = True          # groupby over numeric single keys
+                                        # builds its result frame from
+                                        # DEVICE-resident columns (no grid
+                                        # D2H at all — at 1M groups the mean
+                                        # grid fetch alone is ~180ms over a
+                                        # tunneled link)
     pallas_payload: str = "i24"         # sum-payload encoding in the MXU
                                         # grid kernel: 'i24' (default: three
                                         # balanced int8 digits in one wide
@@ -123,6 +129,7 @@ class Compute:
             "VAEX_TPU_GROUPBY_INT_RANGE_CELLS", self.groupby_int_range_cells)
         self.strategy = _env("VAEX_TPU_STRATEGY", self.strategy)
         self.device_finalize = _env("VAEX_TPU_DEVICE_FINALIZE", self.device_finalize)
+        self.device_result = _env("VAEX_TPU_DEVICE_RESULT", self.device_result)
         self.pallas_payload = _env("VAEX_TPU_PALLAS_PAYLOAD", self.pallas_payload)
 
 
