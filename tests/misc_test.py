@@ -835,3 +835,55 @@ def test_device_sort_falls_back_on_host_or_virtual_keys():
     df2["v"] = df2.x * -1
     s2 = df2.sort("v")  # virtual key -> host path result parity
     np.testing.assert_array_equal(np.asarray(s2.evaluate("x")), np.sort(x)[::-1])
+
+
+def test_device_resident_join():
+    """Join over a device-column frame keeps the lookup AND the joined
+    columns on device (small right table is shipped up once)."""
+    import jax.numpy as jnp
+    from vaex_tpu import array_types
+    from vaex_tpu.column import ColumnIndexed
+    rng = np.random.RandomState(2)
+    b = rng.randint(0, 100, 5000)
+    a = rng.rand(5000).astype(np.float32)
+    d = vaex.from_arrays(a=jnp.asarray(a), b=jnp.asarray(b))
+    right = vaex.from_arrays(b=np.arange(100), lab=np.arange(100) * 3)
+    j = d.join(right, on="b", rsuffix="_r")
+    lab = j.dataset["lab"]
+    assert isinstance(lab, ColumnIndexed) and array_types.is_jax_array(lab.indices)
+    assert array_types.is_jax_array(lab.column)
+    np.testing.assert_array_equal(np.asarray(j.evaluate("lab")), b * 3)
+    # aggregation over the joined device column rides the device path
+    assert j.sum("lab") == int((b * 3).sum())
+    # unmatched keys -> host fallback with proper masking
+    right2 = vaex.from_arrays(b=np.arange(50), lab=np.arange(50) * 3)
+    j2 = d.join(right2, on="b")
+    lv = j2.evaluate("lab")
+    assert np.ma.isMaskedArray(lv) and lv.mask.sum() == int((b >= 50).sum())
+    # inner join compacts on device
+    j3 = d.join(right2, on="b", how="inner")
+    assert len(j3) == int((b < 50).sum())
+    np.testing.assert_array_equal(np.asarray(j3.evaluate("lab")), b[b < 50] * 3)
+    # string right column -> host path, still correct
+    right3 = vaex.from_arrays(b=np.arange(100), name=np.array([f"n{i}" for i in range(100)], dtype=object))
+    j4 = d.join(right3, on="b")
+    assert np.asarray(j4.evaluate("name"))[0] == f"n{b[0]}"
+
+
+def test_device_frame_groupby_int_range():
+    """Device integer key columns qualify for GrouperIntRange (no host
+    hashmap build; the discovery pass is a device minmax)."""
+    import jax.numpy as jnp
+    from vaex_tpu import array_types
+    rng = np.random.RandomState(4)
+    k = rng.randint(1000, 9000, 30000)
+    v = rng.rand(30000)
+    d = vaex.from_arrays(k=jnp.asarray(k), v=jnp.asarray(v))
+    res = d.groupby("k", agg={"v": "mean"})
+    assert array_types.is_jax_array(res.dataset["k"])
+    ref_keys = np.unique(k)
+    np.testing.assert_array_equal(np.sort(np.asarray(res.evaluate("k"))), ref_keys)
+    got = dict(zip(np.asarray(res.evaluate("k")).tolist(), np.asarray(res.evaluate("v")).tolist()))
+    for key in ref_keys[:50]:
+        sel = k == key
+        assert abs(got[key] - v[sel].mean()) < 1e-6

@@ -2018,30 +2018,44 @@ class DataFrameLocal(DataFrame):
         by = _ensure_strings_from_expressions(by)
         by_list = by if isinstance(by, list) else [by]
         ascending_list = ascending if isinstance(ascending, list) else [ascending] * len(by_list)
-        keys = self._device_sort_keys(by_list)
+        keys = self._device_key_columns(by_list)
         if keys is None:
             keys = [self.evaluate(b) for b in by_list]
         indices = sorting.lexsort_indices(keys, ascending_list)
         return self.take(indices)
 
-    def _device_sort_keys(self, by_list):
-        """Device-resident fast path for sort: when the frame's columns are
-        jax.Arrays, hand lexsort the device keys directly so the argsort AND
-        the permutation stay on device (no reference equivalent — the
-        reference sorts via host numpy, dataframe.py:4700)."""
-        from .column import Column as _Column
+    def _device_key_columns(self, by_list):
+        """Raw device (jax.Array) key columns for plain column names when the
+        frame is unfiltered and FULLY device-resident; else None.  Gate for
+        the device-resident sort/join paths: the permutation/lookup produced
+        from these keys stays on device, so every other column must be
+        device-gatherable too (no reference equivalent — the reference works
+        via host numpy, dataframe.py:4700)."""
+        from .column import ColumnIndexed as _CI
         if self.filtered:
             return None
-        cols = dict(self.dataset.items())
-        if not cols or not all(array_types.is_jax_array(c) for c in cols.values()):
+
+        def is_device_col(col):
+            return (array_types.is_jax_array(col)
+                    or (isinstance(col, _CI) and not col.masked
+                        and array_types.is_jax_array(col.indices)
+                        and array_types.is_jax_array(col.column)))
+
+        ds = self.dataset
+        names = list(ds)
+        if not names:
             return None
+        if by_list and any(b not in names for b in by_list):
+            return None
+        for name in names:
+            if not is_device_col(ds[name]):  # __getitem__ applies dataset slicing
+                return None
         keys = []
         for b in by_list:
-            col = cols.get(b)
-            if col is None or isinstance(col, _Column):
-                return None
-            keys.append(col[self._index_start:self._index_end]
-                        if (self._index_start, self._index_end) != (0, len(col)) else col)
+            col = ds[b]
+            v = col if array_types.is_jax_array(col) else col[0:len(col)]  # device gather
+            keys.append(v[self._index_start:self._index_end]
+                        if (self._index_start, self._index_end) != (0, len(v)) else v)
         return keys
 
     def fillna(self, value, column_names=None, prefix="__original_", inplace=False):

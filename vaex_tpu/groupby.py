@@ -256,6 +256,12 @@ def _int_range_candidate(df, expr, row_limit):
     if expr not in df.dataset:
         return False  # virtual columns: nullability unknown without a pass
     col = df.dataset[expr]
+    if array_types.is_jax_array(col):
+        # device columns carry no missing mask by construction — without
+        # this, a device-frame high-card groupby silently fell back to the
+        # host hashmap build and paid a full-column D2H (measured 12.9s vs
+        # 0.58s at 16.7M rows / 1M keys over the tunnel)
+        return True
     values = col
     if hasattr(col, "to_numpy") and not isinstance(col, np.ndarray):
         return False  # lazy/arrow columns may carry nulls

@@ -148,6 +148,32 @@ class RowIndex:
 
         return np.asarray(fn(dv, jnp.asarray(row_of_code)))
 
+    def lookup_first_device_keep(self, values):
+        """Device-RESIDENT first-match lookup for a device (jax.Array) left
+        key column: returns a device i32 row vector (-1 = no match) without
+        any D2H, or None when unsupported.  Device-column frames join with
+        zero host row traffic: codes via the compiled ordinal mapping, rows
+        via one small row_of_code gather (unique right keys)."""
+        if self.has_duplicates or not array_types.is_jax_array(values):
+            return None
+        if self._native is not None:
+            slow = self.__dict__.setdefault(
+                "_slow", RowIndex._build_slow(self._right_values))
+            return slow.lookup_first_device_keep(values)
+        if self.hashmap is None or getattr(self.hashmap, "_is_string", False):
+            return None
+        keys_dtype = self.hashmap.dtype
+        keys_dtype = np.dtype(keys_dtype.numpy if hasattr(keys_dtype, "numpy") else keys_dtype)
+        vdt = np.dtype(values.dtype)
+        if vdt != keys_dtype and not (vdt.kind == keys_dtype.kind
+                                      or np.can_cast(vdt, keys_dtype, "safe")):
+            return None  # lossy cross-kind cast could fabricate matches
+        import jax.numpy as jnp
+        row_of_code = np.full(self.hashmap.count, -1, dtype=np.int32)
+        row_of_code[self.sorted_codes] = self.order.astype(np.int32)
+        fn = _device_lookup_fn(self.hashmap, len(row_of_code))
+        return fn(values, jnp.asarray(row_of_code))
+
     def _native_lookup(self, values):
         """C++ probe when the left dtype casts safely into the index dtype;
         None → caller falls back to the ordinal path."""
@@ -202,6 +228,32 @@ class RowIndex:
         return start, count
 
 
+def _joinable_on_device(right, name):
+    """True when this right column can be materialized as a device array."""
+    try:
+        dt = right.data_type(name)
+    except Exception:  # noqa: BLE001
+        return False
+    if dt.is_string or getattr(dt, "is_object", False) or dt.is_list or dt.is_struct:
+        return False
+    if name not in right.virtual_columns and name in right.dataset:
+        col = right.dataset[name]
+        if isinstance(col, np.ndarray) and np.ma.isMaskedArray(col):
+            return False
+        if array_types.is_arrow_array(col) and getattr(col, "null_count", 0):
+            return False
+    return True
+
+
+def _to_device_column(values):
+    """Host numeric column -> device jax array (temporals as i64 ns)."""
+    import jax
+    from .execution import _device_view
+    if hasattr(values, "__len__") and not isinstance(values, np.ndarray):
+        values = array_types.to_numpy(values)
+    return jax.device_put(_device_view(np.ascontiguousarray(values)))
+
+
 def join(df, other, on=None, left_on=None, right_on=None, lprefix="", rprefix="",
          lsuffix="", rsuffix="", how="left", allow_duplication=False, inplace=False,
          cardinality_other=None):
@@ -230,9 +282,46 @@ def join(df, other, on=None, left_on=None, right_on=None, lprefix="", rprefix=""
     else:
         right_values = right.evaluate(str(right_on))
         index = RowIndex.build(right_values)
-        left_values = left.evaluate(str(left_on))
+        # device-resident left frame: grab the RAW device key column (public
+        # evaluate() materializes to host by contract)
+        left_values = None
+        dev_keys = left._device_key_columns([str(left_on)])
+        if dev_keys is not None:
+            left_values = dev_keys[0]
+        if left_values is None:
+            left_values = left.evaluate(str(left_on))
 
-        if index.has_duplicates:
+        device_lookup = None
+        if array_types.is_jax_array(left_values) and not index.has_duplicates:
+            # device-resident left frame: keep the whole join on device when
+            # the right columns can live there too (numeric); the lookup
+            # vector and every joined column then never cross the link
+            right_ok = all(_joinable_on_device(right, name) for name in right.get_column_names()
+                           if name != str(right_on) or str(left_on) != str(right_on))
+            if right_ok:
+                device_lookup = index.lookup_first_device_keep(left_values)
+        if array_types.is_jax_array(left_values) and device_lookup is None:
+            left_values = np.asarray(left_values)
+
+        if device_lookup is not None:
+            import jax.numpy as jnp
+            if how == "inner":
+                matched = device_lookup != -1
+                if not bool(matched.all()):
+                    keep_idx = jnp.nonzero(matched)[0]
+                    left = left.take(keep_idx, filtered=False)
+                    device_lookup = jnp.take(device_lookup, keep_idx)
+                lookup, masked = device_lookup, False
+            else:
+                if bool((device_lookup == -1).any()):
+                    # unmatched rows need missing-value masks, which device
+                    # columns cannot carry: finish on host
+                    lookup = np.asarray(device_lookup)
+                    masked = True
+                    device_lookup = None
+                else:
+                    lookup, masked = device_lookup, False
+        elif index.has_duplicates:
             starts, counts = index.lookup_ranges(left_values)
             if (counts > 1).any():
                 if not allow_duplication:
@@ -283,13 +372,21 @@ def join(df, other, on=None, left_on=None, right_on=None, lprefix="", rprefix=""
         right_dataset_cols[new_name] = name
 
     # materialize right columns as lazy indexed views
+    device_lookup_mode = array_types.is_jax_array(lookup) if left_on is not None else False
     new_cols = {}
     for new_name, orig_name in right_dataset_cols.items():
         if orig_name in right.virtual_columns:
             values = right.evaluate(orig_name)
+            if device_lookup_mode:
+                values = _to_device_column(values)
             col = ColumnIndexed(values, lookup, masked=masked)
         else:
-            col = ColumnIndexed.index(right.dataset[orig_name], lookup, masked=masked)
+            base = right.dataset[orig_name]
+            if device_lookup_mode and not array_types.is_jax_array(base):
+                # small right table: one H2D per column, every later chunk
+                # gather stays on device
+                base = _to_device_column(base)
+            col = ColumnIndexed.index(base, lookup, masked=masked)
         new_cols[new_name] = col
 
     if new_cols:
