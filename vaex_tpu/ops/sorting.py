@@ -86,8 +86,19 @@ def lexsort_indices_device(keys, ascendings):
 
     n = len(keys[0])
     itype = jnp.int32 if n < 2**31 else jnp.int64
+    keys = list(keys)
+    if len(keys) == 1:
+        # single key: stability is unobservable in the sorted frame (numpy's
+        # default sort kind isn't stable either) and XLA's stable variadic
+        # sort costs extra comparator depth
+        values = keys[0]
+        if values.dtype.kind in "Mm":
+            values = values.view(jnp.int64)
+        if not ascendings[0]:
+            values = _invert_order_device(values)
+        return jnp.argsort(values, stable=False).astype(itype).block_until_ready()
     indices = jnp.arange(n, dtype=itype)
-    for key, asc in zip(reversed(list(keys)), reversed(list(ascendings))):
+    for key, asc in zip(reversed(keys), reversed(list(ascendings))):
         values = key
         if values.dtype.kind in "Mm":
             values = values.view(jnp.int64)
