@@ -1222,6 +1222,21 @@ class DataFrame:
         if isinstance(expression, (list, tuple)):
             return [self.evaluate(e, i1=i1, i2=i2, selection=selection, filtered=filtered, array_type=array_type) for e in expression]
         expression = _ensure_string_expression(expression)
+        if (selection in (None, False) and not (filtered and self.filtered)
+                and out is None and expression not in self.virtual_columns
+                and expression in self.dataset):
+            col = self.dataset[expression]
+            from .column import ColumnIndexed as _CI
+            device = (array_types.is_jax_array(col)
+                      or (isinstance(col, _CI) and not col.masked
+                          and array_types.is_jax_array(col.indices)
+                          and array_types.is_jax_array(col.column)))
+            if device:
+                # device column: one slice + ONE fetch — the chunked path
+                # pays a device round-trip per chunk (~26ms each tunneled)
+                start = self._index_start + (i1 or 0)
+                end = self._index_end if i2 is None else min(self._index_start + i2, self._index_end)
+                return array_types.convert(np.asarray(col[start:end]), array_type)
         parts = []
         for _, _, chunk in self._evaluate_iterator_raw([expression], i1=i1, i2=i2, selection=selection,
                                                        filtered=filtered, chunk_size=chunk_size):
