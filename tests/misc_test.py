@@ -887,3 +887,26 @@ def test_device_frame_groupby_int_range():
     for key in ref_keys[:50]:
         sel = k == key
         assert abs(got[key] - v[sel].mean()) < 1e-6
+
+
+def test_device_frame_export_roundtrip(tmp_path):
+    """Sorted device frame exports to disk (device gathers stream to host
+    once) and reloads with correct values."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(11)
+    x = rng.rand(10000).astype(np.float32)
+    y = np.arange(10000, dtype=np.int64)
+    df = vaex.from_arrays(x=jnp.asarray(x), y=jnp.asarray(y))
+    s = df.sort("x")
+    path = str(tmp_path / "sorted.hdf5")
+    s.export(path)
+    back = vaex.open(path)
+    xs = np.asarray(back.evaluate("x"))
+    ys = np.asarray(back.evaluate("y"))
+    np.testing.assert_array_equal(xs, np.sort(x))
+    # single-key sort is unstable (numpy's default kind is too): y must be a
+    # permutation consistent with the sorted keys, not the stable order
+    np.testing.assert_array_equal(np.sort(ys), y)
+    np.testing.assert_array_equal(x[ys], xs)
+    # single-fetch evaluate fast path hits the device ColumnIndexed
+    np.testing.assert_array_equal(np.asarray(s.evaluate("y", i1=10, i2=20)), ys[10:20])
