@@ -824,8 +824,10 @@ def test_device_resident_sort():
 
 
 def test_device_sort_falls_back_on_host_or_virtual_keys():
-    """Mixed/host frames and virtual-column keys keep the host lexsort."""
+    """Mixed/host frames keep the host lexsort; device-compatible virtual
+    keys evaluate eagerly on device and the permutation stays in HBM."""
     import jax.numpy as jnp
+    from vaex_tpu import array_types
     x = np.random.RandomState(3).rand(100).astype(np.float32)
     df = vaex.from_arrays(x=jnp.asarray(x), h=x.copy())
     s = df.sort("h")  # host column present -> host path
@@ -833,8 +835,18 @@ def test_device_sort_falls_back_on_host_or_virtual_keys():
     np.testing.assert_array_equal(np.asarray(s.evaluate("x")), np.sort(x))
     df2 = vaex.from_arrays(x=jnp.asarray(x))
     df2["v"] = df2.x * -1
-    s2 = df2.sort("v")  # virtual key -> host path result parity
+    s2 = df2.sort("v")  # device-compatible virtual key -> device path
+    assert array_types.is_jax_array(s2.dataset.indices)
     np.testing.assert_array_equal(np.asarray(s2.evaluate("x")), np.sort(x)[::-1])
+    # inline expression key (never defined as a column) also rides the device path
+    s3 = df2.sort("x * 2 + 1")
+    assert array_types.is_jax_array(s3.dataset.indices)
+    np.testing.assert_array_equal(np.asarray(s3.evaluate("x")), np.sort(x))
+    # UDF-backed (non-device-compatible) expression keys fall back to host
+    df2.add_function("f_host", lambda a: np.asarray(a) * -1.0)
+    s4 = df2.sort("f_host(x)")
+    assert isinstance(s4.dataset.indices, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(s4.evaluate("x")), np.sort(x)[::-1])
 
 
 def test_device_resident_join():

@@ -2060,17 +2060,35 @@ class DataFrameLocal(DataFrame):
         names = list(ds)
         if not names:
             return None
-        if by_list and any(b not in names for b in by_list):
-            return None
         for name in names:
             if not is_device_col(ds[name]):  # __getitem__ applies dataset slicing
                 return None
+
+        def value_of(name):
+            col = ds[name]
+            v = col if array_types.is_jax_array(col) else col[0:len(col)]  # device gather
+            return (v[self._index_start:self._index_end]
+                    if (self._index_start, self._index_end) != (0, len(v)) else v)
+
         keys = []
         for b in by_list:
-            col = ds[b]
-            v = col if array_types.is_jax_array(col) else col[0:len(col)]  # device gather
-            keys.append(v[self._index_start:self._index_end]
-                        if (self._index_start, self._index_end) != (0, len(v)) else v)
+            if b in names:
+                keys.append(value_of(b))
+                continue
+            # virtual-column / expression key: evaluate eagerly on device
+            # when every function in it has a jnp implementation
+            from .scopes import DeviceScope, expression_is_device_compatible
+            if not expression_is_device_compatible(self, b):
+                return None
+            deps = Expression(self, b).root_columns()
+            if any(d not in names for d in deps):
+                return None
+            scope = DeviceScope(self, values={d: value_of(d) for d in deps})
+            result = scope.evaluate(b)
+            values = getattr(result, "values", result)
+            if not array_types.is_jax_array(values):
+                return None
+            keys.append(values)
         return keys
 
     def fillna(self, value, column_names=None, prefix="__original_", inplace=False):
