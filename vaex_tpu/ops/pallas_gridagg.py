@@ -72,6 +72,9 @@ def _pick_tile(nq, n_payloads, mode="hilo", W=128):
             if mode == "i24":
                 per_row += (1 + 3 * n_payloads) * 128   # int8 B blocks
                 per_row += (1 + 3 * n_payloads) * 512   # int32 build temps
+            elif mode == "i16":
+                per_row += (1 + 2 * n_payloads) * 128   # int8 B blocks
+                per_row += (1 + 2 * n_payloads) * 512   # int32 build temps
             elif mode == "i8lo":
                 per_row += (1 + n_payloads) * 128       # int8 B blocks
                 per_row += (1 + n_payloads) * 512       # int32 build temps
@@ -96,7 +99,11 @@ def payload_mode():
       VALUE rather than the tile max: preferable for data whose magnitudes
       span many decades within one 4k-row tile).
     - 'i8lo': bf16 hi + int8-quantized lo sharing the count matmul — 643M,
-      2.2e-5."""
+      2.2e-5.
+    - 'i16' (opt-in): count + TWO balanced base-256 digits — 25% fewer
+      MACs/row than i24 ((1+2P)·C vs (1+3P)·C), per-row error
+      max|v|_tile/2^16 ≈ 1.5e-5.  For pipelines that tolerate ~f16-grade
+      sums (e.g. visualization grids) where throughput matters most."""
     from .. import settings
     return settings.compute.pallas_payload
 
@@ -179,6 +186,40 @@ def _kernel(c_ref, *rest, nq, tile, n_payloads, with_count, mode="hilo", W=128):
                 out8[:, j:j + 128].astype(jnp.float32) * 65536.0
                 + out8[:, j + 128:j + 256].astype(jnp.float32) * 256.0
                 + out8[:, j + 256:j + 384].astype(jnp.float32)) * scales[p]
+        return
+
+    if mode == "i16" and n_payloads:
+        # count + each value as TWO balanced base-256 int8 digits in ONE
+        # int8 matmul [nq,T]·[(1+2P)*128,T]^T — 25% fewer MACs/row than
+        # i24 at a relaxed per-row bound s/2 = max|v|_tile/2^16.
+        # qv = round(v/s), s = max|v|/32512 (=127*2^8: top digit stays
+        # int8 after the balanced carry).  Same per-tile scale-fold as i24.
+        r_oh32 = (ir == r).astype(jnp.int32)
+        i8_blocks = [r_oh32] if with_count else []
+        scales = []
+        for p in range(n_payloads):
+            v = v_refs[p][0]                            # [1, T] f32
+            s = jnp.maximum(jnp.max(jnp.abs(v)), 1e-30) / 32512.0
+            qv = jnp.round(v / s).astype(jnp.int32)
+            # int8 elementwise products crash the remote Mosaic compiler
+            # (PROGRESS round-3 negatives): build int32, cast at the boundary
+            q1 = jax.lax.shift_right_arithmetic(qv + 128, 8)
+            d0 = qv - q1 * 256
+            i8_blocks += [r_oh32 * q1, r_oh32 * d0]
+            scales.append(s)
+        B8 = jnp.concatenate(i8_blocks, axis=0).astype(jnp.int8)
+        out8 = jax.lax.dot_general(
+            q_oh8, B8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)           # [nq, (wc+2P)*128]
+        off = 0
+        if with_count:
+            count_ref[...] += out8[:, :128]
+            off = 1
+        for p in range(n_payloads):
+            j = (off + 2 * p) * 128
+            sum_refs[p][...] += (
+                out8[:, j:j + 128].astype(jnp.float32) * 256.0
+                + out8[:, j + 128:j + 256].astype(jnp.float32)) * scales[p]
         return
 
     if mode == "i8lo" and n_payloads:
@@ -268,6 +309,10 @@ def histflat_grid(c, values, C, with_count=True, tile=None, mode=None):
     values = tuple(values)
     if mode is None:
         mode = payload_mode() if values else "i24"
+    if mode not in ("i24", "i16", "i8lo", "hilo"):
+        raise ValueError(
+            f"unknown pallas payload mode {mode!r} "
+            "(expected 'i24', 'i16', 'i8lo' or 'hilo')")
     return _histflat_grid(c, values, C, with_count, tile, mode)
 
 
@@ -280,7 +325,7 @@ def _histflat_grid(c, values, C, with_count, tile, mode):
     nq = -(-C // W)
     if tile is None:
         tile = _pick_tile(nq, P, mode=mode, W=W)
-        if mode == "i24" and P:
+        if mode in ("i24", "i16") and P:
             tile = min(tile, 8192)   # measured optimum (kernel_lab3 flat_i24
             # t8192 700M vs t4096 616M rows/s marginal at 259², re-measured)
         if P == 0:
