@@ -922,3 +922,57 @@ def test_device_frame_export_roundtrip(tmp_path):
     np.testing.assert_array_equal(x[ys], xs)
     # single-fetch evaluate fast path hits the device ColumnIndexed
     np.testing.assert_array_equal(np.asarray(s.evaluate("y", i1=10, i2=20)), ys[10:20])
+
+
+def test_dynamic_limits_program_reuse():
+    """Bin limits are runtime args to the compiled pass: the same query
+    shape with different (data-derived) limits reuses ONE compiled program
+    (each fresh minmax pair previously paid a full XLA recompile), and
+    results stay correct for every limits pair."""
+    rng = np.random.RandomState(5)
+    x = rng.rand(20000).astype(np.float32)
+    v = rng.rand(20000).astype(np.float32)
+    df = vaex.from_arrays(x=x, v=v)
+
+    def oracle(lo, hi, shape=16):
+        scaled = (x.astype(np.float64) - lo) / (hi - lo)
+        bins = (scaled * shape).astype(np.int64)
+        m = (scaled >= 0) & (scaled < 1)
+        return np.bincount(bins[m], minlength=shape)[:shape]
+
+    df.count(binby="x", limits=[0.0, 1.0], shape=16)  # compile
+    n0 = len(df.executor._program_cache)
+    for lo, hi in [(0.1, 0.9), (0.25, 0.5), (-1.0, 2.0)]:
+        got = np.asarray(df.count(binby="x", limits=[lo, hi], shape=16))
+        np.testing.assert_array_equal(got, oracle(lo, hi))
+    assert len(df.executor._program_cache) == n0, "limits change recompiled the pass"
+
+    # ordinal (GrouperIntRange) minimum is dynamic too: same span, shifted
+    # keys -> same program
+    k = rng.randint(100, 200, 20000)
+    d2 = vaex.from_arrays(k=k, v=v)
+    r1 = d2.groupby("k", agg={"v": "sum"})
+    n1 = len(d2.executor._program_cache)
+    d3 = vaex.from_arrays(k=k + 5000, v=v)  # same executor singleton
+    r2 = d3.groupby("k", agg={"v": "sum"})
+    assert len(d3.executor._program_cache) == n1, "shifted key range recompiled"
+    np.testing.assert_array_equal(np.asarray(r2.evaluate("k")), np.asarray(r1.evaluate("k")) + 5000)
+    np.testing.assert_allclose(np.asarray(r2.evaluate("v")), np.asarray(r1.evaluate("v")), rtol=1e-6)
+
+
+def test_dynamic_limits_off_matches_on():
+    """VAEX_TPU_DYNAMIC_LIMITS=0 static-baking path stays bitwise-identical
+    to the runtime-args path."""
+    from vaex_tpu import settings
+    rng = np.random.RandomState(6)
+    x = rng.normal(0, 1, 30000)
+    df = vaex.from_arrays(x=x)
+    on = np.asarray(df.count(binby="x", shape=32))  # minmax-derived limits
+    old = settings.compute.dynamic_limits
+    try:
+        settings.compute.dynamic_limits = False
+        df2 = vaex.from_arrays(x=x.copy())
+        off = np.asarray(df2.count(binby="x", shape=32))
+    finally:
+        settings.compute.dynamic_limits = old
+    np.testing.assert_array_equal(on, off)

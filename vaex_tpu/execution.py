@@ -396,6 +396,7 @@ class ExecutorLocal(Executor):
                 from .expression import Expression as _Expr
                 fully_cached -= _Expr(df, b.task.expression).root_columns()
         read_deps = [c for c in run.dataset_deps if c not in fully_cached]
+        binlim_inputs = None
 
         try:
             for i1, i2, chunks in df.dataset.chunk_iterator(read_deps, chunk_size, start=start, end=end):
@@ -420,6 +421,10 @@ class ExecutorLocal(Executor):
                         df, chunks, device_inputs, host_exprs, L, get_host_scope,
                         filter_mask_host if (need_filter and not filter_on_device) else None,
                         cache_key_base=(ds_fp, start + i1, start + i2))
+                    if binlim_inputs is None and settings.compute.dynamic_limits:
+                        binlim_inputs = self._binner_limit_inputs(plans)
+                    if binlim_inputs:
+                        inputs.update(binlim_inputs)
                     if program is None or L != L_current:
                         program = self._get_program(df, plans, inputs, masks, L,
                                                     filter_on_device, need_filter)
@@ -734,9 +739,47 @@ class ExecutorLocal(Executor):
             inputs["__filter_mask__"] = place(fm) if multiproc else fm
         return inputs, masks
 
+    def _binner_limit_inputs(self, plans):
+        """Ship the current binner limit VALUES as two tiny runtime inputs
+        (see _binner_slots); the compiled step indexes them by slot.
+        Placed once per run (dict merged into every chunk's inputs)."""
+        import jax as _jax
+        scalar, ordinal, _ = _binner_slots(plans)
+        if not scalar and not ordinal:
+            return {}
+        multiproc = False
+        if self.mesh is not None:
+            from .parallel.mesh import mesh_process_count, put_sharded
+            multiproc = mesh_process_count(self.mesh) > 1
+
+        def place(arr):
+            if multiproc:
+                return put_sharded(self.mesh, arr, replicate=True)
+            return _jax.device_put(arr)
+
+        out = {}
+        if scalar:
+            out["__binlims_f__"] = place(
+                np.array([[b.minimum, b.maximum] for b in scalar], np.float64))
+        if ordinal:
+            out["__binlims_i__"] = place(
+                np.array([b.minimum for b in ordinal], np.int64))
+        return out
+
     def _get_program(self, df, plans, inputs, masks, L, filter_on_device, need_filter):
+        dyn = settings.compute.dynamic_limits
+        if dyn:
+            # limits enter as runtime args: key on binner STRUCTURE + the
+            # value-sharing pattern, not the limit values (_binner_slots)
+            specs = [(_structural_task_spec(p.task.spec()), p.value_expr,
+                      p.order_expr, p.selection_expr) for p in plans]
+            pattern = _binner_slots(plans)[2]
+        else:
+            specs = [(p.task.spec(), p.value_expr, p.order_expr, p.selection_expr)
+                     for p in plans]
+            pattern = None
         key = utils.fingerprint(
-            [(p.task.spec(), p.value_expr, p.order_expr, p.selection_expr) for p in plans],
+            specs, pattern,
             {k: str(v.dtype) for k, v in inputs.items()},
             {k: str(v.dtype) for k, v in masks.items()},
             L, filter_on_device, need_filter,
@@ -745,7 +788,7 @@ class ExecutorLocal(Executor):
             # variables are baked into the trace as constants
             {k: utils._fingerprint_normalize(v) for k, v in df.variables.items()},
             settings.compute.precision,
-            "v1",
+            "v2",
         )
         if key in self._program_cache:
             return self._program_cache[key]
@@ -886,6 +929,73 @@ def _to_bool_mask(ar):
     return np.asarray(ar).astype(bool)
 
 
+def _binner_slots(plans):
+    """Runtime-limits slot assignment (settings.compute.dynamic_limits).
+
+    Bin limits (BinnerScalar min/max) and ordinal minimums are data-derived
+    for `limits=None/'minmax'` queries and GrouperIntRange groupbys — baking
+    them into the trace as constants made every fresh pair a full remote XLA
+    recompile (~20-40s through the tunneled compiler).  Instead the compiled
+    step reads them from two small runtime inputs (`__binlims_f__` [nf, 2]
+    f64, `__binlims_i__` [ni] i64) and the program cache keys on the binner
+    STRUCTURE only (_structural_task_spec).
+
+    Slots are assigned per distinct binner VALUE (BinnerBase.__eq__) in
+    first-appearance order across (plan, binner) occurrences, so plans that
+    share a grid keep sharing one slot (and one Pallas kernel group).  The
+    returned `pattern` — the slot index per occurrence — goes into the
+    program key: a future run may only reuse the program when its
+    value-sharing pattern matches, which is exactly the condition for the
+    closure's slot references to stay correct.
+    """
+    scalar, ordinal = [], []
+    s_index, o_index = {}, {}
+    pattern = []
+    for plan in plans:
+        for b in (plan.task.binners or ()):
+            if isinstance(b, gridagg.BinnerScalar):
+                idx = s_index.get(b)
+                if idx is None:
+                    idx = s_index[b] = len(scalar)
+                    scalar.append(b)
+                pattern.append(("f", idx))
+            elif isinstance(b, gridagg.BinnerOrdinal):
+                idx = o_index.get(b)
+                if idx is None:
+                    idx = o_index[b] = len(ordinal)
+                    ordinal.append(b)
+                pattern.append(("i", idx))
+            else:
+                pattern.append(("other", -1))
+    return scalar, ordinal, tuple(pattern)
+
+
+def _structural_binner_spec(spec):
+    """Encoded binner spec with the runtime-argument fields neutralized —
+    what remains is exactly what shapes the traced program (see
+    _binner_slots).  BinnerOrdinal's i32-narrowing branch choice depends on
+    the minimum's magnitude, so that BOOLEAN stays in the key."""
+    out = dict(spec)
+    if out.get("type") == "scalar":
+        out["minimum"] = out["maximum"] = "<dyn>"
+    elif out.get("type") == "ordinal":
+        b = gridagg.BinnerOrdinal(
+            out["expression"], out["count"], out.get("minimum", 0),
+            out.get("allow_other", False), out.get("invert", False),
+            out.get("assume_in_range", False))
+        out["in_range32"] = b.in_range32()
+        out["minimum"] = "<dyn>"
+    return out
+
+
+def _structural_task_spec(spec):
+    if not isinstance(spec, dict) or "binners" not in spec:
+        return spec
+    out = dict(spec)
+    out["binners"] = [_structural_binner_spec(b) for b in spec["binners"]]
+    return out
+
+
 def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
     """Build the jitted device step for one run.
 
@@ -894,6 +1004,11 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
     filter_expr = df._filter_expression() if filter_on_device else None
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     L_local = L // n_shards
+    dyn_limits = settings.compute.dynamic_limits
+    if dyn_limits:
+        _scalar_b, _ordinal_b, _ = _binner_slots(plans)
+        slot_f = {b: i for i, b in enumerate(_scalar_b)}
+        slot_i = {b: i for i, b in enumerate(_ordinal_b)}
 
     # -- static strategy planning: fuse all (count, sum*) plans over the same
     # grid (any rank: 1-D/2-D/N-D scalar or ordinal binners) + value/selection
@@ -974,13 +1089,21 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
         bins_cache = {}
         flat_cache = {}
 
+        limsf = inputs.get("__binlims_f__") if dyn_limits else None
+        limsi = inputs.get("__binlims_i__") if dyn_limits else None
+
         def get_bins(binners):
             key = tuple(binners)
             if key not in bins_cache:
                 bins = []
                 for b in binners:
                     mv = scope.evaluate(b.expression)
-                    bins.append(b.to_bins(mv.values, mv.mask))
+                    if limsf is not None and isinstance(b, gridagg.BinnerScalar):
+                        bins.append(b.to_bins(mv.values, mv.mask, limits=limsf[slot_f[b]]))
+                    elif limsi is not None and isinstance(b, gridagg.BinnerOrdinal):
+                        bins.append(b.to_bins(mv.values, mv.mask, minimum=limsi[slot_i[b]]))
+                    else:
+                        bins.append(b.to_bins(mv.values, mv.mask))
                 bins_cache[key] = bins
             return bins_cache[key]
 

@@ -74,7 +74,7 @@ class BinnerScalar(BinnerBase):
     def edges_slice(self):
         return slice(2, -1)
 
-    def to_bins(self, values, invalid):
+    def to_bins(self, values, invalid, limits=None):
         """values: jnp array; invalid: bool mask or None. Returns int32 bins.
 
         Mirrors binners.cpp:13-58: nan/masked→0, under→1, data→[2, N+2),
@@ -85,13 +85,25 @@ class BinnerScalar(BinnerBase):
         inputs under precision='mixed' (f64 emulation makes the remote XLA
         compile ~20x slower and the VPU path slower); f64 inputs — and
         precision='float64' parity mode — use double like the reference.
+
+        limits: optional traced f64 [2] array (min, max).  When given, the
+        limit VALUES are runtime arguments instead of trace-time constants —
+        the compiled pass is reusable across data-derived limits (each fresh
+        minmax pair otherwise pays a full remote XLA recompile; see
+        execution._binner_slots).  The arithmetic matches the static path:
+        diff in f64, then cast to the bin float width.
         """
         from .. import settings
         use_f64 = (values.dtype == jnp.float64) or settings.compute.precision == "float64"
         ftype = jnp.float64 if use_f64 else jnp.float32
         v = values.astype(ftype)
-        scale = ftype(1.0) / ftype(self.maximum - self.minimum)
-        scaled = (v - ftype(self.minimum)) * scale
+        if limits is not None:
+            minimum = limits[0].astype(ftype)
+            scale = ftype(1.0) / (limits[1] - limits[0]).astype(ftype)
+        else:
+            minimum = ftype(self.minimum)
+            scale = ftype(1.0) / ftype(self.maximum - self.minimum)
+        scaled = (v - minimum) * scale
         idx = (scaled * ftype(self.count)).astype(jnp.int32) + 2
         idx = jnp.where(scaled < 0, 1, idx)
         idx = jnp.where(scaled >= 1, self.count + 2, idx)
@@ -139,9 +151,21 @@ class BinnerOrdinal(BinnerBase):
     def edges_slice(self):
         return slice(0, -2)
 
-    def to_bins(self, values, invalid):
-        """Mirrors binner_ordinal.cpp:21-170 (all four branches)."""
+    def in_range32(self):
+        """True when the i32-narrowing fast branch applies — a STRUCTURAL
+        property: it must be part of the compiled-program key when `minimum`
+        itself is a runtime argument (execution._structural_binner_spec)."""
+        return (self.assume_in_range
+                and -2**31 <= self.minimum and self.minimum + self.count < 2**31)
+
+    def to_bins(self, values, invalid, minimum=None):
+        """Mirrors binner_ordinal.cpp:21-170 (all four branches).
+
+        minimum: optional traced i64 scalar — the runtime-argument analogue
+        of self.minimum (see BinnerScalar.to_bins limits); branch SELECTION
+        still comes from the host-side self.minimum via in_range32()."""
         n = self.count
+        dyn = minimum is not None
         # ordinal codes fit in int32 (bin counts < 2^31); 64-bit inputs are
         # range-clamped first so the downcast is safe
         if jnp.issubdtype(values.dtype, jnp.floating):
@@ -153,17 +177,19 @@ class BinnerOrdinal(BinnerBase):
             isnan = None
             v = values
         if v.dtype in (jnp.int64, jnp.uint64, jnp.float64):
-            if (self.assume_in_range
-                    and -2**31 <= self.minimum and self.minimum + n < 2**31):
+            if self.in_range32():
                 # guaranteed-in-range values fit i32 exactly; excluded rows
                 # may alias after the narrowing convert but their bin is
                 # clipped and masked by the include routing anyway
-                v = v.astype(jnp.int32) - np.int32(self.minimum)
+                m32 = minimum.astype(jnp.int32) if dyn else np.int32(self.minimum)
+                v = v.astype(jnp.int32) - m32
             else:
-                shifted = v.astype(jnp.int64) - np.int64(self.minimum)
+                m64 = minimum.astype(jnp.int64) if dyn else np.int64(self.minimum)
+                shifted = v.astype(jnp.int64) - m64
                 v = jnp.clip(shifted, -1, n).astype(jnp.int32)
         else:
-            v = v.astype(jnp.int32) - np.int32(self.minimum)
+            m32 = minimum.astype(jnp.int32) if dyn else np.int32(self.minimum)
+            v = v.astype(jnp.int32) - m32
         oor = (v < 0) | (v >= n)
         data_idx = jnp.clip(v, 0, n - 1)
         if self.invert:

@@ -113,6 +113,12 @@ class Compute:
                                         # D2H at all — at 1M groups the mean
                                         # grid fetch alone is ~180ms over a
                                         # tunneled link)
+    dynamic_limits: bool = True         # bin limits / ordinal minimums enter
+                                        # the compiled pass as runtime args,
+                                        # so data-derived limits reuse the
+                                        # compiled program (a fresh minmax
+                                        # pair otherwise pays a full remote
+                                        # XLA recompile, ~20-40s tunneled)
     pallas_payload: str = "i24"         # sum-payload encoding in the MXU
                                         # grid kernel: 'i24' (default: three
                                         # balanced int8 digits in one wide
@@ -132,6 +138,7 @@ class Compute:
         self.strategy = _env("VAEX_TPU_STRATEGY", self.strategy)
         self.device_finalize = _env("VAEX_TPU_DEVICE_FINALIZE", self.device_finalize)
         self.device_result = _env("VAEX_TPU_DEVICE_RESULT", self.device_result)
+        self.dynamic_limits = _env("VAEX_TPU_DYNAMIC_LIMITS", self.dynamic_limits)
         self.pallas_payload = _env("VAEX_TPU_PALLAS_PAYLOAD", self.pallas_payload)
 
 
