@@ -958,6 +958,13 @@ def test_dynamic_limits_program_reuse():
     assert len(d3.executor._program_cache) == n1, "shifted key range recompiled"
     np.testing.assert_array_equal(np.asarray(r2.evaluate("k")), np.asarray(r1.evaluate("k")) + 5000)
     np.testing.assert_allclose(np.asarray(r2.evaluate("v")), np.asarray(r1.evaluate("v")), rtol=1e-6)
+    # a DIFFERENT span in the same power-of-two bucket also reuses (the
+    # ordinal cell count is bucketed; padded tail bins drop as empties)
+    k4 = rng.randint(300, 420, 20000)  # span 120 -> same 128 bucket as span 100
+    d4 = vaex.from_arrays(k=k4, v=v)
+    r4 = d4.groupby("k", agg={"v": "sum"})
+    assert len(d4.executor._program_cache) == n1, "same-bucket span recompiled"
+    np.testing.assert_array_equal(np.asarray(r4.evaluate("k")), np.unique(k4))
 
 
 def test_dynamic_limits_off_matches_on():

@@ -200,6 +200,16 @@ class GrouperIntRange(BinnerBase):
         self.label = self.expression
         self.min_value = int(vmin)
         self.N = int(vmax) - int(vmin) + 1
+        from . import settings
+        if settings.compute.dynamic_limits:
+            # round the cell count up to a power-of-two bucket: with the
+            # ordinal minimum a runtime arg (execution._binner_slots), every
+            # int-range groupby whose span lands in the same bucket reuses
+            # ONE compiled pass across datasets (a fresh span otherwise pays
+            # a remote XLA recompile).  The padded tail bins are empty and
+            # drop with the other empties; memory cost is <2x on grids that
+            # are ~4 bytes/cell.
+            self.N = max(64, 1 << (self.N - 1).bit_length())
         self._bin_values = None
         self.dense = False  # empty bins are masked out after aggregation
         self.sort_indices = None
