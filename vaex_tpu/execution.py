@@ -232,6 +232,7 @@ class ExecutorLocal(Executor):
             mesh = default_mesh()
         self.mesh = mesh
         self._program_cache = {}
+        self.program_compiles = 0  # cache misses; pass_log shows per-pass delta
         self._executing = False
         self.passes = 0  # number of full passes over data (reference: execution.py:273)
         self.pass_log = []  # per-pass stats (reference logs wall-clock per
@@ -312,6 +313,7 @@ class ExecutorLocal(Executor):
     def _execute_run(self, tasks):
         import time as _time
         t_start = _time.perf_counter()
+        compiles_before = self.program_compiles
         df = tasks[0].df
         run = Run(df, tasks)
         self.passes += 1
@@ -536,7 +538,8 @@ class ExecutorLocal(Executor):
                 rows=total, seconds=round(elapsed, 4),
                 rows_per_s=round(total / elapsed) if elapsed else None,
                 tasks=len(tasks), agg_tasks=len(agg_tasks), chunks=i_chunk,
-                shards=n_shards, deps=list(run.dataset_deps)))
+                shards=n_shards, deps=list(run.dataset_deps),
+                compiles=self.program_compiles - compiles_before))
             if len(self.pass_log) > 1000:
                 del self.pass_log[:500]
             logger.info("pass %d: %s rows in %.3fs (%d tasks)",
@@ -792,6 +795,7 @@ class ExecutorLocal(Executor):
         )
         if key in self._program_cache:
             return self._program_cache[key]
+        self.program_compiles += 1
         program = _compile_pass(df, plans, filter_on_device and need_filter,
                                 (not filter_on_device) and need_filter, self.mesh, L)
         self._program_cache[key] = program
