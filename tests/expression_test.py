@@ -254,3 +254,49 @@ def test_redefine_virtual_column_in_terms_of_itself():
     df2 = vaex.from_arrays(x=np.arange(5.0))
     df2.state_set(df.state_get())
     np.testing.assert_array_equal(df2.evaluate("v"), np.arange(5.0) * 3 + 1)
+
+
+def test_propagate_uncertainties():
+    """First-order uncertainty propagation builds lazy sqrt(JᵀCJ) virtual
+    columns (reference: tests/propagate_uncertainty_test.py)."""
+    df = vaex.from_scalars(x=1.0, y=2.0, e_x=2.0, e_y=4.0)
+    df["r"] = df.x + df.y
+    df.propagate_uncertainties([df.r])
+    assert "r_uncertainty" in df.get_column_names()
+    assert float(df.evaluate("r_uncertainty")[0]) == pytest.approx(np.hypot(2.0, 4.0))
+
+    # nonlinear: v = x*y -> sigma_v = hypot(y*e_x, x*e_y)
+    df["v"] = df.x * df.y
+    df.propagate_uncertainties([df.v])
+    ref = np.hypot(2.0 * 2.0, 1.0 * 4.0)
+    assert float(df.evaluate("v_uncertainty")[0]) == pytest.approx(ref)
+
+    # correlation postfix scales by both sigmas; covariance column output
+    df2 = vaex.from_scalars(a=1.0, b=1.0, a_error=0.5, b_error=0.5,
+                            a_b_correlation=1.0)
+    df2["s"] = df2.a + df2.b
+    df2["d"] = df2.a - df2.b
+    df2.propagate_uncertainties([df2.s, df2.d])
+    # fully correlated: sigma_s = sigma_a + sigma_b = 1, sigma_d = 0
+    assert float(df2.evaluate("s_uncertainty")[0]) == pytest.approx(1.0)
+    assert float(df2.evaluate("d_uncertainty")[0]) == pytest.approx(0.0)
+    assert float(df2.evaluate("d_s_covariance")[0]) == pytest.approx(0.0)
+
+    # cov_matrix='full' raises when an uncertainty is missing
+    df3 = vaex.from_scalars(p=1.0, q=1.0, e_p=0.1)
+    df3["w"] = df3.p + df3.q
+    with pytest.raises(ValueError, match="no (covariance|correlation|uncertainty)"):
+        df3.propagate_uncertainties([df3.w], cov_matrix="full")
+
+
+def test_matrix3d_virtual_columns():
+    """Matrix transform + uncertainty propagation
+    (reference: tests/propagate_uncertainty_test.py test_matrix)."""
+    df = vaex.from_scalars(x=1.0, y=0.0, z=0.0, x_e=0.1, y_e=0.2, z_e=0.3)
+    df.add_virtual_columns_matrix3d(df.x, df.y, df.z, "xn", "yn", "zn",
+                                    [[0, 1, 0], [1, 0, 0], [0, 0, 1]])
+    df.propagate_uncertainties([df.xn, df.yn])
+    assert float(df.evaluate("xn")[0]) == pytest.approx(0.0)   # = y
+    assert float(df.evaluate("yn")[0]) == pytest.approx(1.0)   # = x
+    assert float(df.evaluate("xn_uncertainty")[0]) == pytest.approx(0.2)  # y_e
+    assert float(df.evaluate("yn_uncertainty")[0]) == pytest.approx(0.1)  # x_e

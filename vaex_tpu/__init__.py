@@ -88,6 +88,12 @@ def from_dict(data):
     return from_arrays(**data)
 
 
+def from_scalars(**kwargs):
+    """Length-1 DataFrame from scalars (reference: vaex/__init__.py:403)."""
+    import numpy as np
+    return from_arrays(**{k: np.array([v]) for k, v in kwargs.items()})
+
+
 def from_items(*items):
     return from_arrays(**dict(items))
 

@@ -300,6 +300,122 @@ class DataFrame:
                 "or function name") from None
         return self[name]
 
+    def _covariance_matrix_guess(self, columns, full=False):
+        """σ/cov expression strings from the reference's column-name
+        conventions (reference: dataframe.py:3598-3642): σ(x) from x+'_error'
+        /'_uncertainty'/'e'/'_e' postfixes or 'e'/'e_' prefixes; cov(x, y)
+        from '_cov'/'_covariance' postfixes, or '_correlation'/'_corr'
+        scaled by both sigmas (x_y_cov = x_e * y_e * x_y_correlation)."""
+        names = self.get_column_names()
+        cols = _ensure_strings_from_expressions(columns)
+
+        def sigma(x):
+            for cand in (x + "_error", x + "_uncertainty", x + "e", x + "_e",
+                         "e" + x, "e_" + x):
+                if cand in names:
+                    return cand
+            if full:
+                raise ValueError(f"no uncertainty column found for {x!r}")
+            return None
+
+        def cov(x, y):
+            if x == y:
+                s = sigma(x)
+                return f"{s} ** 2" if s else "0"
+            for post in ("_cov", "_covariance"):
+                for a, b in ((x, y), (y, x)):
+                    if f"{a}_{b}{post}" in names:
+                        return f"{a}_{b}{post}"
+            for post in ("_correlation", "_corr"):
+                for a, b in ((x, y), (y, x)):
+                    if f"{a}_{b}{post}" in names:
+                        sx, sy = sigma(x), sigma(y)
+                        if sx and sy:
+                            return f"{a}_{b}{post} * {sx} * {sy}"
+            if full:
+                raise ValueError(
+                    f"no covariance or correlation column found for {x!r} and {y!r}")
+            return "0"
+
+        return [[cov(x, y) for y in cols] for x in cols]
+
+    def _jacobian(self, expressions, variables):
+        """∂fᵢ/∂xⱼ expression matrix via the symbolic differentiator
+        (reference: dataframe.py:3644; expresso.derivative)."""
+        exprs = _ensure_strings_from_expressions(expressions)
+        return [[self[e].expand(stop=[v]).derivative(v) for v in variables]
+                for e in exprs]
+
+    def propagate_uncertainties(self, columns, depending_variables=None,
+                                cov_matrix="auto",
+                                covariance_format="{}_{}_covariance",
+                                uncertainty_format="{}_uncertainty"):
+        """First-order (Jacobian) uncertainty propagation for virtual columns
+        (reference: dataframe.py:3648-3710).
+
+        For each requested column f, adds ``f_uncertainty`` =
+        ``sqrt(Σ_kl (∂f/∂x_k) cov(x_k, x_l) (∂f/∂x_l))`` as a virtual
+        column, and pairwise ``fi_fj_covariance`` columns for distinct
+        requested columns.  The covariance matrix of the depending variables
+        is guessed from column-name conventions (_covariance_matrix_guess)
+        unless given explicitly; derivatives are symbolic (expresso), so the
+        result is itself a lazy expression that computes on device.
+
+        :param columns: virtual columns (or expressions) to propagate
+        :param depending_variables: input columns carrying uncertainties;
+            auto-detected from the expanded expressions when None
+        :param cov_matrix: 'auto' (guess, missing entries → 0), 'full'
+            (guess, missing entries raise), or an explicit n×n list of
+            expression strings
+        """
+        from .expression import Expression
+        names = _ensure_strings_from_expressions(columns)
+        exprs = [self.virtual_columns.get(name, name) for name in names]
+        if depending_variables is None:
+            deps = set()
+            for e in exprs:
+                deps |= Expression(self, e).expand().variables()
+            depending_variables = sorted(deps)
+        else:
+            depending_variables = _ensure_strings_from_expressions(depending_variables)
+        J = self._jacobian(exprs, depending_variables)
+        if isinstance(cov_matrix, str):
+            C = self._covariance_matrix_guess(depending_variables,
+                                              full=cov_matrix == "full")
+        else:
+            C = [[_ensure_string_expression(e) for e in row] for row in cov_matrix]
+        n = len(depending_variables)
+        for i in range(len(exprs)):
+            for j in range(i + 1):
+                terms = []
+                for k in range(n):
+                    for l in range(n):
+                        dik, djl = J[i][k].expression, J[j][l].expression
+                        if dik == "0" or djl == "0" or C[k][l] == "0":
+                            continue  # zero terms drop symbolically
+                        terms.append(f"({dik}) * ({C[k][l]}) * ({djl})")
+                sigma2 = expresso.simplify(" + ".join(terms)) if terms else "0"
+                if i == j:
+                    self.add_virtual_column(uncertainty_format.format(names[i]),
+                                            f"sqrt({sigma2})")
+                else:
+                    self.add_virtual_column(
+                        covariance_format.format(names[i], names[j]), sigma2)
+
+    def add_virtual_columns_matrix3d(self, x, y, z, xnew, ynew, znew, matrix,
+                                     translation=(0, 0, 0),
+                                     propagate_uncertainties=False):
+        """Linear 3-D transform (rows of `matrix` × (x, y, z) + translation)
+        as virtual columns (reference: dataframe.py:3564-3585)."""
+        x, y, z = _ensure_strings_from_expressions([x, y, z])
+        for out, row, t in zip((xnew, ynew, znew), matrix, translation):
+            expr = f"{row[0]} * {x} + {row[1]} * {y} + {row[2]} * {z}"
+            if t:
+                expr = f"{expr} + {t}"
+            self.add_virtual_column(out, expresso.simplify(expr))
+        if propagate_uncertainties:
+            self.propagate_uncertainties([xnew, ynew, znew], [x, y, z])
+
     def add_column(self, name, data):
         raise NotImplementedError
 
@@ -2308,36 +2424,6 @@ class DataFrameLocal(DataFrame):
         records = self.to_records()
         with open(path, "w") as f:
             json.dump(records, f, default=str)
-
-    # -- uncertainty propagation --------------------------------------
-    def propagate_uncertainties(self, columns, depending_variables=None, cov_suffix="_uncertainty"):
-        """Symbolic Jacobian error propagation (reference: dataframe.py:3648
-        via expresso.derivative)."""
-        for column in columns:
-            column = self[column.expression if isinstance(column, Expression) else column]
-            name = None
-            for vname, vexpr in self.virtual_columns.items():
-                if vexpr == column.expression or vname == column.expression:
-                    name = vname
-                    expr = vexpr if vexpr != vname else self.virtual_columns[vname]
-                    break
-            if name is None:
-                raise ValueError(f"{column} is not a virtual column")
-            expr = self.virtual_columns[name]
-            deps = [d for d in expresso.names(expr) if d in self.get_column_names(hidden=True)]
-            terms = []
-            for dep in deps:
-                err_col = dep + "_uncertainty"
-                if err_col not in self.get_column_names(hidden=True):
-                    err_col = "e_" + dep
-                    if err_col not in self.get_column_names(hidden=True):
-                        continue
-                d = expresso.derivative(expr, dep)
-                terms.append(f"(({d}) * ({err_col}))**2")
-            if terms:
-                self.add_virtual_column(name + cov_suffix, f"sqrt({' + '.join(terms)})")
-        return self
-
 
 class DataFrameConcatenated(DataFrameLocal):
     """Reference: dataframe.py DataFrameConcatenated — built on the lazily
