@@ -300,3 +300,32 @@ def test_matrix3d_virtual_columns():
     assert float(df.evaluate("yn")[0]) == pytest.approx(1.0)   # = x
     assert float(df.evaluate("xn_uncertainty")[0]) == pytest.approx(0.2)  # y_e
     assert float(df.evaluate("yn_uncertainty")[0]) == pytest.approx(0.1)  # x_e
+
+
+def test_dropinf_countna_materialize_dot_product():
+    """Smaller reference-mirrored scenarios: dropinf (tests/dropinf_test.py),
+    countna/countnan (countna_test.py), materialize (materialize_test.py),
+    dot_product (dot_product_test.py)."""
+    x = np.array([1.0, np.inf, 2.0, -np.inf, np.nan, 3.0])
+    m = np.ma.MaskedArray(np.arange(6.0), mask=[0, 0, 1, 0, 0, 0])
+    df = vaex.from_arrays(x=x, m=m)
+    # dropinf removes ±inf rows only
+    assert np.asarray(df.dropinf(column_names=["x"]).evaluate("x")).tolist()[:1] == [1.0]
+    assert len(df.dropinf(column_names=["x"])) == 4
+    # countna = nan + missing; countnan = nan only
+    assert df.x.countnan() == 1
+    assert df.m.countmissing() == 1
+    assert df.x.countna() == 1
+    assert df.m.countna() == 1
+    # materialize turns a virtual column into a real one, same values
+    df2 = vaex.from_arrays(a=np.arange(5.0))
+    df2["b"] = df2.a * 2
+    mat = df2.materialize("b")
+    assert "b" not in mat.virtual_columns
+    assert "b" in mat.dataset
+    np.testing.assert_array_equal(np.asarray(mat.evaluate("b")), np.arange(5.0) * 2)
+    # dot_product over expression pairs
+    df3 = vaex.from_arrays(ax=np.array([1.0, 0.0]), ay=np.array([0.0, 2.0]),
+                           bx=np.array([3.0, 4.0]), by=np.array([5.0, 6.0]))
+    out = df3.func.dot_product([df3.ax, df3.ay], [df3.bx, df3.by])
+    np.testing.assert_array_equal(np.asarray(df3.evaluate(out)), [3.0, 12.0])
