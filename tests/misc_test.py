@@ -983,3 +983,26 @@ def test_dynamic_limits_off_matches_on():
     finally:
         settings.compute.dynamic_limits = old
     np.testing.assert_array_equal(on, off)
+
+
+def test_dynamic_hashmap_tables_program_reuse():
+    """Hashmap key tables are runtime inputs to the compiled pass: a second
+    dataset with a DIFFERENT key table of the same structure (dtype, size
+    bucket) reuses the compiled program, and codes stay correct."""
+    rng = np.random.RandomState(9)
+    keyset1 = np.round(rng.rand(40) * 100, 2)
+    keyset2 = np.round(rng.rand(40) * 100, 2) + 200  # disjoint values, same count
+    k1 = rng.choice(keyset1, 30000)
+    k2 = rng.choice(keyset2, 30000)
+    v = rng.rand(30000)
+    d1 = vaex.from_arrays(k=k1, v=v)
+    r1 = d1.groupby("k", agg={"v": "sum"}, sort=True)
+    n0 = len(d1.executor._program_cache)
+    d2 = vaex.from_arrays(k=k2, v=v)
+    r2 = d2.groupby("k", agg={"v": "sum"}, sort=True)
+    assert len(d2.executor._program_cache) == n0, "fresh key table recompiled the pass"
+    import pandas as pd
+    for d, k, r in ((d1, k1, r1), (d2, k2, r2)):
+        ref = pd.DataFrame({"k": k, "v": v}).groupby("k")["v"].sum().sort_index()
+        np.testing.assert_array_equal(np.asarray(r.evaluate("k")), ref.index.values)
+        np.testing.assert_allclose(np.asarray(r.evaluate("v")), ref.values, rtol=1e-6)

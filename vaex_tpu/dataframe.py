@@ -233,7 +233,22 @@ class DataFrame:
     # -- variables / functions ----------------------------------------
     def add_variable(self, name, value, overwrite=True, unique=False):
         if unique:
-            name = name + utils.fingerprint(value if not isinstance(value, np.ndarray) else utils.hash_array_data(value))[:8]
+            # content-dedupe with POSITION-STABLE names: identical values
+            # reuse their existing variable; fresh values take the next free
+            # sequential name.  (Names used to embed the value fingerprint,
+            # which leaked table identity into expression strings and
+            # defeated compiled-pass reuse across datasets — see execution
+            # dynamic tables / _hashmap_table_vars.)
+            fp = utils.fingerprint(value if not isinstance(value, np.ndarray)
+                                   else utils.hash_array_data(value))
+            fps = self.__dict__.setdefault("_variable_fps", {})
+            if fp in fps and fps[fp] in self.variables:
+                return fps[fp]
+            i = 0
+            while f"{name}{i}" in self.variables:
+                i += 1
+            name = f"{name}{i}"
+            fps[fp] = name
         if unique or overwrite or name not in self.variables:
             self.variables[name] = value
         return name

@@ -424,7 +424,7 @@ class ExecutorLocal(Executor):
                         filter_mask_host if (need_filter and not filter_on_device) else None,
                         cache_key_base=(ds_fp, start + i1, start + i2))
                     if binlim_inputs is None and settings.compute.dynamic_limits:
-                        binlim_inputs = self._binner_limit_inputs(plans)
+                        binlim_inputs = self._binner_limit_inputs(df, plans)
                     if binlim_inputs:
                         inputs.update(binlim_inputs)
                     if program is None or L != L_current:
@@ -742,13 +742,16 @@ class ExecutorLocal(Executor):
             inputs["__filter_mask__"] = place(fm) if multiproc else fm
         return inputs, masks
 
-    def _binner_limit_inputs(self, plans):
-        """Ship the current binner limit VALUES as two tiny runtime inputs
-        (see _binner_slots); the compiled step indexes them by slot.
-        Placed once per run (dict merged into every chunk's inputs)."""
+    def _binner_limit_inputs(self, df, plans):
+        """Ship the current binner limit VALUES (see _binner_slots) and
+        referenced hashmap key tables (_hashmap_table_vars) as runtime
+        inputs; the compiled step reads them instead of baked constants.
+        Placed once per run (dict merged into every chunk's inputs); tables
+        are HBM-cached by hashmap fingerprint across runs."""
         import jax as _jax
         scalar, ordinal, _ = _binner_slots(plans)
-        if not scalar and not ordinal:
+        hash_vars = _hashmap_table_vars(df, plans)
+        if not scalar and not ordinal and not hash_vars:
             return {}
         multiproc = False
         if self.mesh is not None:
@@ -767,6 +770,16 @@ class ExecutorLocal(Executor):
         if ordinal:
             out["__binlims_i__"] = place(
                 np.array([b.minimum for b in ordinal], np.int64))
+        for name, hm in hash_vars:
+            key = ("hashtab", hm.fingerprint, multiproc)
+            cached = _device_cache.get(key)
+            if cached is None:
+                skeys, perm, meta = hm.device_table_arrays()
+                cached = (place(skeys), place(perm), place(meta))
+                _device_cache.put(key, cached)
+            out[f"__hashtab_{name}_k__"] = cached[0]
+            out[f"__hashtab_{name}_p__"] = cached[1]
+            out[f"__hashtab_{name}_m__"] = cached[2]
         return out
 
     def _get_program(self, df, plans, inputs, masks, L, filter_on_device, need_filter):
@@ -781,6 +794,16 @@ class ExecutorLocal(Executor):
             specs = [(p.task.spec(), p.value_expr, p.order_expr, p.selection_expr)
                      for p in plans]
             pattern = None
+        # variables are baked into the trace as constants — EXCEPT hashmap
+        # key tables shipped as runtime inputs (dynamic tables): those key
+        # on table STRUCTURE (dtype/bucket/narrowing), not values
+        dyn_tables = {n for n, _ in _hashmap_table_vars(df, plans)} if dyn else set()
+        var_fps = {}
+        for k, v in df.variables.items():
+            if k in dyn_tables:
+                var_fps[k] = ("dyntab", v.device_table_spec())
+            else:
+                var_fps[k] = utils._fingerprint_normalize(v)
         key = utils.fingerprint(
             specs, pattern,
             {k: str(v.dtype) for k, v in inputs.items()},
@@ -788,8 +811,7 @@ class ExecutorLocal(Executor):
             L, filter_on_device, need_filter,
             df._filter_expression() if need_filter else None,
             dict(df.virtual_columns),
-            # variables are baked into the trace as constants
-            {k: utils._fingerprint_normalize(v) for k, v in df.variables.items()},
+            var_fps,
             settings.compute.precision,
             "v2",
         )
@@ -972,6 +994,37 @@ def _binner_slots(plans):
             else:
                 pattern.append(("other", -1))
     return scalar, ordinal, tuple(pattern)
+
+
+def _hashmap_table_vars(df, plans):
+    """Numeric HashMapUnique variables referenced by this run's expressions —
+    their key tables ship as runtime inputs (`__hashtab_<var>_{k,p,m}__`) so
+    the compiled pass is reusable across tables of the same structure
+    (hash.HashMapUnique.map_ordinal_device tables=; same idea as
+    _binner_slots).  Deterministic order (sorted by variable name)."""
+    from .expression import Expression
+    from .hash import HashMapUnique
+    exprs = set()
+    for plan in plans:
+        for e in (plan.value_expr, plan.selection_expr, plan.order_expr):
+            if e:
+                exprs.add(str(e))
+        for b in (plan.task.binners or ()):
+            exprs.add(b.expression)
+    if df.filtered:
+        exprs.add(df._filter_expression())
+    names = set()
+    for e in exprs:
+        try:
+            names |= Expression(df, e).expand().variables()
+        except Exception:  # noqa: BLE001 — malformed exprs fail later, loudly
+            pass
+    out = []
+    for n in sorted(names):
+        v = df.variables.get(n)
+        if isinstance(v, HashMapUnique) and not v._is_string and v.count:
+            out.append((n, v))
+    return out
 
 
 def _structural_binner_spec(spec):

@@ -287,39 +287,99 @@ class HashMapUnique:
             codes[nulls] = self.null_index
         return codes
 
-    def map_ordinal_device(self, mv):
-        """Device-side mapping: binary search against the sorted key table
-        (constants in the compiled program)."""
+    def _device_table_plan(self):
+        """Host-side plan for the device mapping: (sorted_keys, perm_i32,
+        i32_narrow).  Shared by the baked-constant and runtime-table paths
+        so branch decisions stay identical (the i32-narrowing choice and the
+        small/large method pick shape the traced program)."""
+        sorted_keys, perm = self._ensure_sorted()
+        i32 = False
+        if (np.dtype(sorted_keys.dtype).kind in "iu"
+                and np.dtype(sorted_keys.dtype).itemsize == 8 and len(sorted_keys)):
+            tmin, tmax = int(sorted_keys[0]), int(sorted_keys[-1])
+            if -2**31 + 2 < tmin and tmax < 2**31 - 2:
+                i32 = True
+        return sorted_keys, perm.astype(np.int32), i32
+
+    def device_table_spec(self):
+        """Structural descriptor for the compiled-program cache when the key
+        table is a runtime input (execution dynamic tables): everything that
+        shapes the traced program, nothing that is a value."""
+        sorted_keys, _, i32 = self._device_table_plan()
+        n = len(sorted_keys)
+        bucket = max(64, 1 << (n - 1).bit_length()) if n else 0
+        dtype = "int32" if i32 else str(np.dtype(sorted_keys.dtype))
+        return dict(dtype=dtype, bucket=bucket, i32=i32)
+
+    def device_table_arrays(self):
+        """Padded host arrays for the runtime-table inputs: (keys, perm,
+        meta=[nan_index, null_index, tmin, tmax] i64).  Key count pads to a
+        power-of-two bucket by REPEATING the last (key, perm) pair — safe
+        for both mapping branches: broadcast-equality's max picks the same
+        perm over the duplicates, and searchsorted('sort') lands inside a
+        duplicate range whose perm is uniform."""
+        sorted_keys, perm, i32 = self._device_table_plan()
+        spec = self.device_table_spec()
+        n = len(sorted_keys)
+        skeys = sorted_keys.astype(np.int32) if i32 else sorted_keys
+        pad = spec["bucket"] - n
+        if pad > 0:
+            skeys = np.concatenate([skeys, np.repeat(skeys[-1:], pad)])
+            perm = np.concatenate([perm, np.repeat(perm[-1:], pad)])
+        tmin = int(sorted_keys[0]) if i32 else 0
+        tmax = int(sorted_keys[-1]) if i32 else 0
+        meta = np.array([self.nan_index, self.null_index, tmin, tmax], np.int64)
+        return skeys, perm, meta
+
+    def map_ordinal_device(self, mv, tables=None):
+        """Device-side mapping: binary search against the sorted key table.
+
+        tables: optional (keys, perm, meta) traced runtime inputs (padded by
+        device_table_arrays).  When given, the key table enters the compiled
+        program as an ARGUMENT instead of baked constants — a fresh table of
+        the same structure (dtype/bucket/narrowing) reuses the compiled pass
+        (execution dynamic tables; same idea as dynamic bin limits).  When
+        None, keys/perm become trace constants as before."""
         import jax.numpy as jnp
         from .dispatch import MV
         self._finalize_indices()
         if self._is_string:
             raise NotImplementedError("string mapping happens host-side (dictionary-encode at ingest)")
-        sorted_keys, perm = self._ensure_sorted()
+        sorted_keys, perm, i32 = self._device_table_plan()
         values = mv.values if isinstance(mv, MV) else mv
         mask = mv.mask if isinstance(mv, MV) else None
-        if values.dtype != sorted_keys.dtype:
-            values = values.astype(sorted_keys.dtype)
-        # int32 codes (counts < 2^31) keep the downstream pass in 32-bit;
-        # searchsorted method picked by table size: the default 'scan' is
-        # ~7-17x slower on TPU (measured 8M rows: scan 1.29s,
-        # compare_all 0.17s small tables, sort 0.24s large tables)
-        if (np.dtype(sorted_keys.dtype).kind in "iu"
-                and np.dtype(sorted_keys.dtype).itemsize == 8 and len(sorted_keys)):
-            tmin, tmax = int(sorted_keys[0]), int(sorted_keys[-1])
-            if -2**31 + 2 < tmin and tmax < 2**31 - 2:
+        if tables is not None and len(sorted_keys):
+            skeys, jperm, meta = tables
+            if i32:
                 # 64-bit integer keys whose range fits int32: compare/sort in
-                # 32-bit (emulated i64 sorts/compares are ~3x slower on TPU).
-                # Values are clipped to [tmin-1, tmax+1] first so out-of-range
-                # rows map to a value that is NOT in the table (a miss), never
-                # a false equality after the cast.
+                # 32-bit.  Values clip to [tmin-1, tmax+1] (runtime scalars
+                # from meta) first so out-of-range rows map to a value NOT in
+                # the table — a miss, never a false equality after the cast.
+                values = jnp.clip(values, meta[2] - 1, meta[3] + 1).astype(jnp.int32)
+            elif values.dtype != skeys.dtype:
+                values = values.astype(skeys.dtype)
+            nan_code = meta[0].astype(jnp.int32)
+            null_code = meta[1].astype(jnp.int32)
+        else:
+            if values.dtype != sorted_keys.dtype:
+                values = values.astype(sorted_keys.dtype)
+            # int32 codes (counts < 2^31) keep the downstream pass in 32-bit;
+            # searchsorted method picked by table size: the default 'scan' is
+            # ~7-17x slower on TPU (measured 8M rows: scan 1.29s,
+            # compare_all 0.17s small tables, sort 0.24s large tables)
+            if i32:
+                tmin, tmax = int(sorted_keys[0]), int(sorted_keys[-1])
+                # see the runtime-table branch for the clip rationale
                 sorted_keys = sorted_keys.astype(np.int32)
                 values = jnp.clip(values, tmin - 1, tmax + 1).astype(jnp.int32)
-        skeys = jnp.asarray(sorted_keys)
-        jperm = jnp.asarray(perm.astype(np.int32))
-        if not len(sorted_keys):
+            skeys = jnp.asarray(sorted_keys)
+            jperm = jnp.asarray(perm)
+            nan_code = np.int32(self.nan_index)
+            null_code = np.int32(self.null_index)
+        n_table = skeys.shape[0]
+        if not n_table:
             codes = jnp.full(values.shape, -1, dtype=jnp.int32)
-        elif len(sorted_keys) <= 512:
+        elif n_table <= 512:
             # broadcast equality + reduce: no gathers (TPU gathers over
             # millions of rows dominate the pass; the [rows, keys] compare
             # fuses into a VPU reduction, measured ~10x faster than
@@ -329,13 +389,13 @@ class HashMapUnique:
             codes = code1 - np.int32(1)
         else:
             pos = jnp.searchsorted(skeys, values, method="sort")
-            pos_c = jnp.clip(pos, 0, len(sorted_keys) - 1).astype(jnp.int32)
+            pos_c = jnp.clip(pos, 0, n_table - 1).astype(jnp.int32)
             found = skeys[pos_c] == values
             codes = jnp.where(found, jperm[pos_c], np.int32(-1))
         if jnp.issubdtype(values.dtype, jnp.floating):
-            codes = jnp.where(jnp.isnan(values), np.int32(self.nan_index), codes)
+            codes = jnp.where(jnp.isnan(values), nan_code, codes)
         if mask is not None:
-            codes = jnp.where(mask, np.int32(self.null_index), codes)
+            codes = jnp.where(mask, null_code, codes)
         return MV(codes, None)
 
     def isin(self, values):
@@ -384,6 +444,22 @@ class HashMapUnique:
         hm.null_index = spec["null_index"]
         hm.nan_index = spec["nan_index"]
         return hm
+
+
+class _HashMapDeviceView:
+    """Trace-time proxy handed to device expressions when the key table
+    arrives as a runtime input (execution dynamic tables): mapping reads the
+    traced arrays instead of baking constants; everything else delegates."""
+
+    def __init__(self, hm, tables):
+        self._hm = hm
+        self._tables = tables
+
+    def map_ordinal_device(self, mv):
+        return self._hm.map_ordinal_device(mv, tables=self._tables)
+
+    def __getattr__(self, name):
+        return getattr(self._hm, name)
 
 
 class _DeviceUniqueBuilder:

@@ -134,9 +134,10 @@ def shard_pass(step_local, mesh, L_local):
             return jax.tree_util.tree_map(lambda a: a[None], new_states)
 
         state_spec = jax.tree_util.tree_map(lambda _: P(AXIS), states)
-        # runtime binner-limit inputs are per-run scalars, not row vectors —
-        # replicate them to every device (execution._binner_slots)
-        in_spec = {k: (P() if k.startswith("__binlims") else P(AXIS))
+        # runtime binner-limit / hashmap-table inputs are per-run values,
+        # not row vectors — replicate them to every device
+        # (execution._binner_slots / _hashmap_table_vars)
+        in_spec = {k: (P() if k.startswith(("__binlims", "__hashtab")) else P(AXIS))
                    for k in inputs}
         mask_spec = jax.tree_util.tree_map(lambda _: P(AXIS), masks)
         return jax.shard_map(

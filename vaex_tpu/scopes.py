@@ -45,7 +45,7 @@ class ScopeBase:
     def wrap_chunk(self, chunk):
         raise NotImplementedError
 
-    def wrap_variable(self, value):
+    def wrap_variable(self, value, name=None):
         return value
 
     def resolve(self, name):
@@ -60,9 +60,9 @@ class ScopeBase:
             finally:
                 self._evaluating.pop()
         if name in self.df.variables:
-            return self.wrap_variable(self.df.get_variable(name))
+            return self.wrap_variable(self.df.get_variable(name), name=name)
         if name in self.variables:
-            return self.wrap_variable(self.variables[name])
+            return self.wrap_variable(self.variables[name], name=name)
         fns = self.functions()
         if name in fns:
             return fns[name]
@@ -124,7 +124,19 @@ class DeviceScope(ScopeBase):
     def wrap_chunk(self, chunk):
         return dispatch.MV(chunk, None)
 
-    def wrap_variable(self, value):
+    def wrap_variable(self, value, name=None):
+        # hashmap variables whose key tables were shipped as runtime inputs
+        # (execution dynamic tables) map through the traced arrays instead of
+        # baking the table as constants — the compiled pass stays reusable
+        # across tables of the same structure
+        if name is not None:
+            k = self.values.get(f"__hashtab_{name}_k__")
+            if k is not None:
+                from .hash import HashMapUnique, _HashMapDeviceView
+                if isinstance(value, HashMapUnique):
+                    return _HashMapDeviceView(value, (
+                        k, self.values[f"__hashtab_{name}_p__"],
+                        self.values[f"__hashtab_{name}_m__"]))
         # temporal scalars/arrays: device columns carry datetimes as int64
         # nanoseconds (execution._device_view), so literals must match —
         # normalize any datetime64/timedelta64 unit to [ns] and view as i64
