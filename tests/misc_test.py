@@ -991,7 +991,8 @@ def test_dynamic_hashmap_tables_program_reuse():
     bucket) reuses the compiled program, and codes stay correct."""
     rng = np.random.RandomState(9)
     keyset1 = np.round(rng.rand(40) * 100, 2)
-    keyset2 = np.round(rng.rand(40) * 100, 2) + 200  # disjoint values, same count
+    keyset2 = np.round(rng.rand(50) * 100, 2) + 200  # disjoint values, DIFFERENT
+    # count in the same power-of-two bucket (Grouper bin counts are bucketed)
     k1 = rng.choice(keyset1, 30000)
     k2 = rng.choice(keyset2, 30000)
     v = rng.rand(30000)

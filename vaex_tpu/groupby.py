@@ -77,7 +77,16 @@ class Grouper(BinnerBase):
     def create_binner(self, df):
         self.var_name = df.add_variable("hashmap_", self.hashmap, unique=True)
         self.binby_expression = f"_ordinal_values({self.expression}, {self.var_name})"
-        self.binner = BinnerOrdinal(self.binby_expression, max(self.N, 1))
+        count = max(self.N, 1)
+        from . import settings
+        if settings.compute.dynamic_limits:
+            # bucket the cell count like GrouperIntRange: with the key table
+            # a runtime input (execution dynamic tables), any group count in
+            # the same power-of-two bucket reuses ONE compiled pass across
+            # datasets.  extract_center slices back to the real N, so the
+            # padded tail never reaches results.
+            count = max(64, 1 << (count - 1).bit_length())
+        self.binner = BinnerOrdinal(self.binby_expression, count)
 
     def extract_center(self, dim, ar):
         slices = [slice(None)] * np.ndim(ar)
