@@ -138,3 +138,22 @@ def test_sum_accuracy_all_paths():
     binned = np.asarray(df.sum("v64", binby="x", limits=[-3, 3], shape=4))
     oracle = np.histogram(x, bins=4, range=(-3, 3), weights=v64)[0]
     assert np.max(np.abs((binned - oracle) / oracle)) < 1e-5
+
+
+def test_integer_on_edge_binning_exact():
+    """Integer-valued data on integer bin edges bins exactly — for constant
+    AND runtime (data-derived) limits.  Regression: the runtime-limits path
+    initially multiplied by a reciprocal where the constant path compiled to
+    a division, shifting edge rows down one bin (binners.cpp scaled*bins)."""
+    from vaex_tpu import settings
+    g = np.random.RandomState(3).randint(0, 50, 20000)
+    ref = np.bincount(g, minlength=50)
+    for dyn in (True, False):
+        old = settings.compute.dynamic_limits
+        settings.compute.dynamic_limits = dyn
+        try:
+            df = vaex.from_arrays(g=g.copy())
+            got = np.asarray(df.count(binby="g", limits=[0, 50], shape=50))
+        finally:
+            settings.compute.dynamic_limits = old
+        np.testing.assert_array_equal(got, ref, err_msg=f"dynamic_limits={dyn}")

@@ -19,6 +19,44 @@ from .tasks import TaskAggregation
 aggregates = {}
 
 
+_BINS_JIT = {}
+
+
+def _bins_structural(binner, values, invalid):
+    """Module-level bin-kernel cache keyed by binner STRUCTURE: the
+    data-derived minimum/limits pass as runtime args (gridagg to_bins
+    dynamic args), so sparse-path queries on fresh datasets reuse the
+    compiled kernels instead of re-jitting per binner instance — the same
+    design as execution's dynamic limits."""
+    import jax
+    import jax.numpy as jnp
+    from . import settings
+    from .ops import gridagg
+    has_mask = invalid is not None
+    inv = None if invalid is None else jnp.asarray(invalid)
+    if isinstance(binner, gridagg.BinnerOrdinal):
+        skey = ("ord", binner.count, binner.allow_other, binner.invert,
+                binner.assume_in_range, binner.in_range32(), has_mask,
+                str(values.dtype))
+        fn = _BINS_JIT.get(skey)
+        if fn is None:
+            # the first same-structure binner donates the trace; later
+            # instances only differ in `minimum`, which arrives as an arg
+            fn = jax.jit(lambda v, i, mn, _b=binner: _b.to_bins(v, i, minimum=mn))
+            _BINS_JIT[skey] = fn
+        return fn(jnp.asarray(values), inv, jnp.int64(binner.minimum))
+    if isinstance(binner, gridagg.BinnerScalar):
+        use_f64 = str(values.dtype) == "float64" or settings.compute.precision == "float64"
+        skey = ("scal", binner.count, has_mask, str(values.dtype), use_f64)
+        fn = _BINS_JIT.get(skey)
+        if fn is None:
+            fn = jax.jit(lambda v, i, lims, _b=binner: _b.to_bins(v, i, limits=lims))
+            _BINS_JIT[skey] = fn
+        return fn(jnp.asarray(values), inv,
+                  jnp.asarray(np.array([binner.minimum, binner.maximum], np.float64)))
+    return jax.jit(lambda v, i, _b=binner: _b.to_bins(v, i))(jnp.asarray(values), inv)
+
+
 def register(f, name=None):
     name = name or f.__name__
     aggregates[name] = f
@@ -508,12 +546,16 @@ class AggregatorDescriptorNUnique(AggregatorDescriptorBasic):
             import jax.numpy as jnp
             values, valid = at.extract_mask(at.to_numpy(block))
             invalid = None if valid is None else ~np.asarray(valid)
+            values = np.asarray(values)
+            from . import settings
+            if settings.compute.dynamic_limits:
+                return np.asarray(_bins_structural(binner, values, invalid))
             key = (binner, invalid is not None)
             fn = _bins_jit.get(key)
             if fn is None:
                 fn = jax.jit(lambda v, inv: binner.to_bins(v, inv))
                 _bins_jit[key] = fn
-            return np.asarray(fn(jnp.asarray(np.asarray(values)),
+            return np.asarray(fn(jnp.asarray(values),
                                  None if invalid is None else jnp.asarray(invalid)))
 
         def map_chunk(*blocks):

@@ -99,11 +99,24 @@ class BinnerScalar(BinnerBase):
         v = values.astype(ftype)
         if limits is not None:
             minimum = limits[0].astype(ftype)
-            scale = ftype(1.0) / (limits[1] - limits[0]).astype(ftype)
+            width = (limits[1] - limits[0]).astype(ftype)
         else:
             minimum = ftype(self.minimum)
-            scale = ftype(1.0) / ftype(self.maximum - self.minimum)
-        scaled = (v - minimum) * scale
+            width = ftype(self.maximum - self.minimum)
+        if use_f64:
+            # reference op order (binners.cpp:16,24: scale_v = 1/(vmax-vmin),
+            # scaled = (v - vmin) * scale_v) for bitwise f64 parity
+            scaled = (v - minimum) * (ftype(1.0) / width)
+        else:
+            # f32: explicit DIVISION, in both the static and runtime-limits
+            # forms.  With constant limits XLA's simplifier rewrote the
+            # multiply-by-reciprocal into a divide, and integer-valued data
+            # on integer bin edges binned exactly ((k/N)*N rounds up);
+            # runtime limits skip that rewrite, so spell out the division —
+            # otherwise the same query bins edge rows differently depending
+            # on whether its limits were constants (caught by
+            # tests/groupby_test.py::test_nunique_sparse_fallback's binby).
+            scaled = (v - minimum) / width
         idx = (scaled * ftype(self.count)).astype(jnp.int32) + 2
         idx = jnp.where(scaled < 0, 1, idx)
         idx = jnp.where(scaled >= 1, self.count + 2, idx)
