@@ -118,11 +118,60 @@ def test_task_encoding_roundtrip(df_local):
 
 
 def test_concat_mixed_dtypes():
+    # fractional values catch truncation: the resolved schema must promote
+    # i32+f64 -> f64 (reference: schema.py resolver_flexible.resolve)
     df1 = vaex.from_arrays(x=np.arange(3, dtype=np.int32))
-    df2 = vaex.from_arrays(x=np.arange(3, dtype=np.float64))
+    df2 = vaex.from_arrays(x=np.arange(3, dtype=np.float64) + 0.5)
     df = vaex.concat([df1, df2])
     assert len(df) == 6
-    assert df.sum("x") == 6.0
+    assert df.x.dtype.numpy == np.dtype("f8")
+    assert df.sum("x") == 7.5
+    assert df.x.values.tolist() == [0.0, 1.0, 2.0, 0.5, 1.5, 2.5]
+
+
+def test_concat_missing_column_null_fill():
+    # flexible resolver keeps the UNION of names, filling missing fragments
+    # with nulls (reference: dataset.py:709-738 DatasetConcatenated flexible)
+    df1 = vaex.from_arrays(x=np.arange(3, dtype=np.int32))
+    df2 = vaex.from_arrays(x=np.arange(3, dtype=np.int32) + 10,
+                           extra=np.array([1.0, 2.0, 3.0]))
+    df = vaex.concat([df1, df2])
+    assert set(df.get_column_names()) == {"x", "extra"}
+    assert df.count("extra") == 3          # nulls don't count
+    assert df.sum("extra") == 6.0
+    vals = df.extra.values
+    assert np.ma.isMaskedArray(vals) and vals.mask[:3].all() and not vals.mask[3:].any()
+    # strict resolver refuses schema mismatch
+    with pytest.raises(NameError):
+        vaex.concat([df1, df2], resolver="strict")
+
+
+def test_concat_null_fill_export_roundtrip(tmp_path):
+    # is_masked must see through ColumnConcatenated/ColumnNulls or the hdf5
+    # exporter writes no mask dataset and nulls silently become garbage
+    df1 = vaex.from_arrays(x=np.arange(3, dtype=np.int32))
+    df2 = vaex.from_arrays(x=np.arange(3, dtype=np.int32) + 10,
+                           extra=np.array([1.0, 2.0, 3.0]))
+    df = vaex.concat([df1, df2])
+    assert df.is_masked("extra")
+    path = str(tmp_path / "concat.hdf5")
+    df.export(path)
+    df3 = vaex.open(path)
+    assert df3.count("extra") == 3 and df3.sum("extra") == 6.0
+    vals = df3.extra.values
+    assert np.ma.isMaskedArray(vals) and vals.mask[:3].all() and not vals.mask[3:].any()
+
+
+def test_concat_promotes_masked_and_groupby():
+    df1 = vaex.from_arrays(g=np.array([0, 0, 1], dtype=np.int8),
+                           v=np.ma.MaskedArray([1, 2, 3], mask=[0, 1, 0]))
+    df2 = vaex.from_arrays(g=np.array([1, 1, 0], dtype=np.int64),
+                           v=np.array([4.5, 5.5, 6.5]))
+    df = vaex.concat([df1, df2])
+    assert df.g.dtype.numpy == np.dtype("i8")
+    assert df.count("v") == 5
+    res = df.groupby("g", agg={"v": "sum"}, sort=True)
+    assert np.asarray(res["v"]).tolist() == [1 + 6.5, 3 + 4.5 + 5.5]
 
 
 def test_executor_nested_guard(df_local):

@@ -186,6 +186,57 @@ def _common_arrow_type(types):
     return pa.from_numpy_dtype(np.result_type(*numpy_types))
 
 
+def type_promote(t1, t2) -> DataType:
+    """Common type for vertical concatenation (reference:
+    array_types.py:336 ``type_promote`` / schema.py resolver_flexible).
+
+    numpy×numpy promotes via numpy rules; strings unify to (large_)string;
+    numeric/temporal arrow types promote through their numpy equivalents."""
+    t1, t2 = DataType(t1), DataType(t2)
+    if t1 == t2:
+        return t1
+    if t1.is_numpy and t2.is_numpy:
+        return DataType(np.promote_types(t1.numpy, t2.numpy))
+    if t1.is_string and t2.is_string:
+        large = any(pa.types.is_large_string(t.arrow) for t in (t1, t2))
+        return DataType(pa.large_string() if large else pa.string())
+    if (t1.is_numeric or t1.is_temporal or t1.is_bool) and \
+            (t2.is_numeric or t2.is_temporal or t2.is_bool):
+        dt = np.promote_types(t1.numpy, t2.numpy)
+        return DataType(pa.from_numpy_dtype(dt)) if (t1.is_arrow or t2.is_arrow) else DataType(dt)
+    raise TypeError(f"cannot promote {t1} and {t2} to a common type")
+
+
+def nulls(n, dtype) -> "np.ma.MaskedArray":
+    """All-missing array of length n (reference: schema.py resolver_flexible.align
+    uses pa.nulls; numpy-typed columns here stay numpy-masked so the device
+    pipeline's MaskedArray path applies)."""
+    dtype = DataType(dtype)
+    if dtype.is_arrow:
+        return pa.nulls(n, type=dtype.arrow)
+    return np.ma.masked_all(n, dtype=dtype.numpy)
+
+
+def cast(ar, dtype):
+    """Cast a host chunk to a resolved concat type, preserving missing values."""
+    dtype = DataType(dtype)
+    if data_type(ar) == dtype:
+        return ar
+    if is_arrow_array(ar) or dtype.is_arrow:
+        ar = to_arrow(ar)
+        if isinstance(ar, pa.ChunkedArray):
+            ar = ar.combine_chunks()
+        if pa.types.is_null(ar.type):
+            return pa.nulls(len(ar), type=dtype.arrow)
+        return ar.cast(dtype.arrow)
+    if np.ma.isMaskedArray(ar):
+        return ar.astype(dtype.numpy)
+    if is_jax_array(ar):
+        import jax.numpy as jnp
+        return ar.astype(jnp.dtype(dtype.numpy))
+    return np.asarray(ar).astype(dtype.numpy)
+
+
 def extract_mask(ar):
     """(values, validity_bool_or_None): validity True = valid.
 

@@ -214,10 +214,17 @@ class ColumnConcatenated(Column):
     def data_type(self):
         if self._dtype is not None:
             return DataType(self._dtype)
-        return array_types.data_type(self.columns[0])
+        # promote across parts (reference: schema.py resolver_flexible.resolve —
+        # int32+float64 parts must report float64 or aggregations truncate)
+        from functools import reduce
+        dt = reduce(array_types.type_promote,
+                    [array_types.data_type(c) for c in self.columns])
+        self._dtype = dt.internal
+        return dt
 
     def __getitem__(self, slice_):
         start, stop, _ = slice_.indices(len(self))
+        dt = self.data_type()
         parts = []
         for i, col in enumerate(self.columns):
             o1, o2 = self.offsets[i], self.offsets[i + 1]
@@ -226,14 +233,37 @@ class ColumnConcatenated(Column):
             s1 = max(start, o1) - o1
             s2 = min(stop, o2) - o1
             part = col[s1:s2] if not isinstance(col, Column) else col[slice(int(s1), int(s2))]
+            if array_types.data_type(part) != dt:
+                part = array_types.cast(part, dt)
             parts.append(part)
         if not parts:
-            dt = self.data_type()
             return np.empty(0, dtype=dt.numpy if not dt.is_arrow else object)
         return array_types.concat(parts)
 
     def _fingerprint_info(self):
         return dict(columns=list(self.columns))
+
+
+class ColumnNulls(Column):
+    """All-missing placeholder for a column absent from one concat fragment
+    (reference: schema.py resolver_flexible.align pa.nulls fill)."""
+
+    def __init__(self, length, dtype):
+        self.length = int(length)
+        self._dtype = DataType(dtype)
+
+    def __len__(self):
+        return self.length
+
+    def data_type(self):
+        return self._dtype
+
+    def __getitem__(self, slice_):
+        start, stop, _ = slice_.indices(len(self))
+        return array_types.nulls(stop - start, self._dtype)
+
+    def _fingerprint_info(self):
+        return dict(length=self.length, dtype=str(self._dtype))
 
 
 class ColumnArrowDictionaryEncoded(Column):

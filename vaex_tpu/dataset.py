@@ -78,6 +78,23 @@ def chunk_rechunk(chunk_iter, chunk_size, row_count):
         yield start, start + buffer_rows, out
 
 
+def _column_is_masked(col):
+    """Maskedness of any column form (ndarray, arrow, Column wrappers)."""
+    from .column import ColumnNulls
+
+    if isinstance(col, np.ndarray):
+        return np.ma.isMaskedArray(col)
+    if array_types.is_arrow_array(col):
+        return col.null_count > 0
+    if isinstance(col, ColumnIndexed):
+        return col.masked
+    if isinstance(col, ColumnNulls):
+        return True
+    if isinstance(col, ColumnConcatenated):
+        return any(_column_is_masked(part) for part in col.columns)
+    return False
+
+
 class Dataset(collections.abc.Mapping):
     """Reference: vaex/dataset.py:323."""
 
@@ -206,14 +223,7 @@ class Dataset(collections.abc.Mapping):
         pass
 
     def is_masked(self, name):
-        col = self._columns[name]
-        if isinstance(col, np.ndarray):
-            return np.ma.isMaskedArray(col)
-        if array_types.is_arrow_array(col):
-            return col.null_count > 0
-        if isinstance(col, ColumnIndexed):
-            return col.masked
-        return False
+        return _column_is_masked(self._columns[name])
 
 
 @register
@@ -432,10 +442,25 @@ class DatasetConcatenated(Dataset):
                     raise NameError(f"schemas differ: {schemas[0]} vs {s}")
             names = list(self.datasets[0].keys())
         else:
-            names = list(reduce(lambda a, b: a & b, schemas))
-            # preserve order of first dataset
-            names = [n for n in self.datasets[0] if n in names]
-        self._columns = {name: ColumnConcatenated([ds[name] for ds in self.datasets]) for name in names}
+            # union of names in first-seen order; missing parts fill with
+            # nulls and dtypes promote (reference: dataset.py:709-738 +
+            # schema.py resolver_flexible)
+            names = []
+            for ds in self.datasets:
+                for n in ds.keys():
+                    if n not in names:
+                        names.append(n)
+        self._resolved = {}
+        for name in names:
+            types = [array_types.data_type(ds[name]) for ds in self.datasets if name in ds.keys()]
+            self._resolved[name] = reduce(array_types.type_promote, types)
+        from .column import ColumnNulls
+        self._columns = {
+            name: ColumnConcatenated(
+                [ds[name] if name in ds.keys() else ColumnNulls(ds.row_count, self._resolved[name])
+                 for ds in self.datasets],
+                dtype=self._resolved[name].internal)
+            for name in names}
         self._row_count = sum(ds.row_count for ds in self.datasets)
 
     def _fingerprint(self):
@@ -445,13 +470,34 @@ class DatasetConcatenated(Dataset):
         chunk_size = chunk_size or 1024 * 1024
         end = self.row_count if end is None else end
 
+        def adapt(ds, ds_start, ds_end):
+            # request only the columns this fragment has; fill the rest with
+            # nulls and cast to the resolved concat type (reference:
+            # schema.py resolver_flexible.align)
+            present = [n for n in columns if n in ds.keys()]
+            missing = [n for n in columns if n not in ds.keys()]
+            if not present:
+                for i1 in range(ds_start, ds_end, chunk_size):
+                    i2 = min(i1 + chunk_size, ds_end)
+                    yield i1, i2, {n: array_types.nulls(i2 - i1, self._resolved[n]) for n in missing}
+                return
+            for i1, i2, chunks in ds.chunk_iterator(present, chunk_size, start=ds_start, end=ds_end):
+                out = {}
+                for n in present:
+                    ar = chunks[n]
+                    dt = self._resolved[n]
+                    out[n] = ar if array_types.data_type(ar) == dt else array_types.cast(ar, dt)
+                for n in missing:
+                    out[n] = array_types.nulls(i2 - i1, self._resolved[n])
+                yield i1, i2, out
+
         def raw_iter():
             offset = 0
             for ds in self.datasets:
                 ds_start = max(start - offset, 0)
                 ds_end = min(end - offset, ds.row_count)
                 if ds_start < ds_end:
-                    yield from ds.chunk_iterator(columns, chunk_size, start=ds_start, end=ds_end)
+                    yield from adapt(ds, ds_start, ds_end)
                 offset += ds.row_count
 
         yield from chunk_rechunk(raw_iter(), chunk_size, end - start)
