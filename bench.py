@@ -21,7 +21,40 @@ import numpy as np
 BASELINE_ROWS_PER_S = 1e9
 
 
+def _claim_devices_or_die():
+    """Claiming the tunneled TPU hangs indefinitely when the tunnel is down;
+    probe in a daemon thread and keep retrying until BENCH_CLAIM_TIMEOUT
+    (default 30min), then exit(1) with a clear message instead of hanging."""
+    import threading
+
+    deadline = time.time() + float(os.environ.get("BENCH_CLAIM_TIMEOUT", 1800))
+    attempt = 0
+    while True:
+        attempt += 1
+        got = []
+
+        def probe():
+            try:
+                import jax
+                got.append(jax.devices())
+            except Exception as e:
+                got.append(e)
+
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(timeout=180)
+        if got and not isinstance(got[0], Exception):
+            return got[0]
+        if time.time() > deadline:
+            print(f"[bench] ERROR: no device claimable after {attempt} attempts "
+                  f"(tunnel down?) — aborting instead of hanging", file=sys.stderr)
+            sys.exit(1)
+        print(f"[bench] device claim attempt {attempt} failed; retrying", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    _claim_devices_or_die()
     # 512M rows (6GB of f32 device columns in 16GB HBM): large enough that
     # the tunnel's fixed per-query cost (~40ms of result-fetch RTTs that
     # production hardware doesn't pay) is <5% of the pass; the marginal
