@@ -237,6 +237,11 @@ class DatasetArrays(Dataset):
         columns = dict(mapping or {})
         columns.update(kwargs)
         for name, col in columns.items():
+            # plain python sequences become arrays first (reference:
+            # dataset.py:204 to_supported_array np.asanyarray)
+            if not isinstance(col, (np.ndarray, Column)) and not array_types.is_arrow_array(col) \
+                    and not array_types.is_jax_array(col):
+                col = columns[name] = np.asanyarray(col)
             # object/str numpy arrays become Arrow strings at ingestion (the
             # reference converts to superstrings the same way) so every
             # downstream consumer — exporters included — sees one string type

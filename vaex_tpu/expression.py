@@ -270,6 +270,8 @@ class Expression(metaclass=Meta):
         values = self.evaluate(i1=i1, i2=i2)
         if hasattr(values, "to_pylist"):
             return values.to_pylist()
+        if np.ma.isMaskedArray(values):
+            return values.tolist()  # masked entries become None
         return np.asarray(values).tolist()
 
     def __array__(self, dtype=None):
@@ -286,13 +288,40 @@ class Expression(metaclass=Meta):
         return Expression(self.df, f"abs({self.expression})")
 
     def fillna(self, value):
-        return Expression(self.df, f"fillna({self.expression}, {_repr_operand(self.df, value)})")
+        expr = self._upcast_for(value)
+        return Expression(self.df, f"fillna({expr.expression}, {_repr_operand(self.df, value)})")
 
     def fillmissing(self, value):
-        return Expression(self.df, f"fillmissing({self.expression}, {_repr_operand(self.df, value)})")
+        expr = self._upcast_for(value)
+        return Expression(self.df, f"fillmissing({expr.expression}, {_repr_operand(self.df, value)})")
 
     def fillnan(self, value):
-        return Expression(self.df, f"fillnan({self.expression}, {_repr_operand(self.df, value)})")
+        expr = self._upcast_for(value)
+        return Expression(self.df, f"fillnan({expr.expression}, {_repr_operand(self.df, value)})")
+
+    def _upcast_for(self, value):
+        """Widen an integer expression so `value` fits (reference:
+        expression.py:1091 _upcast_for / utils.required_dtype_for_int)."""
+        try:
+            dtype = self.data_type()
+        except Exception:
+            return self
+        if not (dtype.is_numpy and dtype.numpy.kind in "iu" and isinstance(value, (int, np.integer))):
+            return self
+        value = int(value)
+        info = np.iinfo(dtype.numpy)
+        if info.min <= value <= info.max:
+            return self
+        signed = dtype.numpy.kind == "i" or value < 0
+        kinds = ["int8", "int16", "int32", "int64"] if signed else ["uint8", "uint16", "uint32", "uint64"]
+        for name in kinds:
+            cand = np.dtype(name)
+            if cand.itemsize <= dtype.numpy.itemsize:
+                continue
+            ci = np.iinfo(cand)
+            if ci.min <= value <= ci.max:
+                return self.astype(name)
+        return self.astype("float64")
 
     def isna(self):
         return Expression(self.df, f"isna({self.expression})")
@@ -371,14 +400,26 @@ class Expression(metaclass=Meta):
         return self.df.nunique(self.expression, dropna=dropna, dropnan=dropnan, dropmissing=dropmissing, selection=selection)
 
     def value_counts(self, dropna=False, dropnan=False, dropmissing=False, ascending=False, progress=False):
-        """pandas-style value counts Series (reference: vaex/expression.py value_counts)."""
+        """pandas-style value counts Series (reference: vaex/expression.py:994
+        value_counts; ordering/missing-label semantics cpu.py:263-280)."""
         import pandas as pd
-        keys, counts = self.df._value_counts(self.expression, dropna=dropna, dropnan=dropnan, dropmissing=dropmissing)
+        if dropna:
+            dropnan = True
+            dropmissing = True
+        keys, counts = self.df._value_counts(self.expression, dropnan=dropnan, dropmissing=dropmissing)
         order = np.argsort(counts)
         if not ascending:
             order = order[::-1]
         keys = [keys[i] for i in order]
-        return pd.Series(np.asarray(counts)[order], index=keys)
+        counts = [int(counts[i]) for i in order]
+        # a missing-value key is labeled "missing" and listed first
+        # (reference: cpu.py:270-276)
+        if None in keys:
+            i = keys.index(None)
+            keys.pop(i)
+            keys = ["missing"] + keys
+            counts = [counts.pop(i)] + counts
+        return pd.Series(counts, index=keys)
 
     def countna(self):
         return self.isna().astype("int64").sum()
@@ -409,8 +450,9 @@ class Expression(metaclass=Meta):
         """Symbolic derivative expression (reference: expression.py derivative)."""
         return Expression(self.df, expresso.derivative(self.expression, str(var), simplify))
 
-    @property
     def is_string(self):
+        """Method (not property) for reference parity
+        (reference: expression.py:1430)."""
         return self.data_type().is_string
 
     @property

@@ -120,11 +120,27 @@ def _values_mask(ar):
     return ar, None
 
 
+def _as_string_ops(ar):
+    """Wrap a bare arrow string array (e.g. a memoized virtual-column value)
+    as StringOps so the string fast paths apply."""
+    if isinstance(ar, StringOps):
+        return ar
+    from . import array_types
+    if array_types.is_arrow_array(ar):
+        t = ar.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            if isinstance(ar, pa.ChunkedArray):
+                ar = ar.combine_chunks()
+            return StringOps(ar)
+    return None
+
+
 @register_function
 def fillmissing(ar, value):
     """Fill masked/null values (NOT NaN) (reference: functions.py fillmissing)."""
-    if isinstance(ar, StringOps):
-        return StringOps(ar.ar.fill_null(value))
+    s = _as_string_ops(ar)
+    if s is not None:
+        return StringOps(s.ar.fill_null(value))
     values, mask = _values_mask(ar)
     if mask is None:
         return values
@@ -145,8 +161,9 @@ functions["fillmissing"].device = _fillmissing_device
 
 @register_function
 def fillnan(ar, value):
-    if isinstance(ar, StringOps):
-        return ar
+    s = _as_string_ops(ar)
+    if s is not None:
+        return s
     values, mask = _values_mask(ar)
     if np.asarray(values).dtype.kind == "f":
         values = np.where(np.isnan(values), value, values)
