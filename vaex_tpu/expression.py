@@ -34,9 +34,17 @@ def _repr_operand(df, value):
         return f"({value.expression})"
     if isinstance(value, str):
         return repr(value)
-    if isinstance(value, (np.datetime64, np.timedelta64)):
-        var = df.add_variable("td_" if isinstance(value, np.timedelta64) else "dt_", value, unique=True)
-        return var
+    if isinstance(value, np.ndarray) and value.ndim == 0:
+        value = value[()]  # 0-d arrays embed as scalars
+    if isinstance(value, np.timedelta64):
+        # embed as an expression call, NOT a df variable — comparing against
+        # a scalar must not mutate the frame (reference: expression.py:137-150,
+        # datetime_test.py test_no_change_fingerprint)
+        unit, step = np.datetime_data(value.dtype)
+        assert step == 1
+        return f"scalar_timedelta({value.astype(np.int64).item()}, {unit!r})"
+    if isinstance(value, np.datetime64):
+        return f'scalar_datetime("{value}")'
     if isinstance(value, np.ndarray):
         var = df.add_variable("arr_", value, unique=True)
         return var
@@ -60,6 +68,14 @@ class Meta(type):
     def __new__(mcs, name, bases, attrs):
         for opname, symbol in _binary_ops:
             def binop(self, other, _symbol=symbol):
+                if isinstance(other, str):
+                    # a string operand against a datetime column compares as
+                    # a datetime scalar (reference: expression.py:107-108)
+                    try:
+                        if self.data_type().is_datetime:
+                            other = np.datetime64(other)
+                    except Exception:
+                        pass
                 other_repr = _repr_operand(self.df, other)
                 return Expression(self.df, f"({self.expression} {_symbol} {other_repr})")
 
@@ -286,6 +302,10 @@ class Expression(metaclass=Meta):
 
     def abs(self):
         return Expression(self.df, f"abs({self.expression})")
+
+    def format(self, fmt):
+        """%-format values to strings (reference: functions.py:2417)."""
+        return Expression(self.df, f"format({self.expression}, {fmt!r})")
 
     def fillna(self, value):
         expr = self._upcast_for(value)

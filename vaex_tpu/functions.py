@@ -312,7 +312,13 @@ def _astype(x, dtype_name):
     if isinstance(x, StringOps):
         if dtype_name in ("str", "string", "large_string"):
             return x
-        return np.asarray(x.ar.cast(pa.from_numpy_dtype(np.dtype(dtype_name))))
+        dt = np.dtype(dtype_name)
+        if dt.kind == "M":
+            # numpy parses ISO strings and infers the unit for the generic
+            # 'datetime64' (reference keeps this inference; arrow cast would
+            # need a bound unit)
+            return np.array(x.ar.to_pylist(), dtype=dt)
+        return np.asarray(x.ar.cast(pa.from_numpy_dtype(dt)))
     if dtype_name in ("str", "string", "large_string"):
         from . import array_types
         values, mask = _values_mask(x)
@@ -596,8 +602,13 @@ def _dt_strftime(x, date_format):
 _register("strftime", _dt_strftime, scope="dt")
 
 
+_FREQ_ALIASES = {"H": "h", "T": "min", "S": "s", "L": "ms", "U": "us", "N": "ns"}
+
+
 def _dt_floor(x, freq, *args):
     s, mask = _dt_series(x)
+    # the reference API accepts pandas' retired uppercase offset codes
+    freq = _FREQ_ALIASES.get(freq, freq)
     return _dt_out(s.dt.floor(freq, *args).values, mask)
 
 
@@ -637,6 +648,18 @@ def _scalar_timedelta(value, unit="s"):
 
 _register("scalar_datetime", _scalar_datetime)
 _register("scalar_timedelta", _scalar_timedelta)
+
+
+@register_function(name="format")
+def _format(x, fmt):
+    """C-style %-format to strings (reference: functions.py:2417 format)."""
+    s = _as_string_ops(x)
+    if s is not None:
+        values = s.ar.to_pylist()
+        return StringOps(pa.array([None if v is None else fmt % v for v in values]))
+    values, mask = _values_mask(x)
+    out = [fmt % v for v in np.asarray(values)]
+    return StringOps(pa.array(out, mask=mask if mask is not None else None))
 
 
 # ---------------------------------------------------------------------------
