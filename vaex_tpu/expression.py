@@ -373,6 +373,26 @@ class Expression(metaclass=Meta):
         """Map values through a dict (reference: vaex/expression.py:1298)."""
         keys = list(mapper.keys())
         values = list(mapper.values())
+
+        def _is_nan(k):
+            try:
+                return bool(np.isnan(k))
+            except (TypeError, ValueError):
+                return False
+
+        if sum(_is_nan(k) for k in keys) > 1:
+            raise ValueError("multiple nan values provided as keys in the mapper")
+        if default_value is not None:
+            allow_missing = True
+        if not allow_missing:
+            # the mapper keys must cover every value present in the data
+            # (reference: expression.py map 'Missing %i values in mapper')
+            found = self.unique(array_type="list")
+            plain_keys = {k for k in keys if k is not None and not _is_nan(k)}
+            missing = {k for k in found
+                       if k is not None and not _is_nan(k) and k not in plain_keys}
+            if missing:
+                raise ValueError(f"Missing {len(missing)} values in mapper: {missing}")
         use_missing = allow_missing or default_value is None
         key_var = self.df.add_variable("map_keys_", np.asarray(keys), unique=True)
         val_var = self.df.add_variable("map_values_", np.asarray(values) if not any(isinstance(v, str) for v in values) else np.asarray(values, dtype=object), unique=True)
