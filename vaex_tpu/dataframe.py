@@ -719,7 +719,9 @@ class DataFrame:
         raise TypeError(f"cannot interpret selection {selection!r}")
 
     def _selection_dependencies(self, selection):
-        if selection == FILTER_SELECTION_NAME and self.filtered:
+        # isinstance guard: an Expression selection overloads == (it would
+        # build a truthy comparison Expression and steal the filter branch)
+        if isinstance(selection, str) and selection == FILTER_SELECTION_NAME and self.filtered:
             expr = self._filter_expression()
         else:
             expr = self._selection_expression(selection)

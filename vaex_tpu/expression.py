@@ -352,6 +352,9 @@ class Expression(metaclass=Meta):
     def isnan(self):
         return Expression(self.df, f"isnan({self.expression})")
 
+    def notnan(self):
+        return Expression(self.df, f"notnan({self.expression})")
+
     def ismissing(self):
         return Expression(self.df, f"ismissing({self.expression})")
 
