@@ -107,7 +107,9 @@ def test_ordinal_edges_layout():
     """[bins..., null, nan] (binner_ordinal.cpp:11 non-invert, no-other)."""
     codes = np.ma.MaskedArray([0, 1, 2, 5, 1], mask=[0, 0, 0, 0, 1])
     df = vaex.from_arrays(c=codes)
-    df = df.categorize("c", min_value=0, labels=[0, 1, 2])
+    # explicit max_value skips the data validation (reference categorize
+    # semantics) — code 5 is deliberately out of range to hit the null slot
+    df = df.categorize("c", min_value=0, max_value=2)
     counts = df.count(binby="c", edges=True)
     # layout: [b0, b1, b2, null(oor+masked), nan]
     assert counts.tolist() == [1, 1, 1, 2, 0]

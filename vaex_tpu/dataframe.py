@@ -567,27 +567,73 @@ class DataFrame:
             return self._categories[column].get("min_value", 0)
         return 0
 
-    def categorize(self, column, min_value=0, labels=None, inplace=False):
-        """Mark an int column as categorical (reference: dataframe.py categorize)."""
+    def categorize(self, column, min_value=0, max_value=None, labels=None, inplace=False):
+        """Mark an int column as categorical (reference: dataframe.py:5858
+        categorize — when max_value is absent, [min, max] come from the data)."""
         df = self if inplace else self.copy()
         column = _ensure_string_expression(column)
-        if labels is None:
-            max_value = int(df.max(column))
+        dt = df.data_type(column)
+        if not (dt.is_numpy and dt.numpy.kind in "iu"):
+            raise TypeError(f"Only integer columns can be marked as categorical, {column} is {dt}")
+        if max_value is not None:
             labels = list(range(min_value, max_value + 1))
+        else:
+            vmin, vmax = df.minmax(column)
+            vmin, vmax = int(vmin), int(vmax)
+            if labels is None:
+                labels = list(range(vmin, vmax + 1))
+            min_value = vmin
+            if (vmax - vmin) >= len(list(labels)):
+                raise ValueError(f"value of {vmax} found, which is larger than number of labels {len(list(labels))}")
+        labels = list(labels)
         df._categories[column] = dict(labels=labels, N=len(labels), min_value=min_value)
         return df
 
     def ordinal_encode(self, column, values=None, inplace=False, lazy=False):
-        """Dictionary-encode a column into codes + category metadata
-        (reference: dataframe.py ordinal_encode)."""
+        """Dictionary-encode a column IN PLACE of the original: the original
+        moves to a hidden '__original_' name and `column` becomes the integer
+        codes, marked categorical (reference: dataframe.py:5906 ordinal_encode).
+
+        With explicit `values`, their order defines the codes and data values
+        absent from the list become missing. Dense integer columns redirect to
+        categorize() with a warning (reference:5929-5934)."""
+        import warnings
         df = self if inplace else self.copy()
         column = _ensure_string_expression(column)
-        values = df.unique(column, dropmissing=True) if values is None else values
-        hashmap = df._hash_map_unique(column)
-        codes_name = utils.find_valid_name(f"{column}_codes", used=df.get_column_names(hidden=True))
+        if values is None:
+            found = df.unique(column, dropmissing=True, array_type="list")
+            dt = df.data_type(column)
+            if dt.is_numpy and dt.numpy.kind in "iu" and len(found):
+                mn, mx = int(min(found)), int(max(found))
+                if mx - mn + 1 == len(found):
+                    warnings.warn(f"It seems your column {column} is already ordinal encoded "
+                                  f"(values between {mn} and {mx}), automatically switching to use df.categorize")
+                    return df.categorize(column, min_value=mn, max_value=mx, inplace=inplace)
+            values = found
+        values = list(values)
+        # the hashmap is built from the VALUES (their order defines the codes)
+        dtype = df.data_type(column)
+        if dtype.is_string or dtype.is_object:
+            import pyarrow as pa
+            keys = pa.array(values)
+        else:
+            keys = np.asarray(values, dtype=dtype.numpy)
+        from . import hash as hash_mod
+        hashmap = hash_mod.HashMapUnique.from_keys(keys)
         var = df.add_variable("hashmap_", hashmap, unique=True)
-        df.add_virtual_column(codes_name, f"_ordinal_values({column}, {var})")
-        df._categories[codes_name] = dict(labels=list(values), N=len(values), min_value=0)
+        code_expr = f"hashmap_apply({column}, {var}, check_missing=True)"
+        if lazy:
+            df[column] = Expression(df, code_expr)
+        else:
+            codes = df.evaluate(code_expr, filtered=False)
+            small = np.min_scalar_type(-max(len(values), 1))  # signed minimal
+            if np.ma.isMaskedArray(codes):
+                codes = codes.astype(small)
+            else:
+                codes = np.asarray(codes).astype(small)
+            df.rename(column, "__original_" + column, unique=True)
+            df.add_column(column, codes)
+        df._categories[column] = dict(labels=values, N=len(values), min_value=0)
         return df
 
     # -- filter & selections ------------------------------------------
@@ -827,7 +873,9 @@ class DataFrame:
 
         limits_needed = [b for b in binby if not self.is_category(b)]
         if limits_needed:
-            limits_promise = self.limits(binby, limits, selection=selection, delay=True, shape=shape)
+            # no shape= here: with a shape the limits() return form becomes
+            # (limits, shapes) (reference parity); binners only need limits
+            limits_promise = self.limits(binby, limits, selection=selection, delay=True)
         else:
             limits_promise = Promise.fulfilled([[0, 1]] * len(binby))
         return make_binners(limits_promise)
@@ -1209,6 +1257,12 @@ class DataFrame:
 
         promises = []
         for expr, limit in zip(expressions, values):
+            if self.is_category(expr):
+                # categorical columns bin on their codes: [-0.5, N-0.5]
+                # (reference: dataframe.py:1922-1924)
+                N = self.category_count(expr)
+                promises.append(Promise.fulfilled([-0.5, N - 0.5]))
+                continue
             if limit is None:
                 limit = "minmax"
             if isinstance(limit, str):
@@ -1224,12 +1278,19 @@ class DataFrame:
         @delayed
         def finish(limits_list):
             limits_list = [np.array(l, dtype=np.float64) for l in limits_list]
-            for l in limits_list:
-                if l[0] == l[1]:  # degenerate range: widen (reference behavior)
+            for expr, l in zip(expressions, limits_list):
+                if l[0] == l[1] and not self.is_category(expr):
+                    # degenerate range: widen (reference behavior)
                     l[0], l[1] = l[0] - 1, l[1] + 1
-            if waslist:
-                return [list(l) for l in limits_list]
-            return list(limits_list[0])
+            out = [list(l) for l in limits_list] if waslist else list(limits_list[0])
+            if shape is not None:
+                # with a shape request, return (limits, shapes); categorical
+                # shapes clamp to N (reference: dataframe.py:1914-1916,1904)
+                shape_list = list(shape) if isinstance(shape, (list, tuple)) else [shape] * n
+                shapes = [min(self.category_count(e), s) if self.is_category(e) else s
+                          for e, s in zip(expressions, shape_list)]
+                return (out, shapes if waslist else shapes[0])
+            return out
 
         return self._delay(delay, finish(delayed_list(promises)))
 

@@ -489,6 +489,17 @@ class Expression(metaclass=Meta):
     def ast_names(self):
         return expresso.names(self.expression)
 
+    def index_values(self):
+        """Category codes of this expression (reference: expression.py
+        index_values): ordinal-encoded/categorized columns subtract their
+        offset; arrow dictionary columns expose their indices."""
+        name = self.expression
+        df = self.df
+        if name in getattr(df, "_categories", {}):
+            offset = df.category_offset(name)
+            return Expression(df, f"({name} - {offset})") if offset else self
+        return Expression(df, f"index_values({name})")
+
     def derivative(self, var, simplify=True):
         """Symbolic derivative expression (reference: expression.py derivative)."""
         return Expression(self.df, expresso.derivative(self.expression, str(var), simplify))

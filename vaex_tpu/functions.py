@@ -437,7 +437,14 @@ functions["_ordinal_values"].device = _ordinal_values_device
 
 @register_function(name="hashmap_apply")
 def hashmap_apply(x, hashmap, check_missing=False):
-    return hashmap.map_ordinal(x)
+    codes = hashmap.map_ordinal(x)
+    if check_missing:
+        # unknown keys (code -1) become missing values (reference:
+        # hashmap_apply in functions.py — ordinal_encode with explicit values)
+        mask = np.asarray(codes) == -1
+        if mask.any():
+            return np.ma.MaskedArray(np.asarray(codes), mask=mask)
+    return codes
 
 
 @register_function(name="index_values")

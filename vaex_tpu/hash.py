@@ -61,7 +61,11 @@ class HashMapUnique:
         dtype = array_types.data_type(keys) if dtype is None else DataType(dtype)
         hm = cls(dtype)
         hm.add(keys)
-        hm._fingerprint = fingerprint
+        # only adopt a caller fingerprint when one is given — an empty string
+        # would make every from_keys hashmap fingerprint-identical and
+        # collide result caches (two encodings of the same column with
+        # different value orders returned each other's grids)
+        hm._fingerprint = fingerprint or None
         return hm
 
     def __len__(self):
