@@ -54,6 +54,15 @@ def _ensure_string_expression(e):
     return e.expression if isinstance(e, Expression) else str(e)
 
 
+def _column_ref(name):
+    """Expression text referencing a column: non-identifier names use the
+    df['name'] subscript form (reference: utils.py:417 valid_expression)."""
+    import keyword
+    if name.isidentifier() and not keyword.iskeyword(name):
+        return name
+    return f"df[{name!r}]"
+
+
 def _ensure_strings_from_expressions(expressions):
     if isinstance(expressions, (list, tuple)):
         return [_ensure_string_expression(e) for e in expressions]
@@ -177,7 +186,7 @@ class DataFrame:
             return [self.evaluate(name, item, item + 1)[0] for name in self.get_column_names()]
         if isinstance(item, str):
             if item in self.column_names or item in self.virtual_columns:
-                return Expression(self, item)
+                return Expression(self, _column_ref(item))
             # allow expressions directly
             expresso.validate_expression(item, set(self.get_column_names(hidden=True)) | set(self.variables),
                                          set(self._function_names()))
@@ -2294,33 +2303,41 @@ class DataFrameLocal(DataFrame):
                 df[name] = df[name].fillna(value)
         return df
 
-    def dropna(self, drop_nan=True, drop_masked=True, column_names=None, how="any"):
-        """Reference: dataframe.py dropna."""
-        column_names = column_names or self.get_column_names()
-        parts = []
-        for name in column_names:
-            if drop_nan and drop_masked:
-                parts.append(f"notna({name})")
-            elif drop_nan:
-                parts.append(f"notnan({name})")
-            else:
-                parts.append(f"notmissing({name})")
-        joiner = " & " if how == "any" else " | "
-        return self.filter(joiner.join(f"({p})" for p in parts))
+    def _filter_all(self, func_name, column_names=None, how="any"):
+        """Drop rows where any/all of the columns match a predicate
+        (reference: dataframe.py:5123 _filter_all)."""
+        if isinstance(column_names, str):
+            column_names = [column_names]
+        if column_names is None:
+            column_names = self.get_column_names(virtual=False)
+        if how not in ("any", "all"):
+            raise ValueError("`how` must be either 'any' or 'all'")
+        joiner = " | " if how == "any" else " & "
+        expr = joiner.join(f"{func_name}({_column_ref(name)})" for name in column_names)
+        return self.filter(f"~({expr})", mode="and")
 
-    def dropnan(self, column_names=None):
-        return self.dropna(drop_nan=True, drop_masked=False, column_names=column_names)
+    def dropna(self, column_names=None, how="any", drop_nan=True, drop_masked=True):
+        """Reference: dataframe.py:5101 dropna (drop_nan/drop_masked kept for
+        the select_non_missing-era calling convention)."""
+        if drop_nan and drop_masked:
+            return self._filter_all("isna", column_names, how)
+        if drop_nan:
+            return self._filter_all("isnan", column_names, how)
+        return self._filter_all("ismissing", column_names, how)
 
-    def dropmissing(self, column_names=None):
-        return self.dropna(drop_nan=False, drop_masked=True, column_names=column_names)
+    def dropnan(self, column_names=None, how="any"):
+        return self._filter_all("isnan", column_names, how)
 
-    def dropinf(self, column_names=None):
-        column_names = column_names or self.get_column_names(strings=False)
-        parts = [f"isfinite({name}) | isna({name})" for name in column_names
-                 if self.data_type(name).is_float]
-        if not parts:
+    def dropmissing(self, column_names=None, how="any"):
+        return self._filter_all("ismissing", column_names, how)
+
+    def dropinf(self, column_names=None, how="any"):
+        if column_names is None:
+            column_names = [name for name in self.get_column_names(virtual=False, strings=False)
+                            if self.data_type(name).is_float]
+        if not column_names:
             return self.copy()
-        return self.filter(" & ".join(f"({p})" for p in parts))
+        return self._filter_all("isinf", column_names, how)
 
     def drop_filter(self, inplace=False):
         df = self if inplace else self.copy()

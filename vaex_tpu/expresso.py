@@ -88,12 +88,24 @@ def _validate_names(node, variables, functions, names):
 
 
 def names(expression):
-    """All Name identifiers loaded (columns, variables and functions)."""
+    """All Name identifiers loaded (columns, variables and functions).
+
+    ``df['name']`` subscripts (the escape hatch for column names that are
+    not python identifiers, reference: utils.py:417 valid_expression)
+    contribute 'name' instead of the bare 'df' marker."""
     if isinstance(expression, str):
         expression = parse_expression(expression)
     out = []
+    df_bases = set()
     for node in ast.walk(expression):
-        if isinstance(node, ast.Name) and node.id not in out:
+        if (isinstance(node, ast.Subscript) and isinstance(node.value, ast.Name)
+                and node.value.id == "df" and isinstance(node.slice, ast.Constant)
+                and isinstance(node.slice.value, str)):
+            df_bases.add(id(node.value))
+            if node.slice.value not in out:
+                out.append(node.slice.value)
+    for node in ast.walk(expression):
+        if isinstance(node, ast.Name) and id(node) not in df_bases and node.id not in out:
             out.append(node.id)
     return out
 

@@ -31,6 +31,16 @@ class _Namespace(dict):
         return value
 
 
+class _ScopeIndexer:
+    """Resolves df['name'] subscripts inside expressions."""
+
+    def __init__(self, scope):
+        self._scope = scope
+
+    def __getitem__(self, name):
+        return self._scope.resolve(name)
+
+
 class ScopeBase:
     def __init__(self, df, values=None, variables=None):
         self.df = df
@@ -68,6 +78,10 @@ class ScopeBase:
             return fns[name]
         if name in self.df.functions:
             return self.bind_user_function(self.df.functions[name])
+        if name == "df":
+            # df['name'] subscript form for non-identifier column names
+            # (reference: utils.py:417 valid_expression / scopes.py df access)
+            return _ScopeIndexer(self)
         raise NameError(f"unknown name {name!r} in expression")
 
     def bind_user_function(self, f):
