@@ -689,8 +689,14 @@ class ExecutorLocal(Executor):
         inputs = {}
         masks = {}
         for name in leaf_columns:
+            raw = chunks.get(name)
+            # device-resident source columns: the chunk is already an HBM
+            # slice — caching it would DOUBLE the column's footprint (a
+            # 768M-row frame OOMs 16GB HBM exactly this way) for a copy
+            # XLA can re-make at ~800GB/s; bypass the cache entirely
+            jax_src = raw is not None and array_types.is_jax_array(raw)
             key = None
-            if cache_key_base is not None:
+            if cache_key_base is not None and not jax_src:
                 ds_fp, a1, a2 = cache_key_base
                 key = (ds_fp, name, a1, a2, L)
                 cached = _device_cache.get(key)
@@ -699,7 +705,7 @@ class ExecutorLocal(Executor):
                     if mask is not None:
                         masks[name] = mask
                     continue
-            values, valid = array_types.extract_mask(chunks[name])
+            values, valid = array_types.extract_mask(raw)
             values = _device_view(values)
             dev_values = place(_pad_to(values, L))
             dev_mask = place(_pad_to(~valid, L, fill=True)) if valid is not None else None
