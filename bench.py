@@ -55,12 +55,15 @@ def _claim_devices_or_die():
 
 def main():
     _claim_devices_or_die()
-    # 512M rows (6GB of f32 device columns in 16GB HBM): large enough that
-    # the tunnel's fixed per-query cost (~40ms of result-fetch RTTs that
-    # production hardware doesn't pay) is <5% of the pass; the marginal
-    # rate is reported alongside.  Measured r3: 596M rows/s wall,
-    # 622M marginal, fixed ~38ms.
-    n = int(os.environ.get("BENCH_ROWS", 1 << 29))
+    # 768M rows (9GB of f32 device columns in 16GB HBM — fits since the
+    # executor stopped double-caching slices of device-resident columns):
+    # large enough that the tunnel's fixed per-query cost (~40ms ≈ one
+    # result-fetch RTT that production hardware doesn't pay) is <3% of the
+    # pass; the marginal rate is reported alongside.  Measured r3: 597M
+    # rows/s wall, 615-622M marginal, fixed ~39ms.  The marginal rate is
+    # chunking-invariant (8M chunks vs one 512M monolithic chunk both
+    # measure ~617M): the i24 flat-cell MXU kernel is the wall.
+    n = int(os.environ.get("BENCH_ROWS", 768 * 1024 * 1024))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
 
     import vaex_tpu as vaex

@@ -798,6 +798,26 @@ def test_jax_array_columns():
     assert df2.sum("a") == 5.0 and df2.sum("b") == 10.0
 
 
+def test_device_columns_not_double_cached():
+    """Chunk slices of device-resident (jax-backed) columns must NOT enter
+    the HBM column cache: caching them doubles the columns' device
+    footprint (a 768M-row frame OOMed 16GB HBM this way).  Host-backed
+    columns still populate the cache."""
+    import jax.numpy as jnp
+    from vaex_tpu import execution
+    x = np.random.RandomState(11).rand(5000).astype(np.float32)
+    before = execution._device_cache._total
+    df = vaex.from_arrays(x=jnp.asarray(x))
+    df.sum("x")
+    df.mean("x", binby="x", limits=[0, 1], shape=16)
+    assert execution._device_cache._total == before, \
+        "device-resident column slices leaked into the HBM cache"
+    # host columns keep using the cache (second query hits it)
+    dfh = vaex.from_arrays(h=x.copy())
+    dfh.sum("h")
+    assert execution._device_cache._total > before
+
+
 def test_device_resident_sort():
     """Sort over a device-column frame keeps the permutation on device
     (no D2H): lazy take gathers on device; results match host numpy."""
