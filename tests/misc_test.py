@@ -798,6 +798,27 @@ def test_jax_array_columns():
     assert df2.sum("a") == 5.0 and df2.sum("b") == 10.0
 
 
+def test_kernel_choice_settings_key_program_cache():
+    """strategy/pallas_payload are baked into the compiled trace, so the
+    program cache key must include them: flipping the payload mode
+    mid-process silently reused the old program (an i16-vs-i24 accuracy
+    comparison measured bitwise-0 diff because both ran the i24 binary)."""
+    from vaex_tpu import settings
+    df = vaex.from_arrays(x=np.arange(100, dtype=np.float32))
+    kw = dict(binby="x", limits=[0, 100], shape=4)
+    df.count(**kw)
+    c0 = df.executor.program_compiles
+    df.count(**kw)  # identical query: program cache hit
+    assert df.executor.program_compiles == c0
+    old = settings.compute.pallas_payload
+    try:
+        settings.compute.pallas_payload = "i16" if old != "i16" else "hilo"
+        df.count(**kw)  # mode flip: must NOT reuse the old program
+        assert df.executor.program_compiles == c0 + 1
+    finally:
+        settings.compute.pallas_payload = old
+
+
 def test_device_columns_not_double_cached():
     """Chunk slices of device-resident (jax-backed) columns must NOT enter
     the HBM column cache: caching them doubles the columns' device

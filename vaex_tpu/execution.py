@@ -819,6 +819,10 @@ class ExecutorLocal(Executor):
             dict(df.virtual_columns),
             var_fps,
             settings.compute.precision,
+            # kernel-choice settings are baked into the trace: a mode flip
+            # mid-process must not reuse a program compiled for the old mode
+            settings.compute.strategy,
+            settings.compute.pallas_payload,
             "v2",
         )
         if key in self._program_cache:
