@@ -325,9 +325,12 @@ def _histflat_grid(c, values, C, with_count, tile, mode):
     nq = -(-C // W)
     if tile is None:
         tile = _pick_tile(nq, P, mode=mode, W=W)
-        if mode in ("i24", "i16") and P:
+        if mode == "i24" and P:
             tile = min(tile, 8192)   # measured optimum (kernel_lab3 flat_i24
             # t8192 700M vs t4096 616M rows/s marginal at 259², re-measured)
+        # i16's smaller working set fits t16384 in VMEM and measures faster
+        # there: 854M rows/s marginal vs 751M at t8192 (kernel_lab3 flat_i16,
+        # 8.4M rows, real chip) — let _pick_tile's 16384 stand
         if P == 0:
             tile = min(tile, 8192)   # measured optimum (countw512 t8192)
     n = c.shape[0]
