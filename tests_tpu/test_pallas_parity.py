@@ -232,3 +232,114 @@ def test_histflat_i8lo_mode_on_device():
     np.testing.assert_array_equal(np.asarray(count), ref_c)
     err = np.abs(np.asarray(s) - ref_s).sum() / np.abs(ref_s).sum()
     assert err < 5e-5, err
+
+
+def test_histflat_i8sr_mode_on_device():
+    """i8sr payload mode (count + ONE stochastically-rounded digit — the
+    >1e9 rows/s headline mode): count exact; sum error zero-mean with
+    SD(sum_cell) = s*sqrt(n_cell/6), s = halfrange_tile/125."""
+    from vaex_tpu.ops.pallas_gridagg import histflat_grid
+    rng = np.random.RandomState(29)
+    N, C = 1_000_000, 259 * 259
+    c = rng.randint(-1, C, N).astype(np.int32)
+    v = rng.normal(3, 2, N).astype(np.float32)
+    count, (s,) = histflat_grid(jnp.asarray(c), (jnp.asarray(v),), C, mode="i8sr")
+    mask = c >= 0
+    ref_c = np.bincount(c[mask], minlength=C)
+    ref_s = np.bincount(c[mask], weights=v[mask].astype(np.float64), minlength=C)
+    np.testing.assert_array_equal(np.asarray(count), ref_c)
+    # halfrange ~ 5*sigma=10 -> s ~ 0.08; ~15 rows/cell -> SD ~ 0.13;
+    # allow 6 sigma on the max over 67k cells and check the MEAN error is
+    # unbiased (well under one per-row quantum)
+    err = np.asarray(s, np.float64) - ref_s
+    assert np.abs(err).max() < 1.2, np.abs(err).max()
+    assert abs(err.mean()) < 0.01, err.mean()
+
+
+def test_digit_modes_integral_snap_exact():
+    """Integer-valued payloads whose range fits the digit capacity are
+    BIT-EXACT in every digit mode (the h2o groupby value columns)."""
+    from vaex_tpu.ops.pallas_gridagg import histflat_grid
+    rng = np.random.RandomState(31)
+    N, C = 500_000, 10_007
+    c = rng.randint(0, C, N).astype(np.int32)
+    # exactness holds while (a) the centered range fits the digit capacity
+    # and (b) per-cell totals stay inside f32's exact-integer window (2^24)
+    for lo, hi, modes in [
+        (1, 6, ("i24", "i16", "i8sr")),       # h2o v1: 1..5
+        (-100, 101, ("i24", "i16", "i8sr")),  # signed small ints
+        (0, 60_000, ("i24", "i16")),          # 16-bit range
+        (0, 300_000, ("i24",)),               # needs the third digit
+    ]:
+        v = rng.randint(lo, hi, N).astype(np.float32)
+        ref_s = np.bincount(c, weights=v.astype(np.float64), minlength=C)
+        for mode in modes:
+            _, (s,) = histflat_grid(jnp.asarray(c), (jnp.asarray(v),), C, mode=mode)
+            np.testing.assert_array_equal(np.asarray(s, np.float64), ref_s,
+                                          err_msg=f"mode={mode} range=({lo},{hi})")
+
+
+def test_digit_modes_offset_data_centering():
+    """Midrange centering: data at N(1000, 1) must resolve the *fluctuation*,
+    not just the offset (round-3 kernels bounded error by max|v|~1000; the
+    centered kernels bound by halfrange~5)."""
+    from vaex_tpu.ops.pallas_gridagg import histflat_grid
+    rng = np.random.RandomState(37)
+    N, C = 500_000, 4_096
+    c = rng.randint(0, C, N).astype(np.int32)
+    v = (1000 + rng.normal(0, 1, N)).astype(np.float32)
+    ref_c = np.bincount(c, minlength=C)
+    ref_s = np.bincount(c, weights=v.astype(np.float64), minlength=C)
+    ref_m = ref_s / np.maximum(ref_c, 1)
+    for mode, tol in [("i24", 1e-6), ("i16", 1e-5), ("i8sr", 5e-4)]:
+        cnt, (s,) = histflat_grid(jnp.asarray(c), (jnp.asarray(v),), C, mode=mode)
+        m = np.asarray(s, np.float64) / np.maximum(np.asarray(cnt), 1)
+        err = np.abs(m - ref_m).max() / 1000.0
+        assert err < tol, (mode, err)
+
+
+def test_adversarial_decade_spanning_magnitudes():
+    """Values spanning many decades within one tile: the digit modes bound
+    error by the tile halfrange (the docstring's honest weakness), hilo
+    bounds it per-VALUE.  Both must stay within their documented envelopes,
+    with sign flips and a handful of huge outliers."""
+    from vaex_tpu.ops.pallas_gridagg import histflat_grid
+    rng = np.random.RandomState(41)
+    N, C = 300_000, 1_024
+    c = rng.randint(0, C, N).astype(np.int32)
+    v = (rng.normal(0, 1, N) * 10.0 ** rng.randint(-6, 7, N)).astype(np.float32)
+    v[::50_000] *= -1
+    ref_s = np.bincount(c, weights=v.astype(np.float64), minlength=C)
+    halfrange = (v.max() - v.min()) / 2
+    rows_per_cell = N / C
+    for mode, quantum in [("i24", halfrange / (1 << 23)),
+                          ("i16", halfrange / 32511),
+                          ("i8sr", halfrange / 125)]:
+        _, (s,) = histflat_grid(jnp.asarray(c), (jnp.asarray(v),), C, mode=mode)
+        err = np.abs(np.asarray(s, np.float64) - ref_s).max()
+        # worst case: every row in the cell off by one quantum (det) or a
+        # 6-sigma random walk (sr)
+        bound = quantum * max(rows_per_cell * 0.75, 6 * np.sqrt(rows_per_cell / 6))
+        assert err < bound, (mode, err, bound)
+    _, (s,) = histflat_grid(jnp.asarray(c), (jnp.asarray(jnp.asarray(v)),), C, mode="hilo")
+    err = np.abs(np.asarray(s, np.float64) - ref_s).max()
+    assert err < 2.0 ** -15 * np.abs(v).max() * np.sqrt(rows_per_cell) * 8, err
+
+
+def test_cell_boundary_handoff_kernel_vs_scatter():
+    """The MAX_CELLS_PAYLOAD boundary: a grid just under the cap rides the
+    Pallas kernel, just over falls back to XLA scatter — both must agree
+    with numpy through the public df API."""
+    import vaex_tpu as vaex
+    from vaex_tpu.ops import pallas_gridagg
+    rng = np.random.RandomState(43)
+    n = 300_000
+    cap = pallas_gridagg.MAX_CELLS_PAYLOAD
+    x = rng.uniform(0, 1, n).astype(np.float32)
+    v = (100 + rng.normal(0, 1, n)).astype(np.float32)
+    df = vaex.from_arrays(x=x, v=v)
+    for shape in (cap - 3, cap + 5):   # +3 edge slots per scalar axis
+        s = np.asarray(df.sum("v", binby="x", limits=[0.0, 1.0], shape=shape))
+        bins = np.minimum((x * shape).astype(np.int64), shape - 1)
+        ref = np.bincount(bins, weights=v.astype(np.float64), minlength=shape)
+        np.testing.assert_allclose(s, ref, rtol=3e-5, atol=2e-2)

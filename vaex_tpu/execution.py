@@ -705,6 +705,15 @@ class ExecutorLocal(Executor):
                     if mask is not None:
                         masks[name] = mask
                     continue
+            if raw is None:
+                # the prescan omitted this column from read_deps as fully
+                # cached; if its entries were LRU-evicted between the
+                # prescan and this chunk the fallthrough would crash in
+                # _pad_to with an opaque "len() of unsized object" —
+                # fail diagnosably instead (ADVICE r3)
+                raise KeyError(
+                    f"column {name!r} absent from both the chunk payload and "
+                    f"the HBM column cache (evicted mid-run?)")
             values, valid = array_types.extract_mask(raw)
             values = _device_view(values)
             dev_values = place(_pad_to(values, L))

@@ -15,13 +15,17 @@ Design (round 3 — measured on v5e, benchmarks/kernel_lab3.py):
 * count-only: two int8 one-hots, ``q8[nq,T] ·_T r8[W,T] -> int32`` with a
   512-wide r side — the wide-N int8 matmul runs at ~194 T-MACs/s (98% of
   the v5e int8 peak; N=128 only reaches 136).  Exact.
-* sums (P ≤ 4 payloads), mode 'i24' (default): count + THREE balanced
-  base-256 int8 digits per value share ONE int8 matmul
-  ``q8[nq,T] ·_T B8[(1+3P)*128,T] -> int32``; digits recombine in f32 with
-  a per-tile scale s = max|v|/(127·2^16) — per-row error ≤ s/2 =
-  max|v|_tile/2^24 (measured 5e-7 over 8.4M rows vs f64).  Modes 'hilo'
-  (bf16 hi/lo pair, error relative to each value — better for magnitudes
-  spanning decades within a tile) and 'i8lo' remain selectable
+* sums (P ≤ 4 payloads), digit modes 'i24' (default) / 'i16' / 'i8sr':
+  count + 3/2/1 balanced base-256 int8 digits per value share ONE int8
+  matmul ``q8[nq,T] ·_T B8[(1+dP)*128,T] -> int32``.  Round 4: all digit
+  modes center values at the tile midrange (mid·count added back from the
+  exact count block — a free control variate), snap to BIT-EXACT sums for
+  small-range integer payloads, and 'i8sr' stochastically rounds its single
+  digit so the error is zero-mean (SD(sum_cell) = s·sqrt(n_cell/6),
+  s = halfrange_tile/125) — 2C MACs/row puts its ceiling at 1.45B rows/s
+  (measured 1.18-1.28B marginal at 259²).  Modes 'hilo' (bf16 hi/lo pair,
+  error relative to each value — better for magnitudes spanning decades
+  within a tile) and 'i8lo' remain selectable
   (settings.compute.pallas_payload).
 * rows routed out of range (e.g. -1 for filtered/padded rows) have q = -1,
   miss the q one-hot, and drop out of every product — void-cell semantics.
@@ -61,6 +65,22 @@ MIN_CELLS = 8  # below this the fused XLA one-hot reduce needs no kernel
 
 _VMEM_BUDGET = 96 * 1024 * 1024
 
+# payload-digit modes: count + N balanced base-256 int8 digits per value
+_DIGIT_MODES = {"i24": 3, "i16": 2, "i8sr": 1}
+
+
+def _uniform01(shape):
+    """U[0,1) f32 from the per-core PRNG (seeded by caller).
+
+    prng_random_bits can come back as int32: bitcast to uint32 BEFORE the
+    shift (an arithmetic shift of negatives would yield u in [-0.5, 0.5),
+    biasing the stochastic rounding by -1/2 quantum); Mosaic has no
+    uint32->f32 cast, but after >>8 the sign bit is clear so the int32
+    reinterpretation is value-preserving."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (
+        1.0 / (1 << 24))
+
 
 def _pick_tile(nq, n_payloads, mode="hilo", W=128):
     """Largest row tile whose working set fits the VMEM budget."""
@@ -75,6 +95,10 @@ def _pick_tile(nq, n_payloads, mode="hilo", W=128):
             elif mode == "i16":
                 per_row += (1 + 2 * n_payloads) * 128   # int8 B blocks
                 per_row += (1 + 2 * n_payloads) * 512   # int32 build temps
+            elif mode == "i8sr":
+                per_row += (1 + n_payloads) * 128       # int8 B blocks
+                per_row += (1 + n_payloads) * 512       # int32 build temps
+                per_row += 8 * n_payloads               # u + x f32
             elif mode == "i8lo":
                 per_row += (1 + n_payloads) * 128       # int8 B blocks
                 per_row += (1 + n_payloads) * 512       # int32 build temps
@@ -89,21 +113,32 @@ def _pick_tile(nq, n_payloads, mode="hilo", W=128):
 
 
 def payload_mode():
-    """Sum-payload encoding (measured at 259², benchmarks/kernel_lab3.py):
+    """Sum-payload encoding (measured at 259², benchmarks/kernel_lab{3,4}.py).
+
+    All digit modes ('i24'/'i16'/'i8sr') center values at the tile midrange
+    (mid*count added back from the exact count block) and snap to EXACT
+    integer sums when the tile's values are integral with centered range
+    <= digit capacity (252/65024/16M).  Per-row error bounds below are in
+    units of halfrange_tile = (max-min)/2 per row tile; a larger row tile
+    widens the window one outlier degrades (t16384 by default — quoted
+    errors were measured there unless noted).
 
     - 'i24' (default): count + three balanced base-256 int8 digits per value
-      in ONE wide int8 matmul — 946M rows/s marginal, 5e-7 relative error
-      (per-row bound max|v|_tile/2^24; beats bf16 hi/lo on BOTH axes since
-      the wide-N int8 matmul runs at ~194 T-MACs/s, 98% of v5e peak).
+      in ONE wide int8 matmul — 946M rows/s marginal r3 / 641M on the
+      slower r4 chip, ~5e-7 relative error (per-row bound halfrange/2^23).
+    - 'i16': count + TWO digits — 25% fewer MACs/row than i24
+      ((1+2P)·C vs (1+3P)·C), 764-854M rows/s, per-row bound
+      halfrange/2^15 ≈ 3e-5 measured.
+    - 'i8sr': count + ONE stochastically-rounded digit ((1+P)·C MACs/row) —
+      1.18-1.28B rows/s measured.  SR makes the quantization error
+      zero-mean: SD(sum_cell) = s*sqrt(n_cell/6), s = halfrange/125, so
+      dense cells see sqrt(n) cancellation (heatmap/visualization grade;
+      exact counts; exact small-int sums).
     - 'hilo': bf16 hi/lo split pair — 540M, 2.8e-6 (error relative to each
-      VALUE rather than the tile max: preferable for data whose magnitudes
-      span many decades within one 4k-row tile).
+      VALUE rather than the tile range: preferable for data whose
+      magnitudes span many decades within one row tile).
     - 'i8lo': bf16 hi + int8-quantized lo sharing the count matmul — 643M,
-      2.2e-5.
-    - 'i16' (opt-in): count + TWO balanced base-256 digits — 25% fewer
-      MACs/row than i24 ((1+2P)·C vs (1+3P)·C), per-row error
-      max|v|_tile/2^16 ≈ 1.5e-5.  For pipelines that tolerate ~f16-grade
-      sums (e.g. visualization grids) where throughput matters most."""
+      2.2e-5."""
     from .. import settings
     return settings.compute.pallas_payload
 
@@ -145,81 +180,85 @@ def _kernel(c_ref, *rest, nq, tile, n_payloads, with_count, mode="hilo", W=128):
             preferred_element_type=jnp.int32)
         return
 
-    if mode == "i24" and n_payloads:
-        # count + each value as THREE balanced base-256 int8 digits, ALL in
-        # ONE int8 matmul [nq,T]·[(1+3P)*128,T]^T.  The wide-N int8 matmul
-        # runs at ~194 T-MACs/s (98% of v5e peak) vs 136 for the narrow
-        # count/bf16 pair — measured 720M+ rows/s vs hilo's 540M at 259²,
-        # AND more accurate: per-row error <= s/2 = max|v|_tile/2^24 vs
-        # bf16 hi/lo's 2^-17|v| (benchmarks/kernel_lab3.py flat_i24).
-        # qv = round(v/s), s = max|v|/8323072 (=127*2^16: top digit stays
-        # int8 after the balanced carries).  Exact int32 accumulation of the
-        # digits per tile; the scale varies per tile so the scaled partial
-        # folds into the f32 accumulator every step.
+    if mode in _DIGIT_MODES and n_payloads:
+        # count + each value as `ndigits` balanced base-256 int8 digits, ALL
+        # in ONE int8 matmul [nq,T]·[(1+dP)*128,T]^T.  The wide-N int8
+        # matmul runs at ~194 T-MACs/s (98% of v5e peak) vs 136 for the
+        # narrow count/bf16 pair (benchmarks/kernel_lab3.py, kernel_lab4.py).
+        #
+        # Round-4 upgrades (kernel_lab4):
+        # * midrange centering: the digits encode v - mid with mid =
+        #   round((max+min)/2) per tile; mid*count is added back from the
+        #   EXACT count block (a free control variate).  Offset data
+        #   (N(1000,1)) improves ~400x; constants become (near-)exact.
+        # * integral snap: when the tile's values are integers whose
+        #   centered range fits the digit capacity, s snaps to 1 and the
+        #   sum is BIT-EXACT (e.g. h2o v1 in 1..5 is exact even at i8sr).
+        # * 'i8sr': count + ONE stochastically-rounded digit (2C MACs/row
+        #   -> 1.45B rows/s ceiling, measured 1.18-1.28B marginal at 259²).
+        #   SR makes the quantization error zero-mean, so per-cell sums see
+        #   sqrt(n) cancellation instead of worst-case n*s/2 drift:
+        #   SD(sum_cell) = s*sqrt(n_cell/6), s = halfrange_tile/125.
+        #
+        # Centering needs the count block, so digit modes ALWAYS carry one —
+        # even when the caller didn't ask for counts (a lone df.sum pass):
+        # without it, integer sums silently lose the snap exactness to f32
+        # recombination ulps (caught by the round-4 end-to-end verify).
+        ndigits = _DIGIT_MODES[mode]
+        sr = mode == "i8sr"
+        denom = {1: 126.0, 2: 32512.0, 3: 8323072.0}[ndigits]
         r_oh32 = (ir == r).astype(jnp.int32)
-        i8_blocks = [r_oh32] if with_count else []
-        scales = []
+        i8_blocks = [r_oh32]
+        scales, mids = [], []
+        if sr:
+            pltpu.prng_seed(step)
         for p in range(n_payloads):
             v = v_refs[p][0]                            # [1, T] f32
-            s = jnp.maximum(jnp.max(jnp.abs(v)), 1e-30) / 8323072.0
-            qv = jnp.round(v / s).astype(jnp.int32)
+            vmax = jnp.max(v)
+            vmin = jnp.min(v)
+            mid = jnp.round((vmax + vmin) * 0.5)
+            half = jnp.maximum(
+                jnp.maximum(vmax - mid, mid - vmin), 1e-30)
+            integral = jnp.max(jnp.abs(v - jnp.round(v))) == 0.0
+            snap = jnp.logical_and(integral, half <= denom - 1.0)
+            s = jnp.where(snap, 1.0, half / (denom - 1.0))
+            x = (v - mid) / s
+            if sr:
+                u = _uniform01(x.shape)
+                # snapped tiles hold exact integers: deterministic rounding
+                # keeps them exact (floor(int+u) can round up through f32)
+                u = jnp.where(snap, 0.5, u)
+                qv = jnp.floor(x + u).astype(jnp.int32)
+            else:
+                qv = jnp.round(x).astype(jnp.int32)
             # balanced digits d in [-128, 127], carry absorbed upward;
             # int8 elementwise products crash the remote Mosaic compiler
             # (PROGRESS round-3 negatives): build int32, cast at the boundary
-            q1 = jax.lax.shift_right_arithmetic(qv + 128, 8)
-            d0 = qv - q1 * 256
-            q2 = jax.lax.shift_right_arithmetic(q1 + 128, 8)
-            d1 = q1 - q2 * 256
-            i8_blocks += [r_oh32 * q2, r_oh32 * d1, r_oh32 * d0]
+            digs = []
+            rem = qv
+            for _ in range(ndigits - 1):
+                hi = jax.lax.shift_right_arithmetic(rem + 128, 8)
+                digs.append(rem - hi * 256)
+                rem = hi
+            digs.append(rem)
+            for d in digs[::-1]:                        # most significant first
+                i8_blocks.append(r_oh32 * d)
             scales.append(s)
+            mids.append(mid)
         B8 = jnp.concatenate(i8_blocks, axis=0).astype(jnp.int8)
         out8 = jax.lax.dot_general(
             q_oh8, B8, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)           # [nq, (wc+3P)*128]
-        off = 0
+            preferred_element_type=jnp.int32)           # [nq, (1+dP)*128]
+        cnt = out8[:, :128]
         if with_count:
-            count_ref[...] += out8[:, :128]
-            off = 1
+            count_ref[...] += cnt
         for p in range(n_payloads):
-            j = (off + 3 * p) * 128
-            sum_refs[p][...] += (
-                out8[:, j:j + 128].astype(jnp.float32) * 65536.0
-                + out8[:, j + 128:j + 256].astype(jnp.float32) * 256.0
-                + out8[:, j + 256:j + 384].astype(jnp.float32)) * scales[p]
-        return
-
-    if mode == "i16" and n_payloads:
-        # count + each value as TWO balanced base-256 int8 digits in ONE
-        # int8 matmul [nq,T]·[(1+2P)*128,T]^T — 25% fewer MACs/row than
-        # i24 at a relaxed per-row bound s/2 = max|v|_tile/2^16.
-        # qv = round(v/s), s = max|v|/32512 (=127*2^8: top digit stays
-        # int8 after the balanced carry).  Same per-tile scale-fold as i24.
-        r_oh32 = (ir == r).astype(jnp.int32)
-        i8_blocks = [r_oh32] if with_count else []
-        scales = []
-        for p in range(n_payloads):
-            v = v_refs[p][0]                            # [1, T] f32
-            s = jnp.maximum(jnp.max(jnp.abs(v)), 1e-30) / 32512.0
-            qv = jnp.round(v / s).astype(jnp.int32)
-            # int8 elementwise products crash the remote Mosaic compiler
-            # (PROGRESS round-3 negatives): build int32, cast at the boundary
-            q1 = jax.lax.shift_right_arithmetic(qv + 128, 8)
-            d0 = qv - q1 * 256
-            i8_blocks += [r_oh32 * q1, r_oh32 * d0]
-            scales.append(s)
-        B8 = jnp.concatenate(i8_blocks, axis=0).astype(jnp.int8)
-        out8 = jax.lax.dot_general(
-            q_oh8, B8, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)           # [nq, (wc+2P)*128]
-        off = 0
-        if with_count:
-            count_ref[...] += out8[:, :128]
-            off = 1
-        for p in range(n_payloads):
-            j = (off + 2 * p) * 128
-            sum_refs[p][...] += (
-                out8[:, j:j + 128].astype(jnp.float32) * 256.0
-                + out8[:, j + 128:j + 256].astype(jnp.float32)) * scales[p]
+            j = (1 + ndigits * p) * 128
+            acc = out8[:, j:j + 128].astype(jnp.float32)
+            for d in range(1, ndigits):
+                acc = acc * 256.0 + out8[
+                    :, j + d * 128:j + (d + 1) * 128].astype(jnp.float32)
+            sum_refs[p][...] += acc * scales[p] + cnt.astype(jnp.float32) * mids[p]
         return
 
     if mode == "i8lo" and n_payloads:
@@ -309,10 +348,10 @@ def histflat_grid(c, values, C, with_count=True, tile=None, mode=None):
     values = tuple(values)
     if mode is None:
         mode = payload_mode() if values else "i24"
-    if mode not in ("i24", "i16", "i8lo", "hilo"):
+    if mode not in ("i24", "i16", "i8sr", "i8lo", "hilo"):
         raise ValueError(
             f"unknown pallas payload mode {mode!r} "
-            "(expected 'i24', 'i16', 'i8lo' or 'hilo')")
+            "(expected 'i24', 'i16', 'i8sr', 'i8lo' or 'hilo')")
     return _histflat_grid(c, values, C, with_count, tile, mode)
 
 
@@ -330,7 +369,9 @@ def _histflat_grid(c, values, C, with_count, tile, mode):
             # t8192 700M vs t4096 616M rows/s marginal at 259², re-measured)
         # i16's smaller working set fits t16384 in VMEM and measures faster
         # there: 854M rows/s marginal vs 751M at t8192 (kernel_lab3 flat_i16,
-        # 8.4M rows, real chip) — let _pick_tile's 16384 stand
+        # 8.4M rows, real chip) — let _pick_tile's 16384 stand; i8sr measured
+        # fastest at t16384 too (1.18-1.28B vs 1.13-1.20B at t8192,
+        # kernel_lab4 i8src)
         if P == 0:
             tile = min(tile, 8192)   # measured optimum (countw512 t8192)
     n = c.shape[0]

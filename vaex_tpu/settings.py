@@ -126,7 +126,18 @@ class Compute:
                                         # rel err), 'hilo' (bf16 hi+lo pair,
                                         # 540M, 2.8e-6), 'i8lo' (643M, 2e-5),
                                         # 'i16' (two digits: 25% fewer MACs
-                                        # than i24, ~1.5e-5 rel err)
+                                        # than i24, ~1.5e-5 rel err; error
+                                        # bound scales with tile size — the
+                                        # quoted figure is at t16384),
+                                        # 'i8sr' (ONE stochastically-rounded
+                                        # digit: 1.18-1.28B rows/s measured;
+                                        # zero-mean error, SD(sum_cell) =
+                                        # s*sqrt(n_cell/6) with s =
+                                        # halfrange_tile/125; small-range
+                                        # integer sums snap to EXACT).
+                                        # All digit modes center values at
+                                        # the tile midrange (exact count
+                                        # block as control variate).
 
     def __post_init__(self):
         self.device = _env("VAEX_TPU_DEVICE", self.device)
