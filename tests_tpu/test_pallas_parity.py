@@ -328,8 +328,9 @@ def test_adversarial_decade_spanning_magnitudes():
 
 def test_cell_boundary_handoff_kernel_vs_scatter():
     """The MAX_CELLS_PAYLOAD boundary: a grid just under the cap rides the
-    Pallas kernel, just over falls back to XLA scatter — both must agree
-    with numpy through the public df API."""
+    flat Pallas kernel, just over hands off to the sorted tile-local kernel
+    (round 4; scatter before that) — both must agree with numpy through the
+    public df API."""
     import vaex_tpu as vaex
     from vaex_tpu.ops import pallas_gridagg
     rng = np.random.RandomState(43)
@@ -343,3 +344,124 @@ def test_cell_boundary_handoff_kernel_vs_scatter():
         bins = np.minimum((x * shape).astype(np.int64), shape - 1)
         ref = np.bincount(bins, weights=v.astype(np.float64), minlength=shape)
         np.testing.assert_allclose(s, ref, rtol=3e-5, atol=2e-2)
+
+
+def test_sorted_histflat_vs_numpy():
+    """sorted_histflat_grid (sort + tile-local kernel): C=1.5M cells is past
+    MAX_CELLS_PAYLOAD; counts exact, sums within hilo tolerance, void rows
+    (-1) dropped."""
+    from vaex_tpu.ops.pallas_gridagg import sorted_histflat_grid
+    rng = np.random.RandomState(7)
+    n, C = 400_000, 1_500_000
+    c = rng.randint(-1, C, n).astype(np.int32)
+    v1 = rng.normal(5, 2, n).astype(np.float32)
+    v2 = rng.uniform(-1, 1, n).astype(np.float32)
+    valid = c >= 0
+    ref_cnt = np.bincount(c[valid], minlength=C)
+    ref_s1 = np.bincount(c[valid], weights=v1[valid].astype(np.float64), minlength=C)
+    ref_s2 = np.bincount(c[valid], weights=v2[valid].astype(np.float64), minlength=C)
+    cnt, (s1, s2) = sorted_histflat_grid(
+        jnp.asarray(c), (jnp.asarray(v1), jnp.asarray(v2)), C)
+    np.testing.assert_array_equal(np.asarray(cnt), ref_cnt)
+    atol = 2**-16 * 7 * 4  # per-value hilo error x max rows/cell margin
+    np.testing.assert_allclose(np.asarray(s1), ref_s1, rtol=0, atol=atol)
+    np.testing.assert_allclose(np.asarray(s2), ref_s2, rtol=0, atol=atol)
+
+
+def test_sorted_histflat_overflow_correction():
+    """Adversarial cell-space sparsity: rows spread so thin that every tile
+    spans far more than local_C cells — the lax.cond scatter correction must
+    reinstate the overflowed rows exactly."""
+    from vaex_tpu.ops.pallas_gridagg import sorted_histflat_grid
+    rng = np.random.RandomState(8)
+    n, C = 50_000, 40_000_000
+    # stride 797 cells/row -> tile span = 8192*797 >> local_C
+    c = (np.arange(n, dtype=np.int64) * 797 % C).astype(np.int32)
+    v = rng.normal(0, 1, n).astype(np.float32)
+    ref_cnt = np.bincount(c, minlength=C)
+    ref_sum = np.bincount(c, weights=v.astype(np.float64), minlength=C)
+    cnt, (s,) = sorted_histflat_grid(jnp.asarray(c), (jnp.asarray(v),), C)
+    np.testing.assert_array_equal(np.asarray(cnt), ref_cnt)
+    np.testing.assert_allclose(np.asarray(s), ref_sum, rtol=0, atol=1e-3)
+
+
+def test_highcard_groupby_mean_end_to_end():
+    """1M-key groupby mean (f64 values) rides the sorted kernel through the
+    public API and matches a numpy oracle."""
+    import vaex_tpu as vaex
+    rng = np.random.RandomState(9)
+    n, K = 2_000_000, 1_000_000
+    k = rng.randint(0, K, n)
+    v = rng.rand(n)
+    df = vaex.from_arrays(k=k, v=v)
+    res = df.groupby("k", agg={"v": "mean"}, sort=True)
+    ref_cnt = np.bincount(k, minlength=K)
+    ref_sum = np.bincount(k, weights=v, minlength=K)
+    present = ref_cnt > 0
+    ref_mean = ref_sum[present] / ref_cnt[present]
+    got = np.asarray(res["v"].to_numpy(), np.float64)
+    assert got.shape[0] == present.sum()
+    np.testing.assert_allclose(got, ref_mean, rtol=1e-5, atol=1e-6)
+
+
+def test_float64_mode_bitexact_on_device():
+    """precision='float64' must bypass every approximate kernel payload:
+    binned f32 sums accumulate in f64 and match numpy BITWISE (round-4
+    regression: float64 mode silently still engaged the Pallas kernel)."""
+    import vaex_tpu as vaex
+    from vaex_tpu import settings
+    rng = np.random.RandomState(10)
+    n = 200_000
+    # x sits at bin CENTERS: TPU f64 is software-emulated with ~1-2 ulp
+    # noise (gridagg.py:411), so values near bin edges can land one bin off
+    # vs an IEEE oracle — this test targets SUM accumulation exactness, so
+    # keep binning unambiguous
+    x = (rng.randint(0, 259, n).astype(np.float64) + 0.5) / 259.0
+    v = rng.normal(10, 3, n).astype(np.float32)
+    df = vaex.from_arrays(x=x, v=v)
+    old = settings.compute.precision
+    settings.compute.precision = "float64"
+    try:
+        got = np.asarray(df.sum("v", binby="x", limits=[0.0, 1.0], shape=259),
+                         np.float64)
+    finally:
+        settings.compute.precision = old
+    shape = 259
+    bins = np.minimum((x.astype(np.float64) * shape).astype(np.int64), shape - 1)
+    ref = np.zeros(shape)
+    np.add.at(ref, bins, v.astype(np.float64))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_sorted_int8_payload_bitexact():
+    """1-byte int sums at high cardinality ride the sorted kernel as ONE
+    exact int8 digit (+ offset*count for uint8): results are BIT-EXACT
+    (reference agg_sum.cpp upcast parity), including through the public
+    groupby at 1M keys."""
+    from vaex_tpu.ops.pallas_gridagg import sorted_histflat_grid
+    rng = np.random.RandomState(12)
+    n, C = 500_000, 1_200_000
+    c = rng.randint(-1, C, n).astype(np.int32)
+    v8 = rng.randint(-128, 128, n).astype(np.int8)
+    u8 = rng.randint(0, 256, n).astype(np.uint8)
+    valid = c >= 0
+    ref_i = np.bincount(c[valid], weights=v8[valid].astype(np.float64), minlength=C)
+    ref_u = np.bincount(c[valid], weights=u8[valid].astype(np.float64), minlength=C)
+    cnt, (si, su) = sorted_histflat_grid(
+        jnp.asarray(c),
+        (jnp.asarray(v8.astype(np.float32)), jnp.asarray(u8.astype(np.float32))),
+        C, int_offsets=(0, 128))
+    assert np.asarray(si).dtype == np.int64
+    np.testing.assert_array_equal(np.asarray(si), ref_i.astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(su), ref_u.astype(np.int64))
+
+    # end-to-end: h2o q3-style int8 sum over 1M-card keys
+    import vaex_tpu as vaex
+    k = rng.randint(0, 1_000_000, 2_000_000)
+    v1 = rng.randint(1, 11, 2_000_000).astype(np.int8)
+    df = vaex.from_arrays(k=k, v1=v1)
+    res = df.groupby("k", agg={"v1": "sum"}, sort=True)
+    ref_sum = np.bincount(k, weights=v1.astype(np.float64), minlength=1_000_000)
+    present = np.bincount(k, minlength=1_000_000) > 0
+    got = np.asarray(res["v1"].to_numpy(), np.int64)
+    np.testing.assert_array_equal(got, ref_sum[present].astype(np.int64))

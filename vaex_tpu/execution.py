@@ -832,6 +832,7 @@ class ExecutorLocal(Executor):
             # mid-process must not reuse a program compiled for the old mode
             settings.compute.strategy,
             settings.compute.pallas_payload,
+            settings.compute.sorted_grid,
             "v2",
         )
         if key in self._program_cache:
@@ -1096,30 +1097,57 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
     strategy = settings.compute.strategy
     on_tpu = jax.devices()[0].platform in ("tpu",)
     if strategy in ("auto", "pallas") and (on_tpu or strategy == "pallas"):
-        from .ops.pallas_gridagg import MAX_CELLS_COUNT, MIN_CELLS
+        from .ops.pallas_gridagg import (MAX_CELLS_PAYLOAD, MAX_CELLS_SORTED,
+                                         MIN_CELLS)
         groups = {}
         for i, plan in enumerate(plans):
             binners = plan.task.binners
             if not binners:
                 continue
             ncells = int(np.prod([b.shape for b in binners]))
-            if not (MIN_CELLS <= ncells <= MAX_CELLS_COUNT) or plan.order_expr is not None:
+            if not (MIN_CELLS <= ncells <= MAX_CELLS_SORTED) or plan.order_expr is not None:
                 continue
             if not isinstance(plan.op, (gridagg.AggOpCount, gridagg.AggOpSum,
                                         gridagg.AggOpSumMoment)):
                 continue
+            if plan.op.precision == "float64":
+                # reference-parity mode: exact scatter/segment paths only —
+                # the kernel payload encodings are approximate for float
+                # sums (round-4 fix: float64 mode previously still engaged
+                # the kernel, so 'parity' runs weren't)
+                continue
             if isinstance(plan.op, gridagg.AggOpSumMoment):
                 # moment payloads (v**m) ride the same bf16 hi/lo matmul —
-                # the fused binned mean+std workload stays on the MXU
+                # the fused binned mean+std workload stays on the MXU; f64
+                # moments join beyond the flat cap (sorted-kernel scale,
+                # mixed precision: ~3e-6 hilo error, documented)
                 dt = np.dtype(plan.op.data_dtype)
-                if not (dt.kind == "f" and dt.itemsize <= 4):
+                if dt.kind != "f":
+                    continue
+                if dt.itemsize > 4 and ncells <= MAX_CELLS_PAYLOAD:
                     continue
             elif isinstance(plan.op, gridagg.AggOpSum):
                 acc = plan.op.init(1)
                 if acc.dtype not in (jnp.float32, jnp.float64):
-                    continue  # int sums need exact accumulation
+                    # int sums need exact accumulation; beyond the flat cap
+                    # the SORTED kernel sums 1-byte ints bit-exactly (one
+                    # int8 digit + offset*count; int32 locals are exact
+                    # while chunk rows <= 2^24)
+                    dt = np.dtype(plan.op.data_dtype)
+                    if (ncells > MAX_CELLS_PAYLOAD and dt.kind in "biu"
+                            and dt.itemsize == 1 and L_local <= (1 << 24)):
+                        key = (tuple(binners), plan.value_expr,
+                               plan.selection_expr, plan.value_as_validity)
+                        groups.setdefault(key, []).append(i)
+                    continue
                 if gridagg._sum_partial_dtype(plan.op.data_dtype, acc.dtype) != np.dtype("float32"):
-                    continue  # f64 inputs keep the exact scatter path
+                    # f64 float inputs: the exact hi/lo-pair scatter keeps
+                    # near-f64 accuracy at flat-kernel scales; beyond the
+                    # flat cap the sorted kernel takes them (266M rows/s vs
+                    # 50M for the pair scatter, ~3e-6 per-value hilo error)
+                    if not (ncells > MAX_CELLS_PAYLOAD
+                            and np.dtype(plan.op.data_dtype).kind == "f"):
+                        continue
             key = (tuple(binners), plan.value_expr, plan.selection_expr, plan.value_as_validity)
             groups.setdefault(key, []).append(i)
         from .ops.pallas_gridagg import max_cells
@@ -1134,9 +1162,15 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
             if not fused or (not sum_idx and not count_idx):
                 continue
             ncells = int(np.prod([b.shape for b in key[0]]))
-            if ncells > max_cells(len(sum_idx)):
-                continue  # payload kernels cap lower than count-only
-            group = (count_idx[0] if count_idx else None, tuple(sum_idx[:4]), key[0])
+            # beyond the flat kernel's cap (MACs/row = O(C) loses to scatter
+            # there) the sorted tile-local kernel takes over: sort + local
+            # one-hot matmuls + sequential window merge — 266M rows/s at 1M
+            # cells vs 44M for the scatter fallback (sortkernel_lab.py)
+            sorted_path = ncells > max_cells(len(sum_idx))
+            if sorted_path and not settings.compute.sorted_grid:
+                continue
+            group = (count_idx[0] if count_idx else None, tuple(sum_idx[:4]),
+                     key[0], sorted_path)
             for i in fused:
                 pallas_partner[i] = group
 
@@ -1232,10 +1266,11 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
         new_states = [None] * len(plans)
         for i, (plan, state, flat, value, include, order_key) in enumerate(work):
             if i in pallas_partner:
-                ci, sis, binners = pallas_partner[i]
+                ci, sis, binners, sorted_path = pallas_partner[i]
                 gkey = (ci, sis)
                 if gkey not in pallas_results:
-                    from .ops.pallas_gridagg import histflat_grid
+                    from .ops.pallas_gridagg import (histflat_grid,
+                                                     sorted_histflat_grid)
                     # all group members share (selection, value_expr) so
                     # their include masks are identical traced values
                     ncells = int(np.prod([b.shape for b in binners]))
@@ -1250,8 +1285,22 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
                         return v
 
                     vals = tuple(payload(si) for si in sis)
-                    pcount, psums = histflat_grid(
-                        cflat, vals, ncells, with_count=ci is not None)
+                    if sorted_path:
+                        def int_offset(si):
+                            op = plans[si].op
+                            if not isinstance(op, gridagg.AggOpSum):
+                                return None
+                            if op.init(1).dtype in (jnp.float32, jnp.float64):
+                                return None
+                            # 1-byte ints: exact single-digit payload
+                            # (uint8 centers at 128 so 0..255 fits int8)
+                            return 128 if np.dtype(op.data_dtype) == np.uint8 else 0
+                        pcount, psums = sorted_histflat_grid(
+                            cflat, vals, ncells, with_count=ci is not None,
+                            int_offsets=tuple(int_offset(si) for si in sis))
+                    else:
+                        pcount, psums = histflat_grid(
+                            cflat, vals, ncells, with_count=ci is not None)
                     pallas_results[gkey] = (pcount, dict(zip(sis, psums)))
                 pcount, psums = pallas_results[gkey]
                 partial = pcount if isinstance(plan.op, gridagg.AggOpCount) else psums[i]

@@ -418,6 +418,225 @@ def max_cells(n_payloads):
 
 
 # ---------------------------------------------------------------------------
+# sorted tile-local kernel: high-cardinality grids (C beyond max_cells)
+# ---------------------------------------------------------------------------
+
+# merge cost and grid memory scale with C: cap where the [C] partials
+# (4 bytes x (1+P)) start to crowd HBM alongside the column cache
+MAX_CELLS_SORTED = 64 * 1024 * 1024
+
+
+def _tile_local_kernel(base_ref, c_ref, *rest, nq, tile, int_offsets,
+                       with_count):
+    """One SORTED row tile -> local [nq, 128] grids based at bases[tile].
+
+    After sorting rows by cell, a tile of `tile` consecutive rows spans a
+    narrow cell range, so the one-hot matmul trick applies with a tiny
+    local grid (nq*128 cells based at the tile's first cell) — MACs/row =
+    (1+2P)*local_C instead of (1+dP)*C.  Float payloads ride bf16 hi/lo
+    pairs (hilo mode, ~2.8e-6 per-value error); small-int payloads
+    (int_offsets[p] is not None: values - offset fit int8) ride the int8
+    count matmul as ONE exact digit — int32 accumulation, bit-exact.
+    Rows outside the local window (extreme cell-space sparsity) and void
+    rows (c < 0, sorted to the front) are dropped here; the caller
+    scatter-corrects overflow rows under a lax.cond."""
+    n_payloads = len(int_offsets)
+    v_refs = rest[:n_payloads]
+    out_refs = rest[n_payloads:]
+    # output order: [count?] + payloads in order (int -> int32, float -> f32)
+    idx = 0
+    count_ref = None
+    if with_count:
+        count_ref = out_refs[0]
+        idx = 1
+    sum_refs = out_refs[idx:]
+
+    base = base_ref[pl.program_id(0)]
+    c = c_ref[0]                                        # [1, T] int32
+    local = c - base
+    valid = (c >= 0) & (local >= 0) & (local < nq * 128)
+    local = jnp.where(valid, local, -1)
+    q = jax.lax.shift_right_arithmetic(local, 7)
+    r = jax.lax.bitwise_and(local, 127)
+    iq = jax.lax.broadcasted_iota(jnp.int32, (nq, tile), 0)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (128, tile), 0)
+    q_oh8 = (iq == q).astype(jnp.int8)
+    r_oh8 = (ir == r).astype(jnp.int8)
+
+    int_idx = [p for p, off in enumerate(int_offsets) if off is not None]
+    flt_idx = [p for p, off in enumerate(int_offsets) if off is None]
+
+    if with_count or int_idx:
+        # count + exact int digits share ONE int8 matmul; int8 elementwise
+        # products crash the remote Mosaic compiler (round-3 negatives):
+        # build int32, cast at the boundary
+        r_oh32 = r_oh8.astype(jnp.int32)
+        i8_blocks = [r_oh32]
+        for p in int_idx:
+            v = v_refs[p][0]                            # [1, T] f32, integral
+            d = jnp.round(v - float(int_offsets[p])).astype(jnp.int32)
+            d = jnp.where(valid, d, 0)
+            i8_blocks.append(r_oh32 * d)
+        B8 = jnp.concatenate(i8_blocks, axis=0).astype(jnp.int8)
+        out8 = jax.lax.dot_general(
+            q_oh8, B8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)           # [nq, (1+I)*128]
+        if with_count:
+            count_ref[0] = out8[:, :128]
+        for j, p in enumerate(int_idx):
+            sum_refs[p][0] = out8[:, (1 + j) * 128:(2 + j) * 128]
+
+    if flt_idx:
+        rf = r_oh8.astype(jnp.bfloat16)
+        blocks = []
+        for p in flt_idx:
+            v = v_refs[p][0]                            # [1, T] f32
+            vhi = v.astype(jnp.bfloat16)
+            vlo = (v - vhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            blocks.append(rf * vhi)
+            blocks.append(rf * vlo)
+        P = jnp.concatenate(blocks, axis=0)             # [2F*128, T]
+        qf = q_oh8.astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            qf, P, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [nq, 2F*128]
+        for j, p in enumerate(flt_idx):
+            hi = out[:, 2 * j * 128:(2 * j + 1) * 128]
+            lo = out[:, (2 * j + 1) * 128:(2 * j + 2) * 128]
+            sum_refs[p][0] = hi + lo
+
+
+def sorted_histflat_grid(c, values, C, with_count=True, tile=8192,
+                         local_C=8192, int_offsets=None):
+    """High-cardinality fused count + P sums: sort + tile-local MXU kernel.
+
+    Strategy for C beyond `max_cells` where the flat kernel's O(C) MACs/row
+    lose to scatter (~70M rows/s/op): sort rows by cell (XLA TPU sort, 337M
+    rows/s at 16.7M), aggregate each 8192-row tile over a local 8192-cell
+    window based at its first cell (tile spans ~C*T/N cells after sorting),
+    then merge per-tile local grids into the global grid with a sequential
+    fori_loop of dynamic_update_slice adds — no searchsorted, no N-length
+    scatter (both round-3 negative results, PROGRESS.md).  Overflow rows
+    (tile span > local_C, impossible for dense ordinals with <= `tile`
+    distinct cells per tile and rare otherwise) are voided by the kernel
+    and scatter-corrected under a lax.cond that only pays when they exist.
+
+    int_offsets: optional per-payload tuple; entry p is None for float
+    payloads (bf16 hi/lo, ~2.8e-6 per-value error) or an integer offset
+    meaning values[p] - offset fits int8 (int8/uint8/bool data) — the
+    payload then rides the int8 count matmul as ONE exact digit: int32
+    locals/global (exact while rows * 128 < 2^31, i.e. chunks <= 2^24
+    rows), reconstructed as digit + offset*count in int64.  BIT-EXACT
+    integer sums at any cardinality (reference agg_sum.cpp parity).
+
+    Measured (v5e, benchmarks/sortkernel_lab.py, count+sum): 266M rows/s at
+    16.7M rows/1M cells (scatter fallback: 44M), 257M at C=10M — the rate is
+    cardinality-independent.  Counts exact; float sums bf16-hilo (~3.9e-6).
+
+    Returns (count [C] int32 or None, tuple of per-payload [C] grids:
+    f32 for float payloads, int64 for int payloads).
+    """
+    values = tuple(values)
+    P_n = len(values)
+    if int_offsets is None:
+        int_offsets = (None,) * P_n
+    int_offsets = tuple(int_offsets)
+    has_int = any(off is not None for off in int_offsets)
+    # int payloads reconstruct as digit + offset*count: the count block is
+    # required even when the caller didn't ask for counts
+    need_count = with_count or has_int
+    n = c.shape[0]
+    n_tiles = max(1, -(-n // tile))
+    pad = n_tiles * tile - n
+    if pad:
+        c = jnp.concatenate([c, jnp.full(pad, -1, jnp.int32)])
+        values = tuple(jnp.concatenate([v, jnp.zeros(pad, v.dtype)])
+                       for v in values)
+    c = c.astype(jnp.int32)
+    values = tuple(v.astype(jnp.float32) for v in values)
+    sorted_all = jax.lax.sort((c,) + values, num_keys=1)
+    sc, svs = sorted_all[0], sorted_all[1:]
+    bases = jnp.maximum(sc[::tile], 0)                  # [n_tiles]
+    over_row = ((sc - jnp.repeat(bases, tile)) >= local_C) & (sc >= 0)
+    n_over = jnp.sum(over_row.astype(jnp.int32))
+
+    nq = local_C // 128
+    c2 = sc.reshape(n_tiles, 1, tile)
+    v2 = tuple(v.reshape(n_tiles, 1, tile) for v in svs)
+
+    kernel = functools.partial(
+        _tile_local_kernel, nq=nq, tile=tile, int_offsets=int_offsets,
+        with_count=need_count)
+    payload_dtypes = [jnp.float32 if off is None else jnp.int32
+                      for off in int_offsets]
+    out_dtypes = ([jnp.int32] if need_count else []) + payload_dtypes
+    row_spec = pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [row_spec] * (1 + P_n),
+            out_specs=[pl.BlockSpec((1, nq, 128), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)] * len(out_dtypes),
+            out_shape=[jax.ShapeDtypeStruct((n_tiles, nq, 128), dt)
+                       for dt in out_dtypes],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(bases, c2, *v2)
+    locals_ = [o.reshape(n_tiles, local_C) for o in outs]
+
+    # merge: sequential read-modify-write of [local_C] windows at each base
+    # (bases are sorted, windows overlap -> must be sequential; each step is
+    # a vectorized dynamic slice add, no scatter)
+    Gs = tuple(jnp.zeros(C + local_C, dt) for dt in out_dtypes)
+
+    def body(t, G):
+        out = []
+        for g, loc in zip(G, locals_):
+            w = jax.lax.dynamic_slice(g, (bases[t],), (local_C,)) + loc[t]
+            out.append(jax.lax.dynamic_update_slice(g, w, (bases[t],)))
+        return tuple(out)
+
+    Gs = jax.lax.fori_loop(0, n_tiles, body, Gs)
+
+    # overflow correction: scatter just the overflowed rows (routed to the
+    # padding tail otherwise); the N-length scatter only runs when needed
+    def correct(G):
+        routed = jnp.where(over_row, sc, np.int32(C))
+        out = []
+        for i, g in enumerate(G):
+            if need_count and i == 0:
+                contrib = jnp.where(over_row, 1, 0).astype(jnp.int32)
+            else:
+                p = i - (1 if need_count else 0)
+                v = svs[p]
+                if int_offsets[p] is not None:
+                    contrib = jnp.where(
+                        over_row,
+                        jnp.round(v - float(int_offsets[p])).astype(jnp.int32), 0)
+                else:
+                    contrib = jnp.where(over_row, v, 0.0)
+            out.append(g.at[routed].add(contrib))
+        return tuple(out)
+
+    Gs = jax.lax.cond(n_over > 0, correct, lambda G: G, Gs)
+
+    flat = [g[:C] for g in Gs]
+    cnt = flat[0] if need_count else None
+    sums = list(flat[1:] if need_count else flat)
+    for p, off in enumerate(int_offsets):
+        if off is not None:
+            # exact reconstruction: digit grid + offset * count, in int64
+            sums[p] = (sums[p].astype(jnp.int64)
+                       + np.int64(off) * cnt.astype(jnp.int64))
+    if with_count:
+        return cnt, tuple(sums)
+    return None, tuple(sums)
+
+
+# ---------------------------------------------------------------------------
 # back-compat wrappers (round-2 API; tests_tpu/test_pallas_parity.py)
 # ---------------------------------------------------------------------------
 

@@ -138,6 +138,13 @@ class Compute:
                                         # All digit modes center values at
                                         # the tile midrange (exact count
                                         # block as control variate).
+    sorted_grid: bool = True            # high-cardinality grids (beyond the
+                                        # flat kernel's ~700k-cell cap, up to
+                                        # 64M cells) aggregate via sort +
+                                        # tile-local MXU kernel: 266M rows/s
+                                        # at 1M cells vs 44M scatter
+                                        # (benchmarks/sortkernel_lab.py);
+                                        # off -> XLA scatter fallback
 
     def __post_init__(self):
         self.device = _env("VAEX_TPU_DEVICE", self.device)
@@ -151,6 +158,7 @@ class Compute:
         self.device_result = _env("VAEX_TPU_DEVICE_RESULT", self.device_result)
         self.dynamic_limits = _env("VAEX_TPU_DYNAMIC_LIMITS", self.dynamic_limits)
         self.pallas_payload = _env("VAEX_TPU_PALLAS_PAYLOAD", self.pallas_payload)
+        self.sorted_grid = _env("VAEX_TPU_SORTED_GRID", self.sorted_grid)
 
 
 @dataclasses.dataclass
