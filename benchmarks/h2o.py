@@ -1,0 +1,203 @@
+"""h2o db-benchmark groupby q1-q10 + taxi-style pipeline + 1e9-row micro ops.
+
+Workload definitions follow the reference asv suite
+(/root/reference/benchmarks/groupbyh2o.py:15-94 — q6/q8/q9 are commented out
+there too, and id2/id4/id5 alias id1, id6 aliases id3) and the BASELINE.md
+targets (h2o at 1e8 rows; NYC-taxi-style filter+join+percentile+correlation
+pipeline; isin/unique/sort at 1e9 rows).
+
+Data is generated ON DEVICE (the engine's production path, like bench.py's
+headline frame): at 1e8 rows the h2o frame is ~1GB HBM.  Column spec mirrors
+the reference fixture (fixtures.py:26-60): id1 int8 100-card, id3 int32
+1M-card, v1/v2 int8 values 5..14, v3 float32.
+
+Timing: each query is timed around the groupby plus a checksum fetch of the
+first aggregate column (forces completion through the tunnel; the h2o
+methodology also checksums).  Run:
+
+    python benchmarks/h2o.py [--rows 1e8] [--which q1,q3,taxi,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_h2o_df(vaex, n, seed=0):
+    import jax
+    import jax.numpy as jnp
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    id1 = jax.random.randint(ks[0], (n,), 5, 105, jnp.int8)
+    id3 = jax.random.randint(ks[1], (n,), 5, 1_000_005, jnp.int32)
+    v1 = jax.random.randint(ks[2], (n,), 5, 15, jnp.int8)
+    v3 = jax.random.normal(ks[3], (n,), jnp.float32)
+    df = vaex.from_arrays(id1=id1, id3=id3, v1=v1, v3=v3)
+    # reference aliasing (groupbyh2o.py:28-36): id2/id4/id5 = id1, id6 = id3,
+    # v2 = v1 — as virtual columns, exactly like the reference's df['id2'] = df['i1_100']
+    df["id2"] = df["id1"]
+    df["id4"] = df["id1"]
+    df["id5"] = df["id1"]
+    df["id6"] = df["id3"]
+    df["v2"] = df["v1"]
+    return df
+
+
+def make_taxi_df(vaex, n, seed=1):
+    import jax
+    import jax.numpy as jnp
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    zone = jax.random.randint(ks[0], (n,), 0, 265, jnp.int16)
+    dist = jnp.exp(jax.random.normal(ks[1], (n,), jnp.float32) * 0.8 + 0.9)
+    fare = 2.5 + dist * 2.0 + jax.random.normal(ks[2], (n,), jnp.float32)
+    tip = jnp.maximum(
+        0.0, fare * 0.15 + jax.random.normal(ks[3], (n,), jnp.float32))
+    passengers = jax.random.randint(ks[4], (n,), 1, 7, jnp.int8)
+    return vaex.from_arrays(pickup_zone=zone, trip_distance=dist, fare=fare,
+                            tip=tip, passenger_count=passengers)
+
+
+def timeit(fn, repeats=3):
+    fn()  # warm (compile)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def run_h2o(vaex, n, which, repeats, results):
+    df = make_h2o_df(vaex, n)
+
+    def chk(res, col):
+        # checksum fetch forces completion (h2o methodology: chk sums)
+        return float(res.sum(col))
+
+    queries = {
+        # groupbyh2o.py:40-44
+        "q1": lambda: chk(df.groupby(["id1"], agg={"v1": "sum"}), "v1"),
+        # :46-50
+        "q2": lambda: chk(df.groupby(["id1", "id2"], agg={"v1": "sum"}), "v1"),
+        # :52-56 — 1M-card key, int sum + float mean
+        "q3": lambda: chk(df.groupby(["id3"], agg={"v1": "sum", "v3": "mean"}), "v1"),
+        # :58-62
+        "q4": lambda: chk(df.groupby(["id4"], agg={"v1": "mean", "v2": "mean", "v3": "mean"}), "v1"),
+        # :64-68 — 1M-card key, three sums
+        "q5": lambda: chk(df.groupby(["id6"], agg={"v1": "sum", "v2": "sum", "v3": "sum"}), "v1"),
+        # :75-80 — max - min per 1M-card key
+        "q7": lambda: _q7(df),
+        # :89-94 — six keys (aliased: effectively (id1, id3) pairs)
+        "q10": lambda: chk(df.groupby(["id1", "id2", "id3", "id4", "id5", "id6"],
+                                      agg={"v3": "sum", "v1": "count"}), "v3"),
+    }
+
+    def _q7(d):
+        from vaex_tpu import agg as vagg
+        res = d.groupby(["id3"], agg={"mx": vagg.max("v1"), "mn": vagg.min("v2")})
+        res["range_v1_v2"] = res["mx"] - res["mn"]
+        return float(res.sum("range_v1_v2"))
+
+    for name, q in queries.items():
+        if which and name not in which:
+            continue
+        try:
+            seconds = timeit(q, repeats)
+            out = {"name": f"h2o_{name}", "rows": n,
+                   "seconds": round(seconds, 4),
+                   "rows_per_s": round(n / seconds)}
+        except Exception as e:  # noqa: BLE001
+            out = {"name": f"h2o_{name}", "rows": n,
+                   "error": f"{type(e).__name__}: {e}"[:200]}
+        print(json.dumps(out), flush=True)
+        results.append(out)
+
+
+def run_taxi(vaex, n, repeats, results):
+    df = make_taxi_df(vaex, n)
+    zones = vaex.from_arrays(
+        zone_id=np.arange(265, dtype=np.int16),
+        borough=(np.arange(265) % 6).astype(np.int8))
+
+    def pipeline():
+        sel = df[(df.fare > 0) & (df.trip_distance < 100)]
+        joined = sel.join(zones, left_on="pickup_zone", right_on="zone_id")
+        p50 = joined.percentile_approx("fare", 50)
+        corr = joined.correlation("trip_distance", "tip")
+        return float(p50), float(corr)
+
+    try:
+        seconds = timeit(pipeline, repeats)
+        p50, corr = pipeline()
+        out = {"name": "taxi_pipeline", "rows": n, "seconds": round(seconds, 4),
+               "rows_per_s": round(n / seconds),
+               "p50_fare": round(p50, 4), "corr_dist_tip": round(corr, 6)}
+    except Exception as e:  # noqa: BLE001
+        out = {"name": "taxi_pipeline", "rows": n,
+               "error": f"{type(e).__name__}: {e}"[:200]}
+    print(json.dumps(out), flush=True)
+    results.append(out)
+
+
+def run_1e9(vaex, n, which, repeats, results):
+    """BASELINE config 4: isin / unique / value_counts / sort on a 1e9-row
+    column (device-resident; 1e9 x i32 = 4GB HBM)."""
+    import jax
+    import jax.numpy as jnp
+    k = jax.random.randint(jax.random.PRNGKey(7), (n,), 0, 1000, jnp.int32)
+    df = vaex.from_arrays(k=k)
+    micro = {
+        "isin": lambda: int(df.count(selection=df.k.isin([1, 5, 9, 500]))),
+        "unique": lambda: len(df.unique("k")),
+        "value_counts": lambda: len(df.k.value_counts()),
+        "sort": lambda: df.sort("k"),
+    }
+    for name, q in micro.items():
+        if which and name not in which:
+            continue
+        try:
+            seconds = timeit(q, repeats)
+            out = {"name": f"big_{name}", "rows": n, "seconds": round(seconds, 4),
+                   "rows_per_s": round(n / seconds)}
+        except Exception as e:  # noqa: BLE001
+            out = {"name": f"big_{name}", "rows": n,
+                   "error": f"{type(e).__name__}: {e}"[:200]}
+        print(json.dumps(out), flush=True)
+        results.append(out)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--rows", type=float, default=1e8)
+    parser.add_argument("--big-rows", type=float, default=1e9)
+    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--which", default=None,
+                        help="q1..q10,taxi,isin,unique,value_counts,sort")
+    parser.add_argument("--platform", default=None,
+                        help="force jax platform (the env's sitecustomize "
+                             "overrides JAX_PLATFORMS, so use this for cpu runs)")
+    args = parser.parse_args()
+    which = set(args.which.split(",")) if args.which else None
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    import vaex_tpu as vaex
+    results = []
+    if which is None or any(w.startswith("q") for w in which):
+        run_h2o(vaex, int(args.rows), which, args.repeats, results)
+    if which is None or "taxi" in which:
+        run_taxi(vaex, int(args.rows), args.repeats, results)
+    if which is None or which & {"isin", "unique", "value_counts", "sort"}:
+        run_1e9(vaex, int(args.big_rows), which, args.repeats, results)
+
+
+if __name__ == "__main__":
+    main()

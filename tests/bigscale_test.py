@@ -1,0 +1,104 @@
+"""Billion-row virtual-range tests: stats/groupby/export over frames backed
+by zero bytes of storage (reference: tests/common.py:126-130 df_server_huge
+tests big-data paths with a 1e9-row vaex.vrange; README.md's identity claim).
+
+The 2**30-row scans stream through the chunked executor in O(chunk) memory —
+asserted via maxrss growth (a materialized i64 column would be 8.6GB).
+"""
+
+import os
+import resource
+import time
+
+import numpy as np
+import pytest
+
+import vaex_tpu as vaex
+from vaex_tpu import execution
+
+N = 2 ** 30
+
+
+@pytest.fixture(autouse=True)
+def small_device_cache():
+    """Bound the HBM column cache so the RSS assertions measure *streaming*
+    memory: with the default 8GB budget the executor would legitimately keep
+    the whole 4.3GB materialized vrange column resident (on the CPU backend
+    'HBM' is host RSS)."""
+    cache = execution._device_cache
+    old = cache.limit_bytes
+    cache.clear()
+    cache.limit_bytes = 256 * 2 ** 20
+    yield
+    cache.clear()
+    cache.limit_bytes = old
+
+
+def _rss_gb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def test_billion_row_count_memory_bounded():
+    rss0 = _rss_gb()
+    df = vaex.from_arrays(x=vaex.vrange(0, N))
+    assert len(df) == N
+    assert df.count() == N
+    # full-length virtual frame never materializes: growth << 8.6GB column
+    assert _rss_gb() - rss0 < 2.0
+
+
+def test_billion_row_fused_binned_pass():
+    """One streaming pass over 2**30 rows: binned count + binned mean +
+    scalar minmax fused into a single compiled scan (f32 column keeps the
+    single-core CPU mesh within the suite's time budget)."""
+    rss0 = _rss_gb()
+    df = vaex.from_arrays(x=vaex.vrange(0, N, dtype="float32"))
+    shape = 64
+    counts = df.count(binby="x", limits=[0.0, float(N)], shape=shape, delay=True)
+    means = df.mean("x", binby="x", limits=[0.0, float(N)], shape=shape, delay=True)
+    mn = df.min("x", delay=True)
+    mx = df.max("x", delay=True)
+    df.execute()
+    counts, means = np.asarray(counts.get()), np.asarray(means.get())
+    # row conservation up to f32 edge rounding: values within half an ulp of
+    # N round to exactly N and land in the (trimmed) overflow edge bin
+    assert N - 64 <= counts.sum() <= N
+    np.testing.assert_allclose(counts, N / shape, rtol=1e-5, atol=128)
+    # bin b holds values ~ centered at (b + 0.5) * N/shape
+    centers = (np.arange(shape) + 0.5) * (N / shape)
+    np.testing.assert_allclose(means, centers, rtol=1e-5)
+    assert float(mn.get()) == 0.0
+    assert float(mx.get()) == float(np.float32(N - 1))
+    assert _rss_gb() - rss0 < 2.0
+
+
+def test_billion_row_slice_groupby_percentile_export(tmp_path):
+    """Window ops on a 2**30-row frame: slicing trims the virtual column
+    (O(1)), and groupby/percentile/export on the window run on materialized
+    chunks only."""
+    df = vaex.from_arrays(x=vaex.vrange(0, N))
+    lo = 2 ** 29
+    w = 2 ** 22
+    dfs = df[lo:lo + w]
+    assert len(dfs) == w
+
+    # groupby over an int-range key derived from the virtual column
+    dfs["k"] = dfs["x"] // (w // 64)
+    g = dfs.groupby("k", agg="count", sort=True)
+    gk = np.asarray(g["k"].to_numpy())
+    gc = np.asarray(g["count"].to_numpy())
+    first = lo // (w // 64)
+    np.testing.assert_array_equal(gk, first + np.arange(64))
+    np.testing.assert_array_equal(gc, np.full(64, w // 64))
+
+    # percentile on the window (uniform -> median ~ midpoint)
+    p50 = float(dfs.percentile_approx("x", 50))
+    assert abs(p50 - (lo + w / 2)) < w * 0.01
+
+    # export a tiny slice of the billion-row frame and read it back
+    path = str(tmp_path / "slice.hdf5")
+    df[lo:lo + 1000].export(path)
+    back = vaex.open(path)
+    np.testing.assert_array_equal(
+        np.asarray(back["x"].to_numpy(), np.int64),
+        np.arange(lo, lo + 1000, dtype=np.int64))

@@ -84,7 +84,13 @@ class ColumnVirtualRange(Column):
 
     def __getitem__(self, slice_):
         start, stop, _ = slice_.indices(len(self))
-        return np.arange(self.start + start * self.step, self.start + stop * self.step, self.step, dtype=self.dtype)
+        lo = self.start + start * self.step
+        hi = self.start + stop * self.step
+        if self.dtype.kind == "f" and self.dtype.itemsize <= 4:
+            # np.arange in f32 accumulates by repeated addition and STICKS
+            # past 2^24 (every element == start); generate exactly, then cast
+            return np.arange(lo, hi, self.step, dtype=np.float64).astype(self.dtype)
+        return np.arange(lo, hi, self.step, dtype=self.dtype)
 
     def data_type(self):
         return DataType(self.dtype)

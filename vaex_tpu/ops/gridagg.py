@@ -439,9 +439,10 @@ def _f64_key_host(x):
 def _onehot_cell_limit():
     """One-hot compare+reduce beats scatter up to ~8192 cells on TPU (VPU
     loves the fused compare+tree-reduce; scatters serialize).  On CPU the
-    opposite holds — native scatters are fast and the [rows, cells] compare
-    is real work — so keep the one-hot strategy to small grids there."""
-    return 8192 if jax.default_backend() == "tpu" else 512
+    opposite holds everywhere: XLA CPU scatter runs ~50M rows/s single-core
+    while the [rows, cells] compare amplifies work `cells`-fold (measured
+    5M rows/s at just 19 cells, 10x slower than scatter) — scatter always."""
+    return 8192 if jax.default_backend() == "tpu" else 0
 
 
 def _partial_scatter(routed, contrib, ncells1, pdt):
@@ -497,12 +498,21 @@ class AggOpSum(AggOp):
             total = jnp.sum(v.astype(state.dtype))
             return state.at[0].add(total)
         if self.precision == "mixed":
+            if jax.default_backend() != "tpu":
+                # CPU/GPU: f64 scatters are native-speed — accumulate at the
+                # state dtype directly (full accuracy, no two-level folding;
+                # the mixed machinery below exists because TPU f64 is
+                # emulated ~10x slower)
+                return state.at[routed].add(v.astype(state.dtype))
             pdt = _sum_partial_dtype(self.data_dtype, state.dtype)
             if pdt is not None and pdt != state.dtype:
                 partial = _partial_scatter(routed, v.astype(pdt), ncells1, pdt)
                 return state + partial.astype(state.dtype)
             if np.dtype(state.dtype).kind in "iu" and np.dtype(state.dtype).itemsize == 8:
-                return _segment_sum_sorted(state, routed, v.astype(state.dtype))
+                if jax.default_backend() == "tpu":
+                    return _segment_sum_sorted(state, routed, v.astype(state.dtype))
+                # CPU: native i64 scatter (138ms/8M) beats sort+cumsum (7s)
+                return state.at[routed].add(v.astype(state.dtype))
             if state.dtype == jnp.float64:
                 # f64 inputs: hi/lo f32-pair scatters (~2x f32 cost) — emulated
                 # f64 scatters are ~10x slower and f64 cumsum doesn't compile
@@ -533,6 +543,10 @@ class AggOpSumMoment(AggOp):
         if ncells1 == 2:
             m = jnp.where(include, value, 0).astype(state.dtype) ** self.moment
             return state.at[0].add(jnp.sum(m))
+        if self.precision == "mixed" and jax.default_backend() != "tpu":
+            # CPU/GPU: accumulate moments at f64 directly (see AggOpSum)
+            m = jnp.where(include, value, 0).astype(state.dtype) ** self.moment
+            return state.at[routed].add(m)
         small_float = value.dtype.itemsize <= 4 and jnp.issubdtype(value.dtype, jnp.floating)
         small_int = jnp.issubdtype(value.dtype, jnp.integer) and value.dtype.itemsize <= 2
         if self.precision == "mixed" and (small_float or small_int):
@@ -598,7 +612,9 @@ class AggOpMin(AggOp):
             oh = routed[:, None] == cells
             partial = jnp.where(oh, v[:, None], self._sentinel()).min(axis=0)
             return jnp.minimum(state, partial)
-        if self.precision != "float64" and np.dtype(state.dtype).itemsize == 8:
+        if (self.precision != "float64" and np.dtype(state.dtype).itemsize == 8
+                and jax.default_backend() == "tpu"):
+            # CPU scatter-min is native-fast; the sort detour is TPU-only
             return _segment_minmax_sorted(state, routed, v, self._sentinel(), is_min=True)
         return state.at[routed].min(v)
 
@@ -655,7 +671,9 @@ class AggOpMax(AggOp):
             oh = routed[:, None] == cells
             partial = jnp.where(oh, v[:, None], self._sentinel()).max(axis=0)
             return jnp.maximum(state, partial)
-        if self.precision != "float64" and np.dtype(state.dtype).itemsize == 8:
+        if (self.precision != "float64" and np.dtype(state.dtype).itemsize == 8
+                and jax.default_backend() == "tpu"):
+            # CPU scatter-max is native-fast; the sort detour is TPU-only
             return _segment_minmax_sorted(state, routed, v, self._sentinel(), is_min=False)
         return state.at[routed].max(v)
 
