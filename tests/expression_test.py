@@ -329,3 +329,29 @@ def test_dropinf_countna_materialize_dot_product():
                            bx=np.array([3.0, 4.0]), by=np.array([5.0, 6.0]))
     out = df3.func.dot_product([df3.ax, df3.ay], [df3.bx, df3.by])
     np.testing.assert_array_equal(np.asarray(df3.evaluate(out)), [3.0, 12.0])
+
+
+def test_function_registry_reference_parity():
+    """Every public name the reference registers evaluates here: the audited
+    registry (scripts/audit_functions.py → COMPLIANCE.md) plus spot checks of
+    the reference-compat aliases and the str_pandas mirror scope
+    (reference functions.py:2427-2448,2507,2511,2582)."""
+    import pyarrow as pa
+    from vaex_tpu import functions as F
+
+    # aliases registered under the reference's public names
+    for name in ("astype", "float", "isin_set"):
+        assert name in F.functions, name
+    df = vaex.from_arrays(x=np.array([1, 2, 3]))
+    assert df['astype(x, "float32")'].to_numpy().dtype == np.float32
+    assert df["float(x)"].to_numpy().dtype == np.float64
+    assert list(df["isin_set(x, [1, 3])"].to_numpy()) == [True, False, True]
+
+    # str_pandas mirrors: one per str_ function, pandas semantics with nulls
+    strs = [k for k in F.functions if k.startswith("str_pandas_")]
+    assert len(strs) == len(F.scopes["str"])
+    dfs = vaex.from_arrays(s=pa.array(["Ab", None, "cd"]))
+    out = dfs["str_pandas_upper(s)"].tolist()
+    assert out[0] == "AB" and out[2] == "CD"
+    lens = dfs["str_pandas_len(s)"].to_numpy()
+    assert lens[0] == 2 and lens[2] == 2

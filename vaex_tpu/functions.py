@@ -377,6 +377,13 @@ def _isin_device(x, values):
 
 functions["_isin"].device = _isin_device
 _register("_isin_set", _isin, device=_isin_device)
+
+# reference-compatible public names (reference functions.py:2507,2511,2582
+# registers these as 'float'/'astype'/'isin_set') so state files written by
+# vaex-core evaluate unchanged
+_register("astype", _astype, device=_astype_device)
+_register("float", _float, device=functions["_float"].device)
+_register("isin_set", _isin, device=_isin_device)
 # public name so string expressions like "isin(x, [1, 2])" work
 # (reference: vaex/functions.py isin registration)
 _register("isin", _isin, device=_isin_device)
@@ -890,6 +897,31 @@ def device_namespace():
 def has_device_impl(name):
     fdef = functions.get(name)
     return fdef is not None and fdef.device is not None
+
+
+# ---------------------------------------------------------------------------
+# str_pandas shadow scope (reference: functions.py:2427-2448 registers a
+# pandas-backed mirror of every str function so `str_pandas_upper(x)` etc.
+# evaluate in expression strings / state files; pandas semantics where the
+# Series.str method exists, falling back to our pyarrow impl otherwise)
+# ---------------------------------------------------------------------------
+
+def _make_str_pandas(short, fallback):
+    def wrapper(*args, **kwargs):
+        import pandas
+        x, rest = args[0], args[1:]
+        ar = x.ar if isinstance(x, StringOps) else x
+        series = pandas.Series(np.asarray(ar), dtype="string")
+        method = getattr(series.str, short, None)
+        if method is None:
+            return fallback.host(*args, **kwargs)
+        return StringOps(pa.array(method(*rest, **kwargs), from_pandas=True))
+    return wrapper
+
+
+for _short, _fdef in list(scopes["str"].items()):
+    _register(_short, _make_str_pandas(_short, _fdef), scope="str_pandas")
+del _short, _fdef
 
 
 # ---------------------------------------------------------------------------
