@@ -503,3 +503,29 @@ def test_groupby_device_result_fallbacks():
     # nunique is not device-finalizable -> host path, still correct
     res3 = df2.groupby("a", agg={"u": vaex.agg.nunique("b")})
     assert np.asarray(res3.evaluate("u")).tolist() == [2, 2, 2]
+
+
+def test_groupby_virtual_int_alias_fast_path():
+    """Virtual integer expressions with non-nullable deps take the int-range
+    fast path (h2o's id6=id3 aliasing made discovery a multi-second host
+    hashmap build); masked or map-derived virtuals still use the hashmap."""
+    from vaex_tpu import groupby as G
+    df = vaex.from_arrays(k=np.array([5, 7, 5, 9, 7, 5], dtype=np.int32),
+                          v=np.arange(6.0))
+    df["k2"] = df["k"]
+    df["k3"] = df["k"] * 2 + 1
+    assert G._int_range_candidate(df, "k2", None)
+    assert G._int_range_candidate(df, "k3", None)
+    g = df.groupby("k2", agg={"v": "sum"}, sort=True)
+    np.testing.assert_array_equal(np.asarray(g["k2"].to_numpy()), [5, 7, 9])
+    np.testing.assert_allclose(np.asarray(g["v"].to_numpy()), [7.0, 5.0, 3.0])
+
+    m = np.ma.masked_array(np.array([1, 2, 3], np.int32), [False, True, False])
+    dm = vaex.from_arrays(k=m)
+    dm["k2"] = dm["k"]
+    assert not G._int_range_candidate(dm, "k2", None)
+    gm = dm.groupby("k2", agg="count", sort=True)
+    assert gm["k2"].tolist() == [1, 3, None]
+
+    df["km"] = df["k"].map({5: 1, 7: 2, 9: 3})
+    assert not G._int_range_candidate(df, "km", None)

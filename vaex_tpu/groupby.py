@@ -27,7 +27,7 @@ except ImportError:  # pragma: no cover
 
 from . import agg as agg_mod
 from . import dataset as dataset_mod
-from . import array_types, settings, utils
+from . import array_types, expresso, settings, utils
 from .delayed import delayed, delayed_list
 from .ops.gridagg import BinnerOrdinal
 
@@ -273,18 +273,35 @@ def _int_range_candidate(df, expr, row_limit):
     if np_dtype.kind not in "iu" or np_dtype.itemsize < 2:
         return False
     if expr not in df.dataset:
-        return False  # virtual columns: nullability unknown without a pass
+        # virtual integer expressions (h2o's `df['id6'] = df['id3']` aliasing
+        # is the canonical case): mask propagation is input-only for
+        # arithmetic, so the column is non-nullable iff every leaf dataset
+        # column is — except for the few functions that synthesize missing
+        # values from clean inputs
+        from .expression import Expression
+        e = Expression(df, expr)
+        expanded = e.expand().expression
+        blocked = {"_map", "map", "hashmap_apply", "_ordinal_values", "_choose"}
+        if blocked & set(expresso.names(expanded)):
+            return False
+        for dep in e.root_columns():
+            if not _int_range_candidate_column(df.dataset[dep]):
+                return False
+        return True
     col = df.dataset[expr]
+    return _int_range_candidate_column(col)
+
+
+def _int_range_candidate_column(col):
     if array_types.is_jax_array(col):
         # device columns carry no missing mask by construction — without
         # this, a device-frame high-card groupby silently fell back to the
         # host hashmap build and paid a full-column D2H (measured 12.9s vs
         # 0.58s at 16.7M rows / 1M keys over the tunnel)
         return True
-    values = col
     if hasattr(col, "to_numpy") and not isinstance(col, np.ndarray):
         return False  # lazy/arrow columns may carry nulls
-    return isinstance(values, np.ndarray) and not np.ma.isMaskedArray(values)
+    return isinstance(col, np.ndarray) and not np.ma.isMaskedArray(col)
 
 
 class Binner(BinnerBase):
