@@ -560,3 +560,45 @@ def test_astro_tap_client():
         np.testing.assert_allclose(df.evaluate("dec"), [-3.0, 4.0])
     finally:
         server.shutdown()
+
+
+def test_widget_model_state_machine(df_local):
+    """Status transitions, exception capture, debounced recompute, and
+    blocking _debug_wait_for_status (reference: jupyter/model.py:27-82
+    _HasState + :196 debounced compute)."""
+    import time
+    from vaex_tpu.widget.model import Axis, GridModel
+
+    # exception capture: a bad expression moves the axis to EXCEPTION and
+    # _debug_wait_for_status re-raises instead of hanging
+    axis = df_local.widget.axis_model("x", shape=8)
+    axis.expression = "nonexistent_col + 1"
+    assert axis.status == Axis.Status.EXCEPTION
+    with pytest.raises(NameError):
+        axis._debug_wait_for_status("ready")
+    # recovery: a good expression transitions back to READY
+    axis.expression = "x"
+    axis._debug_wait_for_status("ready")
+    assert axis.exception is None and axis.max == 9
+
+    # grid model exception capture (bad selection) + recovery
+    model = df_local.widget.grid_model([axis])
+    model._debug_wait_for_status("ready")
+    model.selection = "undefined_selection_name"
+    assert model.status == GridModel.Status.EXCEPTION
+    with pytest.raises(Exception):
+        model._debug_wait_for_status("ready")
+    model.selection = None
+    model._debug_wait_for_status("ready")
+
+    # debounced recompute: a burst of changes coalesces into one pass
+    computes = []
+    model.on_grid(lambda g: computes.append(g))
+    model.debounce_delay = 0.15
+    for shape in (4, 5, 6, 7, 16):
+        axis.shape = shape
+    assert model.status == GridModel.Status.CALCULATING
+    model._debug_wait_for_status("ready", timeout=5)
+    assert len(computes) == 1
+    assert computes[0].shape == (16,)
+    model.close()

@@ -12,6 +12,8 @@ DataFrame recomputes when a selection it displays is brushed in any view.
 
 from __future__ import annotations
 
+import threading
+
 import traitlets
 
 import numpy as np
@@ -19,13 +21,60 @@ import numpy as np
 from ..xarray_lite import DataArrayLite
 
 
-class Axis(traitlets.HasTraits):
+class _StatusMixin:
+    """Status-machine plumbing shared by Axis and GridModel (reference:
+    jupyter/model.py _HasState:27-82 — status trait + exception capture +
+    `_debug_wait_for_status` test hooks; the reference awaits an asyncio
+    future on the ioloop, here a threading.Event fits the headless/TPU
+    executor)."""
+
+    exception = None
+
+    def _capture(self, exc):
+        """Record a failure and transition to the error state instead of
+        letting a background (debounced) compute die silently
+        (reference: _HasState._error :43-47)."""
+        self.exception = exc
+        self.status = self.Status.EXCEPTION
+
+    def _raise_if_exception(self):
+        if self.exception is not None:
+            raise self.exception
+
+    def _debug_wait_for_status(self, status=None, timeout=10.0):
+        """Block until `status` is reached (immediately if already there);
+        raises on transition to EXCEPTION, like the reference's
+        future-rejecting hook (jupyter/model.py:32-47)."""
+        status = status or self.Status.READY
+        if self.status == self.Status.EXCEPTION and status != self.Status.EXCEPTION:
+            raise self.exception
+        if self.status == status:
+            return
+        event = threading.Event()
+
+        def on_change(change):
+            if change["new"] in (status, self.Status.EXCEPTION):
+                event.set()
+
+        self.observe(on_change, "status")
+        try:
+            if not event.wait(timeout):
+                raise TimeoutError(
+                    f"status {self.status!r} never reached {status!r} in {timeout}s")
+            if self.status == self.Status.EXCEPTION and status != self.Status.EXCEPTION:
+                raise self.exception
+        finally:
+            self.unobserve(on_change, "status")
+
+
+class Axis(_StatusMixin, traitlets.HasTraits):
     """Reference: jupyter/model.py Axis (state machine :86-244)."""
 
     class Status:
         NO_LIMITS = "no_limits"
         CALCULATING_LIMITS = "staged_calculating_limits"
         READY = "ready"
+        EXCEPTION = "exception"
 
     expression = traitlets.Unicode()
     min = traitlets.Float(None, allow_none=True)
@@ -51,8 +100,13 @@ class Axis(traitlets.HasTraits):
 
     def computed_limits(self):
         self.status = Axis.Status.CALCULATING_LIMITS
-        vmin, vmax = self.df.limits(self.expression, "minmax")
-        self.min, self.max = float(vmin), float(vmax)
+        try:
+            vmin, vmax = self.df.limits(self.expression, "minmax")
+            self.min, self.max = float(vmin), float(vmax)
+        except Exception as e:  # noqa: BLE001
+            self._capture(e)
+            return
+        self.exception = None
         self.status = Axis.Status.READY
 
     @property
@@ -60,11 +114,7 @@ class Axis(traitlets.HasTraits):
         edges = np.linspace(self.min, self.max, self.shape + 1)
         return (edges[1:] + edges[:-1]) / 2
 
-    def _debug_wait_for_status(self, status=Status.READY):
-        assert self.status == status, f"status {self.status!r} != {status!r}"
-
-
-class GridModel(traitlets.HasTraits):
+class GridModel(_StatusMixin, traitlets.HasTraits):
     """Reference: jupyter/model.py DataArray/GridCalculator (:246-566).
 
     ``selection`` may be a single selection (None/True/name) or a list of
@@ -78,17 +128,21 @@ class GridModel(traitlets.HasTraits):
         MISSING_LIMITS = "missing_limits"
         CALCULATING = "staged_calculating"
         READY = "ready"
+        EXCEPTION = "exception"
 
     status = traitlets.Unicode(Status.MISSING_LIMITS)
     what = traitlets.Unicode("count(*)")
     selection = traitlets.Any(None)
+    debounce_delay = traitlets.Float(0.0)
 
-    def __init__(self, df, axes, what="count(*)", selection=None):
-        super().__init__(what=what)
+    def __init__(self, df, axes, what="count(*)", selection=None, debounce_delay=0.0):
+        super().__init__(what=what, debounce_delay=debounce_delay)
         self.df = df
         self.axes = list(axes)
         self.grid = None
         self._callbacks = []
+        self._debounce_timer = None
+        self._debounce_lock = threading.Lock()
         for axis in self.axes:
             axis.observe(self._on_axis_change, names=["min", "max", "shape", "expression"])
         self.observe(self._on_axis_change, names=["what", "selection"])
@@ -100,6 +154,10 @@ class GridModel(traitlets.HasTraits):
 
     def close(self):
         """Stop listening; reference: model unobserve on widget close."""
+        with self._debounce_lock:
+            if self._debounce_timer is not None:
+                self._debounce_timer.cancel()
+                self._debounce_timer = None
         try:
             self.df.signal_selection_changed.disconnect(self._selection_listener)
         except ValueError:
@@ -121,10 +179,36 @@ class GridModel(traitlets.HasTraits):
 
     def _on_selection_change(self, df, name):
         if name in self._selection_names():
-            self.compute()
+            self._schedule_compute()
 
     def _on_axis_change(self, change):
-        self.compute()
+        self._schedule_compute()
+
+    def _schedule_compute(self):
+        """Debounced recompute: a burst of trait changes (brushing drags,
+        programmatic multi-trait updates) coalesces into one pass
+        (reference: @vaex.jupyter.debounced on DataArray computations,
+        jupyter/model.py:196 + utils.py debounced).  delay=0 computes
+        synchronously — the deterministic default for headless use."""
+        if self.debounce_delay <= 0:
+            self.compute()
+            return
+        with self._debounce_lock:
+            if self._debounce_timer is not None:
+                self._debounce_timer.cancel()
+            self.status = GridModel.Status.CALCULATING
+
+            def fire():
+                with self._debounce_lock:
+                    self._debounce_timer = None
+                try:
+                    self.compute()
+                except Exception as e:  # noqa: BLE001 — timer thread
+                    self._capture(e)
+
+            self._debounce_timer = threading.Timer(self.debounce_delay, fire)
+            self._debounce_timer.daemon = True
+            self._debounce_timer.start()
 
     def _effective_selection(self):
         """Drop named selections that don't exist yet — a view created before
@@ -148,21 +232,26 @@ class GridModel(traitlets.HasTraits):
             self.status = GridModel.Status.MISSING_LIMITS
             return
         self.status = GridModel.Status.CALCULATING
-        binby = [axis.expression for axis in self.axes]
-        limits = [[axis.min, axis.max] for axis in self.axes]
-        shape = [axis.shape for axis in self.axes]
-        what = self.what
-        selection = self._effective_selection()
-        if what.startswith("count"):
-            self.grid = np.asarray(self.df.count(binby=binby, limits=limits, shape=shape,
-                                                 selection=selection))
-        else:
-            name, _, arg = what.partition("(")
-            arg = arg.rstrip(")")
-            method = getattr(self.df, name.strip())
-            self.grid = np.asarray(method(arg, binby=binby, limits=limits, shape=shape,
-                                          selection=selection))
+        try:
+            binby = [axis.expression for axis in self.axes]
+            limits = [[axis.min, axis.max] for axis in self.axes]
+            shape = [axis.shape for axis in self.axes]
+            what = self.what
+            selection = self._effective_selection()
+            if what.startswith("count"):
+                self.grid = np.asarray(self.df.count(binby=binby, limits=limits, shape=shape,
+                                                     selection=selection))
+            else:
+                name, _, arg = what.partition("(")
+                arg = arg.rstrip(")")
+                method = getattr(self.df, name.strip())
+                self.grid = np.asarray(method(arg, binby=binby, limits=limits, shape=shape,
+                                              selection=selection))
+        except Exception as e:  # noqa: BLE001
+            self._capture(e)
+            return
         self._computed_selection = selection
+        self.exception = None
         self.status = GridModel.Status.READY
         for cb in self._callbacks:
             cb(self.grid)
@@ -181,6 +270,3 @@ class GridModel(traitlets.HasTraits):
             coords["selection"] = np.array(
                 ["default" if s is True else str(s) for s in computed], dtype=object)
         return DataArrayLite(self.grid, dims=dims, coords=coords, name=self.what)
-
-    def _debug_wait_for_status(self, status=Status.READY):
-        assert self.status == status, f"status {self.status!r} != {status!r}"
