@@ -53,3 +53,25 @@ def test_merged():
     assert set(m) == {"x", "y"}
     chunks = list(m.chunk_iterator(["x", "y"], chunk_size=2))
     assert len(chunks) == 3
+
+
+def test_column_sparse():
+    """ColumnSparse: scipy csr matrix columns flow through stats, slicing,
+    groupby and export (reference: column.py:147, dataframe.py:3516-3528)."""
+    from scipy.sparse import csr_matrix
+    df = vaex.from_arrays(x=np.arange(6.0))
+    mat = csr_matrix(np.array([[1, 0], [0, 2], [3, 0], [0, 0], [5, 0], [0, 6]],
+                              dtype=np.float64))
+    df.add_columns(["a", "b"], mat)
+    np.testing.assert_array_equal(np.asarray(df["a"].to_numpy()), [1, 0, 3, 0, 5, 0])
+    assert float(df.sum("a")) == 9.0
+    assert float(df.mean("b")) == pytest.approx(8 / 6)
+    np.testing.assert_array_equal(np.asarray(df[1:5]["a"].to_numpy()), [0, 3, 0, 5])
+    g = df.groupby("b", agg="count", sort=True)
+    assert np.asarray(g["count"].to_numpy()).tolist() == [4, 1, 1]
+    with pytest.raises(ValueError):
+        df.add_columns(["only_one_name"], mat)
+    # fingerprints distinguish content and column index
+    from vaex_tpu.column import ColumnSparse
+    assert ColumnSparse(mat, 0).fingerprint() != ColumnSparse(mat, 1).fingerprint()
+    assert ColumnSparse(mat, 0).fingerprint() == ColumnSparse(mat.copy(), 0).fingerprint()

@@ -125,6 +125,40 @@ class ColumnVirtualConstant(Column):
         return dict(value=self.value, length=self.length, dtype=str(self.dtype))
 
 
+class ColumnSparse(Column):
+    """One column of a scipy.sparse matrix, densified per chunk (reference:
+    vaex/column.py:147 — carries vaex-ml one-hot/vectorizer output without
+    materializing the full dense matrix)."""
+
+    def __init__(self, matrix, column_index):
+        self.matrix = matrix
+        self.column_index = column_index
+        self.dtype = np.dtype(matrix.dtype)
+
+    def __len__(self):
+        return self.matrix.shape[0]
+
+    def __getitem__(self, slice_):
+        start, stop, _ = slice_.indices(len(self))
+        part = self.matrix[start:stop, self.column_index]
+        return np.asarray(part.todense())[:, 0]
+
+    def data_type(self):
+        return DataType(self.dtype)
+
+    def trim(self, i1, i2):
+        return ColumnSparse(self.matrix[i1:i2], self.column_index)
+
+    def _fingerprint_info(self):
+        import hashlib
+        m = self.matrix.tocsr()
+        h = hashlib.md5()
+        for part in (m.data, m.indices, m.indptr):
+            h.update(np.ascontiguousarray(part).tobytes())
+        return dict(matrix=h.hexdigest(), shape=tuple(m.shape),
+                    column_index=self.column_index)
+
+
 class ColumnIndexed(Column):
     """Column viewed through a row-index array — the join result column
     (reference: vaex/column.py:295).  Rows where `indices` is masked or == -1

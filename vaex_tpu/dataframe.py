@@ -1692,6 +1692,21 @@ class DataFrame:
         return self.category_labels(column)
 
     def add_columns(self, names, columns):
+        try:
+            from scipy.sparse import csr_matrix
+        except ImportError:  # pragma: no cover
+            csr_matrix = None
+        if csr_matrix is not None and isinstance(columns, csr_matrix):
+            # reference dataframe.py:3516-3528: one ColumnSparse view per
+            # matrix column (vaex-ml one-hot/vectorizer output)
+            from .column import ColumnSparse
+            if len(names) != columns.shape[1]:
+                raise ValueError(
+                    f"number of columns ({columns.shape[1]}) does not match "
+                    f"number of column names ({len(names)})")
+            for i, name in enumerate(names):
+                self.add_column(name, ColumnSparse(columns, i))
+            return
         for name, column in zip(names, columns):
             self.add_column(name, column)
 
