@@ -67,8 +67,109 @@ def _claim_devices_or_die():
         time.sleep(60)
 
 
+def _oocore_path(n):
+    cache_dir = os.environ.get("BENCH_CACHE_DIR", "/root/bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, f"oocore_{n}.hdf5")
+
+
+def _make_oocore_file(path, n):
+    """Create-once disk artifact: n rows x (x, y, E) f32 in the vaex-hdf5 v2
+    layout, written with reused buffers (a fresh numpy temp per chunk would
+    pay this sandbox's ~0.4ms/4KB first-touch faults)."""
+    chunk = 64 * 1024 * 1024
+    rng = np.random.default_rng(42)
+    bufx = np.empty(chunk, np.float32)
+    bufy = np.empty(chunk, np.float32)
+    bufe = np.empty(chunk, np.float32)
+
+    def gen_into(i0):
+        m = min(chunk, n - i0)
+        rng.standard_normal(out=bufx[:m], dtype=np.float32)
+        rng.standard_normal(out=bufy[:m], dtype=np.float32)
+        np.multiply(bufx[:m], bufx[:m], out=bufe[:m])
+        bufe[:m] += bufy[:m] * bufy[:m]
+        return [("x", bufx[:m]), ("y", bufy[:m]), ("E", bufe[:m])]
+
+    t0 = time.perf_counter()
+    import h5py
+    tmp = path + ".tmp"
+    with h5py.File(tmp, "w") as h5:
+        table = h5.require_group("table")
+        table.attrs["type"] = "table"
+        cols = h5.require_group("table/columns")
+        cols.attrs["column_order"] = "x,y,E"
+        ds = {name: cols.require_group(name).create_dataset(
+                  "data", shape=(n,), dtype=np.float32, track_times=False)
+              for name in ("x", "y", "E")}
+        for i0 in range(0, n, chunk):
+            for name, ar in gen_into(i0):
+                ds[name][i0:i0 + len(ar)] = ar
+    os.replace(tmp, path)
+    print(f"[bench] wrote {path} ({n*12/1e9:.1f}GB) in "
+          f"{time.perf_counter()-t0:.0f}s", file=sys.stderr)
+
+
+def run_oocore():
+    """BENCH_SOURCE=hdf5: stream a disk-backed HDF5 LARGER THAN HBM through
+    the chunked H2D pipeline — the engine's out-of-core identity claim
+    (reference README.md:33-38).  Default 1.75e9 rows x 3 f32 = 21GB vs
+    16GB HBM, so the HBM column cache evicts under pressure.  The OS page
+    cache (125GB host RAM) stays warm across repeats: this measures the
+    host->HBM pipeline + compute overlap, not disk."""
+    n = int(os.environ.get("BENCH_ROWS", int(1.75e9)))
+    repeats = int(os.environ.get("BENCH_REPEATS", 2))
+    path = _oocore_path(n)
+    if not os.path.exists(path):
+        _make_oocore_file(path, n)
+
+    import vaex_tpu as vaex
+
+    df = vaex.open(path)
+    ex = df.executor
+    limits = [[-3.0, 3.0], [-3.0, 3.0]]
+
+    def run():
+        t0 = time.perf_counter()
+        mean = df.mean("E", binby=["x", "y"], limits=limits, shape=256)
+        return time.perf_counter() - t0, mean
+
+    warm_t0 = time.perf_counter()
+    run()  # compile
+    warm = time.perf_counter() - warm_t0
+    times, h2d = [], []
+    for _ in range(repeats):
+        ex.pass_log.clear()
+        dt, _ = run()
+        times.append(dt)
+        h2d.append(sum(p.get("bytes_h2d", 0) for p in ex.pass_log))
+    best = min(times)
+    bytes_h2d = h2d[int(np.argmin(times))]
+    rows_per_s = n / best
+    # overlap: pure-H2D lower bound at the measured link rate vs wall
+    link = float(os.environ.get("BENCH_H2D_GBPS", 0)) or None
+    print(f"[bench] oocore n={n} file={n*12/1e9:.1f}GB wall={best:.1f}s "
+          f"({rows_per_s/1e6:.0f}M rows/s) h2d={bytes_h2d/1e9:.1f}GB "
+          f"warmup={warm:.1f}s", file=sys.stderr)
+    if link:
+        t_h2d = bytes_h2d / (link * 1e9)
+        print(f"[bench] oocore h2d lower bound at {link}GB/s = {t_h2d:.1f}s; "
+              f"overlap efficiency = {t_h2d/best:.0%} of wall is pure H2D",
+              file=sys.stderr)
+    result = {
+        "metric": "oocore_2d_binned_mean_rows_per_s",
+        "value": rows_per_s,
+        "unit": "rows/s",
+        "vs_baseline": rows_per_s / BASELINE_ROWS_PER_S,
+    }
+    print(json.dumps(result))
+    return result
+
+
 def main():
     _claim_devices_or_die()
+    if os.environ.get("BENCH_SOURCE") == "hdf5":
+        return run_oocore()
     # 768M rows (9GB of f32 device columns in 16GB HBM — fits since the
     # executor stopped double-caching slices of device-resident columns):
     # large enough that the tunnel's fixed per-query cost (~40ms ≈ one

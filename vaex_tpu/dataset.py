@@ -265,7 +265,14 @@ class DatasetArrays(Dataset):
             if isinstance(col, Column):
                 parts[name] = col.fingerprint()
             elif isinstance(col, np.ndarray):
-                parts[name] = utils.hash_array_data(col.data if np.ma.isMaskedArray(col) else col)
+                if np.ma.isMaskedArray(col):
+                    # the mask is content: without it a masked column hashes
+                    # identically to its plain data and the result cache
+                    # returns the unmasked answers (caught by dtypes_test)
+                    parts[name] = (utils.hash_array_data(col.data),
+                                   utils.hash_array_data(np.ma.getmaskarray(col)))
+                else:
+                    parts[name] = utils.hash_array_data(col)
             elif array_types.is_jax_array(col):
                 # device array: identity fingerprint.  jax.Arrays are
                 # immutable and device buffers cannot outlive the process,

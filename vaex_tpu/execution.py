@@ -237,6 +237,8 @@ class ExecutorLocal(Executor):
         self.passes = 0  # number of full passes over data (reference: execution.py:273)
         self.pass_log = []  # per-pass stats (reference logs wall-clock per
                             # pass, execution.py:436; SURVEY §5.1 tracing)
+        self.bytes_h2d = 0  # host->device bytes shipped (chunk uploads);
+                            # pass_log records the per-pass delta
         self._local = threading.local()
 
     # ------------------------------------------------------------------
@@ -314,6 +316,7 @@ class ExecutorLocal(Executor):
         import time as _time
         t_start = _time.perf_counter()
         compiles_before = self.program_compiles
+        h2d_before = self.bytes_h2d
         df = tasks[0].df
         run = Run(df, tasks)
         self.passes += 1
@@ -539,7 +542,8 @@ class ExecutorLocal(Executor):
                 rows_per_s=round(total / elapsed) if elapsed else None,
                 tasks=len(tasks), agg_tasks=len(agg_tasks), chunks=i_chunk,
                 shards=n_shards, deps=list(run.dataset_deps),
-                compiles=self.program_compiles - compiles_before))
+                compiles=self.program_compiles - compiles_before,
+                bytes_h2d=self.bytes_h2d - h2d_before))
             if len(self.pass_log) > 1000:
                 del self.pass_log[:500]
             logger.info("pass %d: %s rows in %.3fs (%d tasks)",
@@ -682,6 +686,7 @@ class ExecutorLocal(Executor):
             multiproc = mesh_process_count(self.mesh) > 1
 
         def place(padded):
+            self.bytes_h2d += getattr(padded, "nbytes", 0)
             if multiproc:
                 return put_sharded(self.mesh, padded)
             return _jax.device_put(padded)
