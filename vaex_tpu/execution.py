@@ -152,6 +152,7 @@ class Run:
 class Executor:
     def __init__(self):
         self.tasks = []
+        self._task_index = {}  # pending-task dedupe: fingerprint -> task
         self.signal_begin = []
         self.signal_end = []
 
@@ -165,13 +166,16 @@ class Executor:
                 logger.debug("cache hit for %s", fp)
                 task.fulfill(value)
                 return task
-        # dedupe identical pending tasks
+        # dedupe identical pending tasks — indexed by fingerprint so a
+        # widget dashboard batching hundreds of delayed stats stays O(n)
+        # (a linear scan re-fingerprinting per comparison was O(n^2))
         if task.requires_fingerprint:
             fp = task.fingerprint()
-            for other in self.tasks:
-                if other.requires_fingerprint and other.isPending and other.fingerprint() == fp:
-                    other.then(task.fulfill, task.reject)
-                    return task
+            other = self._task_index.get(fp)
+            if other is not None and other.isPending and not other.cancelled:
+                other.then(task.fulfill, task.reject)
+                return task
+            self._task_index[fp] = task
         self.tasks.append(task)
         return task
 
@@ -291,6 +295,7 @@ class ExecutorLocal(Executor):
     def _pop_tasks(self):
         tasks = [t for t in self.tasks if t.isPending and not t.cancelled]
         self.tasks = []
+        self._task_index = {}
         by_df = {}
         for task in tasks:
             key = task.df.fingerprint() if task.df is not None else None
