@@ -602,3 +602,40 @@ def test_widget_model_state_machine(df_local):
     assert len(computes) == 1
     assert computes[0].shape == (16,)
     model.close()
+
+
+def test_healpix_math_roundtrip():
+    """Self-contained nested-HEALPix math: base-pixel anchors + pix2ang/
+    ang2pix roundtrip (independent formula pairs check each other)."""
+    from vaex_tpu.viz import healpix as hp
+    th, ph = hp.pix2ang_nest(1, np.arange(12))
+    z = np.cos(th)
+    np.testing.assert_allclose(z[:4], 2 / 3)
+    np.testing.assert_allclose(z[4:8], 0, atol=1e-15)
+    np.testing.assert_allclose(z[8:], -2 / 3)
+    for nside in (1, 2, 16, 64):
+        pix = np.arange(hp.nside2npix(nside))
+        th, ph = hp.pix2ang_nest(nside, pix)
+        np.testing.assert_array_equal(hp.ang2pix_nest(nside, th, ph), pix)
+
+
+def test_viz_healpix_heatmap_and_scatter_options():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from vaex_tpu.viz import healpix as hp
+    rng = np.random.RandomState(1)
+    n = 20_000
+    theta = np.arccos(rng.uniform(-1, 1, n))
+    phi = rng.uniform(0, 2 * np.pi, n)
+    pix12 = hp.ang2pix_nest(4096, theta, phi)
+    df = vaex.from_arrays(source_id=pix12 * 34359738368)
+    ax = df.viz.healpix_heatmap(healpix_level=3, image_size=100)
+    assert ax.name == "mollweide"
+    plt.close("all")
+    df2 = vaex.from_arrays(x=rng.randn(30), y=rng.randn(30), e=rng.rand(30),
+                           sz=rng.rand(30) * 40, lbl=np.arange(30))
+    ax = df2.viz.scatter("x", "y", xerr="e", yerr="e", s_expr="sz",
+                         c_expr="x", labels="lbl", length_check=False)
+    assert ax is not None
+    plt.close("all")

@@ -82,21 +82,76 @@ class DataFrameAccessorViz:
 
     # reference exposes both names
     plot = heatmap
+    plot1d = histogram
 
-    def scatter(self, x, y, s=1, c=None, selection=None, length_limit=50000, length_check=True,
+    def healpix_heatmap(self, healpix_expression="source_id/34359738368",
+                        healpix_max_level=12, healpix_level=8, what="count(*)",
+                        selection=None, f=None, colormap="afmhot", colorbar=True,
+                        image_size=800, grid=None, title=None, **kwargs):
+        """All-sky Mollweide map binned by nested-HEALPix pixel (reference:
+        mpl.py:886-990 healpix_heatmap; display math is the self-contained
+        viz.healpix module instead of healpy).  ``healpix_expression`` must
+        yield nested pixel ids at ``healpix_max_level`` (Gaia's
+        source_id/34359738368 convention); the engine bins them at
+        ``healpix_level`` in one ordinal grid pass."""
+        import matplotlib.pyplot as plt
+        from . import healpix as _hp
+        df = self.df
+        nside = 2 ** healpix_level
+        npix = _hp.nside2npix(nside)
+        scale = 4 ** (healpix_max_level - healpix_level)
+        expr = f"({_ensure_str(healpix_expression)}) // {scale}"
+        if grid is None:
+            grid = self._compute_what(what, binby=expr, limits=[0, npix],
+                                      shape=npix, selection=selection)
+        grid = np.asarray(grid, dtype=np.float64)
+        if f is not None:
+            grid = _apply_f(grid, f)
+        img, LON, LAT = _hp.healpix_grid_image(grid, nside, width=image_size,
+                                               height=image_size // 2)
+        ax = plt.gca()
+        if ax.name != "mollweide":
+            fig = ax.figure
+            ax.remove()
+            ax = fig.add_subplot(111, projection="mollweide")
+        # mollweide axes take lon in [-pi, pi]; flip lon to astronomy convention
+        mesh = ax.pcolormesh(-LON, LAT, img, cmap=colormap,
+                             shading="auto", **kwargs)
+        if colorbar:
+            plt.colorbar(mesh, ax=ax, shrink=0.6)
+        if title:
+            ax.set_title(title)
+        return ax
+
+    healpix_plot = healpix_heatmap
+
+    def scatter(self, x, y, s=1, c=None, xerr=None, yerr=None, s_expr=None, c_expr=None,
+                labels=None, selection=None, length_limit=50000, length_check=True,
                 xlabel=None, ylabel=None, alpha=0.5, **kwargs):
-        """Raw scatter for small data (reference: mpl.py scatter)."""
+        """Raw scatter for small data (reference: mpl.py scatter:214 —
+        incl. per-point expression sizes/colors, errorbars, text labels)."""
         import matplotlib.pyplot as plt
         df = self.df
         x = _ensure_str(x)
         y = _ensure_str(y)
         if length_check and len(df) > length_limit:
             raise ValueError(f"too many rows ({len(df)}) for scatter; use heatmap or pass length_check=False")
-        xv = np.asarray(df.evaluate(x, selection=selection))
-        yv = np.asarray(df.evaluate(y, selection=selection))
-        cv = np.asarray(df.evaluate(_ensure_str(c), selection=selection)) if c is not None else None
+
+        def ev(e):
+            return None if e is None else np.asarray(df.evaluate(_ensure_str(e), selection=selection))
+
+        xv, yv = ev(x), ev(y)
+        cv = ev(c_expr if c_expr is not None else c) if (c is not None or c_expr is not None) else None
+        sv = ev(s_expr) if s_expr is not None else s
         ax = plt.gca()
-        ax.scatter(xv, yv, s=s, c=cv, alpha=alpha, **kwargs)
+        art = ax.scatter(xv, yv, s=sv, c=cv, alpha=alpha, **kwargs)
+        if xerr is not None or yerr is not None:
+            ax.errorbar(xv, yv, xerr=ev(xerr), yerr=ev(yerr), fmt="none",
+                        ecolor="gray", alpha=alpha * 0.6, zorder=art.get_zorder() - 1)
+        if labels is not None:
+            lv = ev(labels)
+            for xi, yi, li in zip(xv, yv, lv):
+                ax.annotate(str(li), (xi, yi), textcoords="offset points", xytext=(3, 3))
         ax.set_xlabel(xlabel or x)
         ax.set_ylabel(ylabel or y)
         return ax
