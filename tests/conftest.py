@@ -13,14 +13,21 @@ __graft_entry__.dryrun_multichip).
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+# VAEX_TPU_TEST_PLATFORM=tpu runs this same suite against the real chip
+# (VERDICT r3 #5: the production backend must not be the one the suite
+# skips); default stays the fast deterministic 8-device virtual CPU mesh
+_platform = os.environ.get("VAEX_TPU_TEST_PLATFORM", "cpu")
+
+if _platform == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 
 import jax
 
-# the environment's sitecustomize registers the axon TPU backend and
-# overrides JAX_PLATFORMS; force CPU explicitly for fast deterministic tests
-jax.config.update("jax_platforms", "cpu")
+if _platform == "cpu":
+    # the environment's sitecustomize registers the axon TPU backend and
+    # overrides JAX_PLATFORMS; force CPU explicitly
+    jax.config.update("jax_platforms", "cpu")
 
 import contextlib
 

@@ -529,3 +529,29 @@ def test_groupby_virtual_int_alias_fast_path():
 
     df["km"] = df["k"].map({5: 1, 7: 2, 9: 3})
     assert not G._int_range_candidate(df, "km", None)
+
+
+def test_groupby_staged_combine_int64_overflow():
+    """Six keys whose cardinality product (~1e20) exceeds the int64 combined
+    key space: combining must stage (compress observed combos, then combine
+    the rest — reference _combine recursion groupby.py:575) instead of
+    overflowing. np.prod over the cell counts also overflowed int64 silently."""
+    import pandas as pd
+    n = 30_000
+    rng = np.random.RandomState(0)
+    id1 = rng.randint(5, 105, n).astype(np.int8)
+    id3 = rng.randint(5, 1_000_005, n).astype(np.int32)
+    v1 = rng.randint(5, 15, n).astype(np.int8)
+    df = vaex.from_arrays(id1=id1, id3=id3, v1=v1)
+    for alias, src in [("id2", "id1"), ("id4", "id1"), ("id5", "id1"), ("id6", "id3")]:
+        df[alias] = df[src]
+    keys = ["id1", "id2", "id3", "id4", "id5", "id6"]
+    res = df.groupby(keys, agg={"v1": "sum"})
+    pdf = pd.DataFrame(dict(id1=id1, id2=id1, id3=id3, id4=id1, id5=id1,
+                            id6=id3, v1=v1.astype(np.int64)))
+    want = pdf.groupby(keys).agg(v1=("v1", "sum")).reset_index()
+    assert len(res) == len(want)
+    ours = pd.DataFrame({c: np.asarray(res[c].to_numpy()) for c in res.get_column_names()})
+    m = ours.merge(want, on=keys, suffixes=("_a", "_b"))
+    assert len(m) == len(want)
+    np.testing.assert_array_equal(m.v1_a.astype(np.int64), m.v1_b)

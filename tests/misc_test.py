@@ -653,7 +653,10 @@ def test_executor_shards_over_mesh():
     assert float(df.sum("x")) == pytest.approx(x.sum(), rel=1e-12)
     assert int(df.sum("i")) == i.sum()
     cnt = np.asarray(df.count(binby="x", limits=[-3, 3], shape=32))
-    assert df.executor.pass_log[-1]["shards"] == len(jax.devices()) == 8
+    n_dev = len(jax.devices())
+    assert df.executor.pass_log[-1]["shards"] == n_dev
+    if jax.default_backend() != "tpu":  # conftest forces the 8-device CPU mesh
+        assert n_dev == 8
     # unsharded executor gives identical grids
     ex1 = ExecutorLocal(mesh=None)
     df2 = vaex.from_arrays(x=x, i=i)

@@ -449,11 +449,26 @@ class GrouperCombined(Grouper):
             rem = rem % mult
             self.parent_indices.append(idx)
         if sort:
-            order = np.lexsort([idx for idx in reversed(self.parent_indices)])
+            order = np.lexsort([np.asarray(idx) for _, idx
+                                in reversed(self.flat_parent_indices())])
             if not ascending:
                 order = order[::-1]
             self._sort_hashmap(order)
             self.parent_indices = [idx[order] for idx in self.parent_indices]
+
+    def flat_parent_indices(self):
+        """(original grouper, index array) pairs with nested combined parents
+        expanded — staged combining (reference _combine recursion,
+        groupby.py:575-583) nests a GrouperCombined inside the next stage
+        when the full cartesian product exceeds the int64 key space."""
+        out = []
+        for p, idx in zip(self.parents, self.parent_indices):
+            if isinstance(p, GrouperCombined):
+                for q, qidx in p.flat_parent_indices():
+                    out.append((q, np.asarray(qidx)[np.asarray(idx)]))
+            else:
+                out.append((p, idx))
+        return out
 
     def _sort_hashmap(self, order):
         from .hash import HashMapUnique
@@ -465,6 +480,33 @@ class GrouperCombined(Grouper):
         new._finalize_indices()
         self.hashmap = new
         self.bin_values = new.keys()
+
+
+def _combine_staged(df, groupers, sort, ascending, row_limit):
+    """Combine groupers into one int64 key, in stages when needed (reference
+    _combine, groupby.py:543-583): take groupers while the cartesian product
+    fits 2^63-1, compress to the observed combinations via GrouperCombined's
+    hashmap discovery (<= row count, regardless of the product), then combine
+    the compressed grouper with the rest.  Sort happens only at the final
+    stage, over the flattened original-parent indices."""
+    remaining = list(groupers)
+    while True:
+        take = [remaining.pop(0)]
+        prod = int(take[0].N)
+        while remaining and prod * max(int(remaining[0].N), 1) < 2 ** 63 - 1:
+            prod *= max(int(remaining[0].N), 1)
+            take.append(remaining.pop(0))
+        is_last = not remaining
+        if len(take) == 1:
+            raise RuntimeError(
+                f"grouper {take[0].label!r} alone exceeds the int64 key space")
+        combined = GrouperCombined(df, take, sort=sort and is_last,
+                                   ascending=ascending, row_limit=row_limit)
+        if is_last:
+            return combined
+        combined.label = "__combined__"
+        combined.create_binner(df)
+        remaining.insert(0, combined)
 
 
 def _labels_array(labels):
@@ -565,12 +607,16 @@ class GroupByBase:
         for g in self.by:
             g.create_binner(self.df)
         self.combine = False
-        cells = int(np.prod([g.N for g in self.by])) if self.by else 0
+        import math
+        # exact python-int product: np.prod overflows int64 silently for
+        # many-key groupbys (6 keys x 1e6 cardinality = 1e20 "cells")
+        cells = math.prod(int(g.N) for g in self.by) if self.by else 0
         if len(self.by) >= 2 and cells > 0:
             rows = self.df.length_unfiltered
             occupancy = rows / cells
             if (combine is True) or (combine == "auto" and (cells > _COMBINE_CELL_LIMIT or occupancy < 10)):
-                combined = GrouperCombined(self.df, self.by, sort=sorts[0] if sorts else False,
+                combined = _combine_staged(self.df, self.by,
+                                           sort=sorts[0] if sorts else False,
                                            ascending=ascendings[0] if ascendings else True,
                                            row_limit=row_limit)
                 combined.create_binner(self.df)
@@ -764,8 +810,8 @@ class GroupBy(GroupByBase):
                 combined = self.by[0]
                 mask = counts > 0
                 indices = np.nonzero(mask)[0]
-                for parent, pidx in zip(combined.parents, combined.parent_indices):
-                    columns[parent.label] = parent.labels_take(pidx[indices])
+                for parent, pidx in combined.flat_parent_indices():
+                    columns[parent.label] = parent.labels_take(np.asarray(pidx)[indices])
                 for key, value in arrays.items():
                     columns[key] = value[mask]
             elif self.dense and len(self.by) == 1:
