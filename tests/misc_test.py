@@ -1051,3 +1051,36 @@ def test_dynamic_hashmap_tables_program_reuse():
         ref = pd.DataFrame({"k": k, "v": v}).groupby("k")["v"].sum().sort_index()
         np.testing.assert_array_equal(np.asarray(r.evaluate("k")), ref.index.values)
         np.testing.assert_allclose(np.asarray(r.evaluate("v")), ref.values, rtol=1e-6)
+
+
+def test_filtered_indices_device_path():
+    """Filtered-extract on a fully device-resident frame computes the index
+    vector on device ('on' forces the path on the CPU backend for testing);
+    result must match the host path exactly, incl. missing-never-selects."""
+    import jax.numpy as jnp
+    from vaex_tpu import settings
+    rng = np.random.RandomState(5)
+    x = rng.randn(10_001).astype(np.float32)
+    df = vaex.from_arrays(x=jnp.asarray(x), y=jnp.arange(10_001, dtype=jnp.int32))
+    sel = df[df.x > 0.3]
+    old = settings.compute.device_filter
+    try:
+        settings.compute.device_filter = "on"
+        dev = sel._filtered_indices()
+        assert not isinstance(dev, np.ndarray)  # stayed a jax array
+        settings.compute.device_filter = "off"
+        host = sel._filtered_indices()
+    finally:
+        settings.compute.device_filter = old
+    np.testing.assert_array_equal(np.asarray(dev), host)
+    # end-to-end: extract + join on the filtered device frame
+    settings.compute.device_filter = "on"
+    try:
+        right = vaex.from_arrays(y=np.arange(0, 10_001, dtype=np.int32),
+                                 z=np.arange(0, 10_001, dtype=np.int64) * 2)
+        j = sel.join(right, on="y")
+        assert len(j) == int((x > 0.3).sum())
+        yv = np.asarray(j.evaluate("y"), dtype=np.int64)
+        np.testing.assert_array_equal(np.asarray(j.evaluate("z"), np.int64), yv * 2)
+    finally:
+        settings.compute.device_filter = old

@@ -2156,6 +2156,9 @@ class DataFrameLocal(DataFrame):
         """Row indices (into the unfiltered dataset) passing the filter."""
         from .execution import _to_bool_mask, chunk_size_for
         deps = sorted(self._selection_dependencies(FILTER_SELECTION_NAME))
+        dev = self._filtered_indices_device(deps)
+        if dev is not None:
+            return dev
         indices = []
         chunk_size = chunk_size_for(self._length_unfiltered)
         for i1, i2, chunks in self.dataset.chunk_iterator(deps, chunk_size, start=self._index_start, end=self._index_end):
@@ -2164,6 +2167,47 @@ class DataFrameLocal(DataFrame):
             local = np.nonzero(mask)[0] + (i1 + self._index_start)
             indices.append(local)
         return np.concatenate(indices) if indices else np.empty(0, dtype=np.int64)
+
+    def _filtered_indices_device(self, deps):
+        """Device path: every filter dep is a resident jax column and the
+        filter expression traces — evaluate the mask ON DEVICE and keep the
+        index vector in HBM.  The host path D2H's every dep column (at 1e8
+        rows over the tunnel that is minutes: the taxi-pipeline join wall —
+        filter -> extract -> join never needs the columns on host)."""
+        from . import array_types, dispatch, settings
+        from .scopes import DeviceScope, expression_is_device_compatible
+        mode = settings.compute.device_filter
+        if mode == "off":
+            return None
+        if mode == "auto":
+            import jax
+            if jax.default_backend() == "cpu":
+                return None  # host numpy is ~3x faster on the CPU backend
+        ds = self.dataset
+        cols = {}
+        for name in deps:
+            if name not in ds:
+                return None
+            col = ds[name]
+            if not array_types.is_jax_array(col):
+                return None
+            cols[name] = col
+        if not expression_is_device_compatible(self, self._filter_expression()):
+            return None
+        import jax.numpy as jnp
+        i0, i1 = self._index_start, self._index_end
+        scope = DeviceScope(self, values={n: c[i0:i1] for n, c in cols.items()})
+        try:
+            result = scope.evaluate(self._filter_expression())
+        except Exception:  # noqa: BLE001 — any host-only corner: fall back
+            return None
+        mask = jnp.asarray(dispatch.unwrap(result)).astype(bool)
+        invalid = dispatch.mask_of(result)
+        if invalid is not None:
+            mask = mask & ~invalid  # missing never selects (reference semantics)
+        count = int(mask.sum())  # the only host sync: one scalar
+        idx = jnp.nonzero(mask, size=count, fill_value=0)[0].astype(jnp.int64)
+        return idx + i0 if i0 else idx
 
     def extract(self):
         """Drop filtered-out rows & inactive range → compact dataframe

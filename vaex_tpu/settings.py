@@ -113,6 +113,13 @@ class Compute:
                                         # D2H at all — at 1M groups the mean
                                         # grid fetch alone is ~180ms over a
                                         # tunneled link)
+    device_filter: str = "auto"         # filtered-indices (extract/join on a
+                                        # filtered device frame) computed on
+                                        # device: 'auto' = accelerator
+                                        # backends only (avoids the tunnel
+                                        # D2H of every dep column; on the CPU
+                                        # backend host numpy is 3x faster),
+                                        # 'on'/'off' force
     dynamic_limits: bool = True         # bin limits / ordinal minimums enter
                                         # the compiled pass as runtime args,
                                         # so data-derived limits reuse the
@@ -156,6 +163,7 @@ class Compute:
         self.strategy = _env("VAEX_TPU_STRATEGY", self.strategy)
         self.device_finalize = _env("VAEX_TPU_DEVICE_FINALIZE", self.device_finalize)
         self.device_result = _env("VAEX_TPU_DEVICE_RESULT", self.device_result)
+        self.device_filter = _env("VAEX_TPU_DEVICE_FILTER", self.device_filter)
         self.dynamic_limits = _env("VAEX_TPU_DYNAMIC_LIMITS", self.dynamic_limits)
         self.pallas_payload = _env("VAEX_TPU_PALLAS_PAYLOAD", self.pallas_payload)
         self.sorted_grid = _env("VAEX_TPU_SORTED_GRID", self.sorted_grid)
