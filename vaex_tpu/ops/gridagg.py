@@ -107,19 +107,29 @@ class BinnerScalar(BinnerBase):
             # reference op order (binners.cpp:16,24: scale_v = 1/(vmax-vmin),
             # scaled = (v - vmin) * scale_v) for bitwise f64 parity
             scaled = (v - minimum) * (ftype(1.0) / width)
+            idx = (scaled * ftype(self.count)).astype(jnp.int32) + 2
+            idx = jnp.where(scaled < 0, 1, idx)
+            idx = jnp.where(scaled >= 1, self.count + 2, idx)
         else:
-            # f32: explicit DIVISION, in both the static and runtime-limits
-            # forms.  With constant limits XLA's simplifier rewrote the
-            # multiply-by-reciprocal into a divide, and integer-valued data
-            # on integer bin edges binned exactly ((k/N)*N rounds up);
-            # runtime limits skip that rewrite, so spell out the division —
-            # otherwise the same query bins edge rows differently depending
-            # on whether its limits were constants (caught by
-            # tests/groupby_test.py::test_nunique_sparse_fallback's binby).
-            scaled = (v - minimum) / width
-        idx = (scaled * ftype(self.count)).astype(jnp.int32) + 2
-        idx = jnp.where(scaled < 0, 1, idx)
-        idx = jnp.where(scaled >= 1, self.count + 2, idx)
+            # f32: the bin index must satisfy i*width <= (v-min)*count <
+            # (i+1)*width.  A division-based floor((v-min)/width*count) is
+            # NOT edge-exact on TPU: the chip's f32 divide can come out one
+            # ULP below the correctly-rounded quotient, so integer data on
+            # integer bin edges ((k/N)*N) truncates into the previous bin
+            # (zeroed bins / doubled neighbours; the CPU XLA lowering
+            # happened to round the other way, which is why the suite only
+            # caught this on real hardware).  Compute a candidate by
+            # division, then SNAP it with multiply-only comparisons — a
+            # single f32 multiply is correctly rounded on both backends, so
+            # the decisive comparison never involves the divide.
+            t = (v - minimum) * ftype(self.count)
+            scaled = t / width
+            cand = scaled.astype(jnp.int32)  # trunc; in-range t>=0
+            cand = cand + ((cand.astype(ftype) + 1) * width <= t).astype(jnp.int32)
+            cand = cand - (cand.astype(ftype) * width > t).astype(jnp.int32)
+            idx = cand + 2
+            idx = jnp.where(t < 0, 1, idx)
+            idx = jnp.where(t >= width * ftype(self.count), self.count + 2, idx)
         bad = jnp.isnan(scaled)
         if invalid is not None:
             bad = bad | invalid
