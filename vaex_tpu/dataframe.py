@@ -504,6 +504,16 @@ class DataFrame:
             # round-trip (~28ms on a tunneled TPU), and data_type runs ~20x
             # per aggregation query
             return array_types.data_type(self.dataset[expression])
+        for _, _, chunk in self._evaluate_iterator_raw(
+                [expression], i1=0, i2=min(1, self._length_unfiltered),
+                filtered=False):
+            sample = chunk[0]
+            if array_types.is_jax_array(sample):
+                # dtype reads off the device array's aval — NO np.asarray:
+                # a 1-row D2H costs a full tunnel round-trip (~25ms) and
+                # data_type runs several times per groupby/agg call
+                return DataType(np.dtype(sample.dtype))
+            return array_types.data_type(sample)
         sample = self.evaluate(expression, 0, min(1, self._length_unfiltered), filtered=False, parallel=False)
         dt = array_types.data_type(sample)
         return dt

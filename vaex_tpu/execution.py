@@ -1083,6 +1083,135 @@ def _structural_task_spec(spec):
     return out
 
 
+def _plan_pallas_groups(plans, L_local):
+    """Static Pallas fusion planning (see the call site in _compile_pass).
+
+    Returns (groups, partner): groups is a list of launch dicts
+    ``{binners, selection, sorted, units}`` where each unit is
+    ``{value_expr, vav, counts: [plan idx], payloads: [(plan idx, role,
+    exact_spec)]}``; partner maps plan idx -> group idx.  Count members ride
+    the kernel's count block when their validity matches the launch's cell
+    include (decided at trace time — mask presence is a trace-time fact);
+    otherwise they become exact 0/1 indicator payloads.
+    """
+    from .ops.pallas_gridagg import (MAX_CELLS_COUNT, MAX_CELLS_PAYLOAD,
+                                     MAX_CELLS_SORTED, MIN_CELLS,
+                                     exact_int_spec)
+    units = {}
+    for i, plan in enumerate(plans):
+        binners = plan.task.binners
+        if not binners or plan.order_expr is not None:
+            continue
+        ncells = int(np.prod([b.shape for b in binners]))
+        if not (MIN_CELLS <= ncells <= MAX_CELLS_SORTED):
+            continue
+        op = plan.op
+        if not isinstance(op, (gridagg.AggOpCount, gridagg.AggOpSum,
+                               gridagg.AggOpSumMoment)):
+            continue
+        if op.precision == "float64":
+            # reference-parity mode: exact scatter/segment paths only for
+            # float data (round-4 fix: float64 mode previously still engaged
+            # the kernel, so 'parity' runs weren't)
+            continue
+        sorted_scale = ncells > MAX_CELLS_PAYLOAD
+        role, spec = None, None
+        if isinstance(op, gridagg.AggOpCount):
+            role = "count"
+        elif plan.value_as_validity:
+            continue   # value-as-validity only makes sense for counts
+        elif isinstance(op, gridagg.AggOpSumMoment):
+            # moment payloads (v**m) ride the approx digit/hilo path — the
+            # fused binned mean+std workload stays on the MXU; f64 moments
+            # join beyond the flat cap (sorted-kernel scale, mixed
+            # precision: ~3e-6 hilo error, documented); 1-byte int moments
+            # are exact through m=2 via the integral snap
+            dt = np.dtype(op.data_dtype)
+            if dt.kind == "f":
+                if dt.itemsize > 4 and not sorted_scale:
+                    continue
+            elif not (dt.kind in "biu" and dt.itemsize == 1):
+                continue
+            role = "moment"
+        else:  # AggOpSum
+            acc = op.init(1)
+            dt = np.dtype(op.data_dtype)
+            if acc.dtype in (jnp.float32, jnp.float64):
+                if gridagg._sum_partial_dtype(op.data_dtype, acc.dtype) == np.dtype("float32"):
+                    role = "sum"
+                elif sorted_scale and dt.kind == "f":
+                    # f64 float inputs: the exact hi/lo-pair scatter keeps
+                    # near-f64 accuracy at flat-kernel scales; beyond the
+                    # flat cap the sorted kernel takes them (266M rows/s vs
+                    # 50M for the pair scatter, ~3e-6 per-value hilo error)
+                    role = "sum"
+                else:
+                    continue
+            else:
+                spec = exact_int_spec(dt)
+                if spec is None:
+                    continue   # int64: beyond the kernel's int32 inputs
+                if sorted_scale:
+                    # sorted kernel: single-digit (1-byte) ints only, and
+                    # its int32 locals stay exact only while chunk rows
+                    # stay under 2^24
+                    if dt.itemsize != 1 or L_local > (1 << 24):
+                        continue
+                role = "sum"
+        ukey = (tuple(binners), plan.value_expr, plan.selection_expr,
+                plan.value_as_validity)
+        units.setdefault(ukey, []).append((i, role, spec))
+
+    launches = {}
+    for (binners_t, value_expr, selection, vav), members in sorted(
+            units.items(), key=lambda kv: str(kv[0])):
+        counts = [m[0] for m in members if m[1] == "count"]
+        # per-unit payload cap matches the old per-group cap: extras fall
+        # back to the scatter path
+        payloads = [m for m in members if m[1] != "count"][:4]
+        if not counts and not payloads:
+            continue
+        launches.setdefault((binners_t, selection), []).append(
+            dict(value_expr=value_expr, vav=vav, counts=counts,
+                 payloads=payloads))
+
+    groups, partner = [], {}
+    MAX_PAYLOAD_SLOTS = 8
+    for (binners_t, selection), ulist in launches.items():
+        ncells = int(np.prod([b.shape for b in binners_t]))
+        # pack units into launches bounded by the payload-slot budget
+        # (worst case each count member needs an indicator slot when merged)
+        packs, cur, cur_n = [], [], 0
+        for u in ulist:
+            n_slots = len(u["payloads"]) + (len(u["counts"])
+                                            if len(ulist) > 1 else 0)
+            if cur and cur_n + n_slots > MAX_PAYLOAD_SLOTS:
+                packs.append(cur)
+                cur, cur_n = [], 0
+            cur.append(u)
+            cur_n += n_slots
+        if cur:
+            packs.append(cur)
+        for pack in packs:
+            n_pay = sum(len(u["payloads"]) for u in pack)
+            # beyond the flat kernel's cap (MACs/row = O(C) loses to scatter
+            # there) the sorted tile-local kernel takes over: sort + local
+            # one-hot matmuls + sequential window merge
+            sorted_path = ncells > (MAX_CELLS_PAYLOAD if n_pay
+                                    else MAX_CELLS_COUNT)
+            if sorted_path and not settings.compute.sorted_grid:
+                continue
+            gid = len(groups)
+            groups.append(dict(binners=binners_t, selection=selection,
+                               sorted=sorted_path, units=pack))
+            for u in pack:
+                for ci in u["counts"]:
+                    partner[ci] = gid
+                for (pi, _, _) in u["payloads"]:
+                    partner[pi] = gid
+    return groups, partner
+
+
 def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
     """Build the jitted device step for one run.
 
@@ -1097,92 +1226,25 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
         slot_f = {b: i for i, b in enumerate(_scalar_b)}
         slot_i = {b: i for i, b in enumerate(_ordinal_b)}
 
-    # -- static strategy planning: fuse all (count, sum*) plans over the same
-    # grid (any rank: 1-D/2-D/N-D scalar or ordinal binners) + value/selection
-    # into one Pallas MXU flat-cell kernel call (ops/pallas_gridagg.py): int8
-    # count matmul + ONE bf16 hi/lo matmul for up to 4 sum payloads — measured
-    # 522M rows/s (count+sum) / 2.0B rows/s (count-only) at 259² vs 70M for
-    # two XLA scatters on v5e
-    pallas_partner = {}
+    # -- static strategy planning: fuse eligible (count, sum, moment) plans
+    # over the same (grid, selection) into ONE Pallas MXU kernel launch
+    # (ops/pallas_gridagg.py).  Two tiers (round 5): plans sharing a value
+    # expression form a UNIT (count rides the kernel's count block, value
+    # validity folds into the cell index); units over the same (binners,
+    # selection) MERGE into one launch — each unit keeps its own validity by
+    # zeroing its payload (exact int payloads to -offset, which the
+    # offset*count reconstruction cancels) instead of voiding the row.
+    # Integer sums ride EXACT balanced base-256 digit payloads (int32
+    # accumulators + slab recombination: bit-exact at any magnitude, h2o q1
+    # measured 27B rows/s kernel-only at 100 cells); float sums ride the
+    # digit modes; 1-byte int moments ride the approx path (the integral
+    # snap keeps v**2 of int8 exact).
+    pallas_partner = {}   # plan idx -> group idx in pallas_groups
+    pallas_groups = []
     strategy = settings.compute.strategy
     on_tpu = jax.devices()[0].platform in ("tpu",)
     if strategy in ("auto", "pallas") and (on_tpu or strategy == "pallas"):
-        from .ops.pallas_gridagg import (MAX_CELLS_PAYLOAD, MAX_CELLS_SORTED,
-                                         MIN_CELLS)
-        groups = {}
-        for i, plan in enumerate(plans):
-            binners = plan.task.binners
-            if not binners:
-                continue
-            ncells = int(np.prod([b.shape for b in binners]))
-            if not (MIN_CELLS <= ncells <= MAX_CELLS_SORTED) or plan.order_expr is not None:
-                continue
-            if not isinstance(plan.op, (gridagg.AggOpCount, gridagg.AggOpSum,
-                                        gridagg.AggOpSumMoment)):
-                continue
-            if plan.op.precision == "float64":
-                # reference-parity mode: exact scatter/segment paths only —
-                # the kernel payload encodings are approximate for float
-                # sums (round-4 fix: float64 mode previously still engaged
-                # the kernel, so 'parity' runs weren't)
-                continue
-            if isinstance(plan.op, gridagg.AggOpSumMoment):
-                # moment payloads (v**m) ride the same bf16 hi/lo matmul —
-                # the fused binned mean+std workload stays on the MXU; f64
-                # moments join beyond the flat cap (sorted-kernel scale,
-                # mixed precision: ~3e-6 hilo error, documented)
-                dt = np.dtype(plan.op.data_dtype)
-                if dt.kind != "f":
-                    continue
-                if dt.itemsize > 4 and ncells <= MAX_CELLS_PAYLOAD:
-                    continue
-            elif isinstance(plan.op, gridagg.AggOpSum):
-                acc = plan.op.init(1)
-                if acc.dtype not in (jnp.float32, jnp.float64):
-                    # int sums need exact accumulation; beyond the flat cap
-                    # the SORTED kernel sums 1-byte ints bit-exactly (one
-                    # int8 digit + offset*count; int32 locals are exact
-                    # while chunk rows <= 2^24)
-                    dt = np.dtype(plan.op.data_dtype)
-                    if (ncells > MAX_CELLS_PAYLOAD and dt.kind in "biu"
-                            and dt.itemsize == 1 and L_local <= (1 << 24)):
-                        key = (tuple(binners), plan.value_expr,
-                               plan.selection_expr, plan.value_as_validity)
-                        groups.setdefault(key, []).append(i)
-                    continue
-                if gridagg._sum_partial_dtype(plan.op.data_dtype, acc.dtype) != np.dtype("float32"):
-                    # f64 float inputs: the exact hi/lo-pair scatter keeps
-                    # near-f64 accuracy at flat-kernel scales; beyond the
-                    # flat cap the sorted kernel takes them (266M rows/s vs
-                    # 50M for the pair scatter, ~3e-6 per-value hilo error)
-                    if not (ncells > MAX_CELLS_PAYLOAD
-                            and np.dtype(plan.op.data_dtype).kind == "f"):
-                        continue
-            key = (tuple(binners), plan.value_expr, plan.selection_expr, plan.value_as_validity)
-            groups.setdefault(key, []).append(i)
-        from .ops.pallas_gridagg import max_cells
-        for key, members in groups.items():
-            count_idx = [i for i in members if isinstance(plans[i].op, gridagg.AggOpCount)]
-            sum_idx = [i for i in members
-                       if isinstance(plans[i].op, (gridagg.AggOpSum, gridagg.AggOpSumMoment))]
-            # ALL count members share the kernel's one count grid (duplicate
-            # count plans arise when a compound mean and a plain count meet
-            # in one pass); >4 sum payloads fall back to scatter
-            fused = count_idx + sum_idx[:4]
-            if not fused or (not sum_idx and not count_idx):
-                continue
-            ncells = int(np.prod([b.shape for b in key[0]]))
-            # beyond the flat kernel's cap (MACs/row = O(C) loses to scatter
-            # there) the sorted tile-local kernel takes over: sort + local
-            # one-hot matmuls + sequential window merge — 266M rows/s at 1M
-            # cells vs 44M for the scatter fallback (sortkernel_lab.py)
-            sorted_path = ncells > max_cells(len(sum_idx))
-            if sorted_path and not settings.compute.sorted_grid:
-                continue
-            group = (count_idx[0] if count_idx else None, tuple(sum_idx[:4]),
-                     key[0], sorted_path)
-            for i in fused:
-                pallas_partner[i] = group
+        pallas_groups, pallas_partner = _plan_pallas_groups(plans, L_local)
 
     def step(states, inputs, masks, n_valid, i1, row_offset=0):
         # 32-bit row indices: 64-bit emulation makes remote XLA compiles ~20x
@@ -1234,7 +1296,12 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
             return flat_cache[key]
 
         work = []
-        for plan, state in zip(plans, states):
+        for i, (plan, state) in enumerate(zip(plans, states)):
+            if i in pallas_partner:
+                # evaluated inside the group launch (shared scope caches
+                # dedupe any overlap with scatter plans)
+                work.append((plan, state, None, None, None, None))
+                continue
             binners = plan.task.binners
             if binners:
                 flat = get_flat(binners)
@@ -1271,52 +1338,115 @@ def _compile_pass(df, plans, filter_on_device, filter_host_mask, mesh, L):
                 order_key = -okey if plan.op.inverted else okey
             work.append((plan, state, flat, value, include, order_key))
 
-        # execute: Pallas groups first (one kernel per group), scatter the rest
-        pallas_results = {}
+        pallas_results = {}   # gid -> {plan idx: flat partial grid}
+
+        def run_pallas_group(gid):
+            from .ops.pallas_gridagg import histflat_grid, sorted_histflat_grid
+            g = pallas_groups[gid]
+            binners = g["binners"]
+            ncells = int(np.prod([b.shape for b in binners]))
+            include_g = base_include
+            if g["selection"] is not None:
+                smv = scope.evaluate(g["selection"])
+                smask = smv.values.astype(bool)
+                if smv.mask is not None:
+                    smask = smask & ~smv.mask
+                include_g = include_g & smask
+            single = len(g["units"]) == 1
+            vals, specs, assign = [], [], []
+            count_block = []   # plan idxs served by the kernel's count grid
+            for u in g["units"]:
+                vmv = None
+                vvalid = None   # the unit's value-validity mask, or None
+                if u["value_expr"] is not None:
+                    vmv = scope.evaluate(u["value_expr"])
+                    if u["vav"]:
+                        vvalid = vmv.values.astype(bool)
+                        if vmv.mask is not None:
+                            vvalid = vvalid & ~vmv.mask
+                    else:
+                        if vmv.mask is not None:
+                            vvalid = ~vmv.mask
+                        if jnp.issubdtype(vmv.values.dtype, jnp.floating):
+                            nn = ~jnp.isnan(vmv.values)
+                            vvalid = nn if vvalid is None else vvalid & nn
+                if single and vvalid is not None:
+                    # single-unit launch: fold the value validity into the
+                    # cell index — counts then ride the count block for free
+                    # (bitwise-identical to the round-4 per-value grouping)
+                    include_g = include_g & vvalid
+                    vvalid = None
+                include_u = include_g if vvalid is None else include_g & vvalid
+                for ci in u["counts"]:
+                    if vvalid is None:
+                        count_block.append(ci)
+                    else:
+                        # count-with-validity in a merged launch: exact 0/1
+                        # indicator payload (one extra int8 digit block)
+                        if g["sorted"]:
+                            vals.append(include_u.astype(jnp.float32))
+                        else:
+                            vals.append(include_u.astype(jnp.int32))
+                        specs.append((0, 1))
+                        assign.append(ci)
+                for (pi, role, spec) in u["payloads"]:
+                    v = vmv.values
+                    if spec is not None:
+                        off = spec[0]
+                        if g["sorted"]:
+                            # sorted kernel takes raw f32 values + offset
+                            # (1-byte ints only: f32 is exact there)
+                            vals.append(jnp.where(include_u, v, 0).astype(jnp.float32))
+                        elif np.dtype(plans[pi].op.data_dtype) == np.dtype(np.uint32):
+                            # uint32 rides the bias trick: v ^ 2^31
+                            # reinterpreted as int32 == v - 2^31
+                            w = jnp.where(include_u, v, 0).astype(jnp.uint32)
+                            vals.append(jax.lax.bitcast_convert_type(
+                                w ^ np.uint32(1 << 31), jnp.int32))
+                        else:
+                            # excluded rows sit at -offset so digit(-offset)
+                            # + offset*count cancels exactly
+                            vals.append(jnp.where(include_u, v, 0)
+                                        .astype(jnp.int32) - np.int32(off))
+                        specs.append(spec)
+                        assign.append(pi)
+                    else:
+                        x = jnp.where(include_u, v, 0).astype(jnp.float32)
+                        if role == "moment":
+                            x = x ** plans[pi].op.moment
+                        vals.append(x)
+                        specs.append(None)
+                        assign.append(pi)
+            flat = get_flat(binners)
+            cflat = jnp.where(include_g, flat, np.int32(-1)).astype(jnp.int32)
+            need_count = bool(count_block)
+            if g["sorted"]:
+                pcount, psums = sorted_histflat_grid(
+                    cflat, tuple(vals), ncells, with_count=need_count,
+                    int_offsets=tuple(s[0] if s is not None else None
+                                      for s in specs))
+            else:
+                pcount, psums = histflat_grid(
+                    cflat, tuple(vals), ncells, with_count=need_count,
+                    int_specs=tuple(specs))
+            res = {}
+            for ci in count_block:
+                res[ci] = pcount
+            for slot, pi in enumerate(assign):
+                res[pi] = psums[slot]
+            pallas_results[gid] = res
+
+        # execute: Pallas groups (one kernel launch each), scatter the rest
         new_states = [None] * len(plans)
         for i, (plan, state, flat, value, include, order_key) in enumerate(work):
             if i in pallas_partner:
-                ci, sis, binners, sorted_path = pallas_partner[i]
-                gkey = (ci, sis)
-                if gkey not in pallas_results:
-                    from .ops.pallas_gridagg import (histflat_grid,
-                                                     sorted_histflat_grid)
-                    # all group members share (selection, value_expr) so
-                    # their include masks are identical traced values
-                    ncells = int(np.prod([b.shape for b in binners]))
-                    flat = get_flat(binners)
-                    cflat = jnp.where(include, flat, np.int32(-1)).astype(jnp.int32)
-
-                    def payload(si):
-                        v = jnp.where(include, work[si][3], 0).astype(jnp.float32)
-                        op = plans[si].op
-                        if isinstance(op, gridagg.AggOpSumMoment):
-                            v = v ** op.moment
-                        return v
-
-                    vals = tuple(payload(si) for si in sis)
-                    if sorted_path:
-                        def int_offset(si):
-                            op = plans[si].op
-                            if not isinstance(op, gridagg.AggOpSum):
-                                return None
-                            if op.init(1).dtype in (jnp.float32, jnp.float64):
-                                return None
-                            # 1-byte ints: exact single-digit payload
-                            # (uint8 centers at 128 so 0..255 fits int8)
-                            return 128 if np.dtype(op.data_dtype) == np.uint8 else 0
-                        pcount, psums = sorted_histflat_grid(
-                            cflat, vals, ncells, with_count=ci is not None,
-                            int_offsets=tuple(int_offset(si) for si in sis))
-                    else:
-                        pcount, psums = histflat_grid(
-                            cflat, vals, ncells, with_count=ci is not None)
-                    pallas_results[gkey] = (pcount, dict(zip(sis, psums)))
-                pcount, psums = pallas_results[gkey]
-                partial = pcount if isinstance(plan.op, gridagg.AggOpCount) else psums[i]
+                gid = pallas_partner[i]
+                if gid not in pallas_results:
+                    run_pallas_group(gid)
+                partial = pallas_results[gid][i]
                 flat_partial = jnp.concatenate(
                     [partial, jnp.zeros(1, partial.dtype)])  # void cell
-                new_states[i] = work[i][1] + flat_partial.astype(work[i][1].dtype)
+                new_states[i] = state + flat_partial.astype(state.dtype)
             else:
                 new_states[i] = plan.op.update(state, flat, value, include, order_key=order_key)
         return tuple(new_states)

@@ -45,8 +45,16 @@ class BinnerBase:
         array (numeric keys, plain-slice extract_center) — enables the
         device-resident groupby result frame (settings.compute.device_result)."""
         bv = getattr(self, "bin_values", None)
-        return (isinstance(bv, np.ndarray) and not np.ma.isMaskedArray(bv)
-                and bv.dtype.kind in "iuf")
+        ok = (isinstance(bv, np.ndarray) and not np.ma.isMaskedArray(bv)
+              and bv.dtype.kind in "iuf")
+        if ok and bv.dtype == np.float64:
+            # TPU stores f64 as an f32-pair (double-double, ~2^-49 relative):
+            # the H2D transfer of f64 LABELS is lossy, and group keys must
+            # round-trip bit-exactly (found by the round-5 full-suite TPU
+            # run: misc_test.py::test_dynamic_hashmap_tables_program_reuse)
+            import jax
+            ok = jax.default_backend() != "tpu"
+        return ok
 
     def device_labels(self):
         import jax.numpy as jnp

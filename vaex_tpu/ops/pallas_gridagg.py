@@ -68,6 +68,34 @@ _VMEM_BUDGET = 96 * 1024 * 1024
 # payload-digit modes: count + N balanced base-256 int8 digits per value
 _DIGIT_MODES = {"i24": 3, "i16": 2, "i8sr": 1}
 
+# exact integer payloads: balanced base-256 digit count per input dtype.
+# Digits accumulate in int32 across row tiles (|digit| <= 128, so one kernel
+# launch stays exact up to 2^31/128 = 16.7M rows — the slab loop in
+# `_histflat_exact` splits longer inputs and recombines in int64).  The digit
+# count covers the dtype's FULL range: 2 balanced digits top out at 32639 <
+# int16's 32767, hence 3; 4 top out at 2147450751 < 2^31-1, hence 5.
+# (offset, ndigits): executor passes values as int32 `v - offset` (uint32
+# rides the bias trick v ^ 2^31 reinterpreted, see exact_int_spec).
+_EXACT_SPECS = {
+    np.dtype(np.bool_): (0, 1),
+    np.dtype(np.int8): (0, 1), np.dtype(np.uint8): (128, 1),
+    np.dtype(np.int16): (0, 3), np.dtype(np.uint16): (32768, 3),
+    np.dtype(np.int32): (0, 5), np.dtype(np.uint32): (1 << 31, 5),
+}
+
+# one kernel launch keeps int32 digit accumulators exact up to this many rows
+SLAB_ROWS_EXACT = 16_000_000
+
+
+def exact_int_spec(dtype):
+    """(offset, ndigits) for an exact integer payload, or None.
+
+    The payload array handed to `histflat_grid` must be int32 ``v - offset``
+    with excluded rows set to ``-offset`` (i.e. zero v first, then shift):
+    an excluded-but-counted row then contributes digit(-offset) + offset*count
+    = 0, so per-payload validity masks need no separate count."""
+    return _EXACT_SPECS.get(np.dtype(dtype))
+
 
 def _uniform01(shape):
     """U[0,1) f32 from the per-core PRNG (seeded by caller).
@@ -82,13 +110,22 @@ def _uniform01(shape):
         1.0 / (1 << 24))
 
 
-def _pick_tile(nq, n_payloads, mode="hilo", W=128):
-    """Largest row tile whose working set fits the VMEM budget."""
+def _pick_tile(nq, n_payloads, mode="hilo", W=128, exact_digits=()):
+    """Largest row tile whose working set fits the VMEM budget.
+
+    exact_digits: per-exact-payload digit counts (these payloads ride the
+    int8 matmul with int32 accumulators; n_payloads counts ONLY the
+    float/approx payloads here)."""
+    n_exact = len(exact_digits)
+    d_exact = sum(exact_digits)
     for tile in (16384, 8192, 4096, 2048, 1024, 512):
         per_row = 4 + nq + W                      # c i32, q8, r8
-        if n_payloads:
+        if n_payloads or n_exact:
             per_row += 2 * nq                     # qf bf16
             per_row += 2 * 128 + 4                # rf bf16 + v f32
+            per_row += d_exact * 128              # exact int8 digit blocks
+            per_row += d_exact * 512              # int32 build temps
+            per_row += 4 * n_exact                # int32 inputs
             if mode == "i24":
                 per_row += (1 + 3 * n_payloads) * 128   # int8 B blocks
                 per_row += (1 + 3 * n_payloads) * 512   # int32 build temps
@@ -105,7 +142,7 @@ def _pick_tile(nq, n_payloads, mode="hilo", W=128):
                 per_row += 2 * n_payloads * 128         # bf16 hi blocks
             else:
                 per_row += 2 * 2 * n_payloads * 128     # P bf16 blocks
-        out_bytes = nq * W * 4 * (1 + n_payloads)
+        out_bytes = nq * W * 4 * (1 + n_payloads + d_exact)
         total = per_row * tile + out_bytes
         if total * 3 // 2 <= _VMEM_BUDGET:        # 50% slack for Mosaic temps
             return tile
@@ -143,9 +180,12 @@ def payload_mode():
     return settings.compute.pallas_payload
 
 
-def _kernel(c_ref, *rest, nq, tile, n_payloads, with_count, mode="hilo", W=128):
+def _kernel(c_ref, *rest, nq, tile, n_payloads, with_count, mode="hilo", W=128,
+            int_digits=None):
     v_refs = rest[:n_payloads]
     out_refs = rest[n_payloads:]
+    if int_digits is None:
+        int_digits = (None,) * n_payloads
     if with_count:
         count_ref, *sum_refs = out_refs
     else:
@@ -178,6 +218,91 @@ def _kernel(c_ref, *rest, nq, tile, n_payloads, with_count, mode="hilo", W=128):
         count_ref[...] += jax.lax.dot_general(
             q_oh8, (ir == r).astype(jnp.int8), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
+        return
+
+    if any(nd is not None for nd in int_digits):
+        # mixed exact-int / approx-float payloads, ALL in ONE wide int8
+        # matmul.  Exact payloads (int_digits[p] = nd) arrive as int32
+        # ``v - offset`` (excluded rows = -offset, see exact_int_spec) and
+        # decompose into nd balanced base-256 digits EXACTLY; their digit
+        # blocks accumulate in int32 out refs across tiles (|digit| <= 128,
+        # so the wrapper slabs inputs at SLAB_ROWS_EXACT and recombines in
+        # int64 — BIT-EXACT integer sums on the MXU).  Approx payloads ride
+        # the existing per-tile scale/mid digit encoding (f32 out refs).
+        ndigits_flt = _DIGIT_MODES.get(mode, 3)
+        sr = mode == "i8sr"
+        denom = {1: 126.0, 2: 32512.0, 3: 8323072.0}[ndigits_flt]
+        r_oh32 = (ir == r).astype(jnp.int32)
+        i8_blocks = [r_oh32]
+        recon = []   # per payload: ('exact', j0, nd) | ('flt', j0, s, mid)
+        if sr and any(nd is None for nd in int_digits):
+            pltpu.prng_seed(step)
+        blk = 1
+        for p in range(n_payloads):
+            if int_digits[p] is not None:
+                nd = int_digits[p]
+                rem = v_refs[p][0]                      # [1, T] int32
+                digs = []
+                for _ in range(nd - 1):
+                    # low = rem mod 256 in [0,255] (arith shift floors), then
+                    # balance to [-128,127] with the carry absorbed upward;
+                    # avoids the rem+128 overflow at int32 extremes
+                    hi = jax.lax.shift_right_arithmetic(rem, 8)
+                    low = rem - hi * 256
+                    up = (low >= 128).astype(jnp.int32)
+                    digs.append(low - up * 256)
+                    rem = hi + up
+                digs.append(rem)                        # top digit, in range
+                for d in digs[::-1]:                    # most significant first
+                    i8_blocks.append(r_oh32 * d)
+                recon.append(("exact", blk, nd))
+                blk += nd
+            else:
+                v = v_refs[p][0]                        # [1, T] f32
+                vmax = jnp.max(v)
+                vmin = jnp.min(v)
+                mid = jnp.round((vmax + vmin) * 0.5)
+                half = jnp.maximum(
+                    jnp.maximum(vmax - mid, mid - vmin), 1e-30)
+                integral = jnp.max(jnp.abs(v - jnp.round(v))) == 0.0
+                snap = jnp.logical_and(integral, half <= denom - 1.0)
+                s = jnp.where(snap, 1.0, half / (denom - 1.0))
+                x = (v - mid) / s
+                if sr:
+                    u = _uniform01(x.shape)
+                    u = jnp.where(snap, 0.5, u)
+                    qv = jnp.floor(x + u).astype(jnp.int32)
+                else:
+                    qv = jnp.round(x).astype(jnp.int32)
+                digs = []
+                rem = qv
+                for _ in range(ndigits_flt - 1):
+                    hi = jax.lax.shift_right_arithmetic(rem + 128, 8)
+                    digs.append(rem - hi * 256)
+                    rem = hi
+                digs.append(rem)
+                for d in digs[::-1]:
+                    i8_blocks.append(r_oh32 * d)
+                recon.append(("flt", blk, s, mid))
+                blk += ndigits_flt
+        B8 = jnp.concatenate(i8_blocks, axis=0).astype(jnp.int8)
+        out8 = jax.lax.dot_general(
+            q_oh8, B8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)           # [nq, (1+SUMd)*128]
+        cnt = out8[:, :128]
+        if with_count:
+            count_ref[...] += cnt
+        for p, spec in enumerate(recon):
+            if spec[0] == "exact":
+                _, j0, nd = spec
+                sum_refs[p][...] += out8[:, j0 * 128:(j0 + nd) * 128]
+            else:
+                _, j0, s, mid = spec
+                acc = out8[:, j0 * 128:(j0 + 1) * 128].astype(jnp.float32)
+                for d in range(1, ndigits_flt):
+                    acc = acc * 256.0 + out8[
+                        :, (j0 + d) * 128:(j0 + d + 1) * 128].astype(jnp.float32)
+                sum_refs[p][...] += acc * s + cnt.astype(jnp.float32) * mid
         return
 
     if mode in _DIGIT_MODES and n_payloads:
@@ -331,40 +456,97 @@ def _kernel(c_ref, *rest, nq, tile, n_payloads, with_count, mode="hilo", W=128):
             sum_refs[p][...] += hi + lo
 
 
-def histflat_grid(c, values, C, with_count=True, tile=None, mode=None):
+def histflat_grid(c, values, C, with_count=True, tile=None, mode=None,
+                  int_specs=None):
     """Fused flat-cell binned count + P sums.
 
     c: [N] int32 in [0, C) — the flattened full-edge-layout cell index
     (gridagg.flat_index); out-of-range rows (e.g. -1 for filtered/padded)
     drop out of the q one-hot (void-cell semantics).  values: tuple of [N]
-    f32 arrays, pre-masked (excluded rows must already be 0).
+    arrays, pre-masked (excluded rows must already be 0 — or ``-offset``
+    for exact integer payloads, see `exact_int_spec`).
 
     mode: 'i24' (default) | 'hilo' | 'i8lo' — see `payload_mode`; resolved
-    at trace time from settings when None.
+    at trace time from settings when None.  Applies to float/approx payloads.
 
-    Returns (count [C] int32 or None, tuple of sum [C] f32) — flat arrays;
-    the caller reshapes to the grid shape.
+    int_specs: optional per-payload tuple; entry p is None (float/approx
+    payload, f32 input) or ``(offset, ndigits)`` (exact integer payload:
+    int32 input holding ``v - offset``).  Exact payloads decompose into
+    balanced base-256 int8 digits that accumulate in int32 — the input is
+    slabbed at SLAB_ROWS_EXACT rows per kernel launch and recombined in
+    int64, so integer sums are BIT-EXACT at any magnitude (reference
+    agg_sum.cpp parity on the MXU).
+
+    Returns (count [C] int32 or None, tuple of sum grids: [C] f32 for
+    approx payloads, [C] int64 for exact payloads) — flat arrays; the
+    caller reshapes to the grid shape.
     """
     values = tuple(values)
     if mode is None:
         mode = payload_mode() if values else "i24"
+    if int_specs is None:
+        int_specs = (None,) * len(values)
+    int_specs = tuple(tuple(s) if s is not None else None for s in int_specs)
+    has_exact = any(s is not None for s in int_specs)
+    if has_exact and mode not in _DIGIT_MODES:
+        mode = "i24"   # exact digits need the int8-matmul branch
     if mode not in ("i24", "i16", "i8sr", "i8lo", "hilo"):
         raise ValueError(
             f"unknown pallas payload mode {mode!r} "
             "(expected 'i24', 'i16', 'i8sr', 'i8lo' or 'hilo')")
-    return _histflat_grid(c, values, C, with_count, tile, mode)
+    int_digits = tuple(None if s is None else s[1] for s in int_specs)
+    if not has_exact:
+        return _histflat_grid(c, values, C, with_count, tile, mode, int_digits)
+
+    # exact path: internal count is required for the offset reconstruction;
+    # slab the rows so each launch's int32 digit accumulators stay exact
+    n = int(c.shape[0])
+    n_slabs = max(1, -(-n // SLAB_ROWS_EXACT))
+    slab = -(-n // n_slabs)
+    count_acc = None
+    flt_acc = [None] * len(values)
+    dig_acc = [None] * len(values)   # int64 [nd, C] per exact payload
+    for s0 in range(0, n, slab):
+        cs = jax.lax.slice_in_dim(c, s0, min(s0 + slab, n))
+        vs = tuple(jax.lax.slice_in_dim(v, s0, min(s0 + slab, n))
+                   for v in values)
+        cnt, sums = _histflat_grid(cs, vs, C, True, tile, mode, int_digits)
+        count_acc = cnt if count_acc is None else count_acc + cnt
+        for p, g in enumerate(sums):
+            if int_digits[p] is not None:
+                g64 = g.astype(jnp.int64)
+                dig_acc[p] = g64 if dig_acc[p] is None else dig_acc[p] + g64
+            else:
+                flt_acc[p] = g if flt_acc[p] is None else flt_acc[p] + g
+    out_sums = []
+    cnt64 = count_acc.astype(jnp.int64)
+    for p, spec in enumerate(int_specs):
+        if spec is not None:
+            offset, nd = spec
+            acc = dig_acc[p][0]
+            for d in range(1, nd):
+                acc = acc * 256 + dig_acc[p][d]
+            out_sums.append(acc + np.int64(offset) * cnt64)
+        else:
+            out_sums.append(flt_acc[p])
+    return (count_acc if with_count else None), tuple(out_sums)
 
 
-@functools.partial(jax.jit, static_argnames=("C", "with_count", "tile", "mode"))
-def _histflat_grid(c, values, C, with_count, tile, mode):
+@functools.partial(jax.jit, static_argnames=("C", "with_count", "tile", "mode",
+                                              "int_digits"))
+def _histflat_grid(c, values, C, with_count, tile, mode, int_digits=None):
     P = len(values)
+    if int_digits is None:
+        int_digits = (None,) * P
+    P_flt = sum(1 for nd in int_digits if nd is None)
+    exact_digits = tuple(nd for nd in int_digits if nd is not None)
     # count-only rides 512 lanes (wide-N matmul, ~2.2B rows/s); payload
     # modes keep the narrow 128-wide r side for the value products
     W = 512 if (P == 0 and C >= 4096) else 128
     nq = -(-C // W)
     if tile is None:
-        tile = _pick_tile(nq, P, mode=mode, W=W)
-        if mode == "i24" and P:
+        tile = _pick_tile(nq, P_flt, mode=mode, W=W, exact_digits=exact_digits)
+        if mode == "i24" and P_flt:
             tile = min(tile, 8192)   # measured optimum (kernel_lab3 flat_i24
             # t8192 700M vs t4096 616M rows/s marginal at 259², re-measured)
         # i16's smaller working set fits t16384 in VMEM and measures faster
@@ -381,18 +563,27 @@ def _histflat_grid(c, values, C, with_count, tile, mode):
         c = jnp.concatenate([c, jnp.full(pad, -1, jnp.int32)])
         values = tuple(jnp.concatenate([v, jnp.zeros(pad, v.dtype)]) for v in values)
     c2 = c.reshape(n_tiles, 1, tile)
-    v2 = tuple(v.astype(jnp.float32).reshape(n_tiles, 1, tile) for v in values)
+    v2 = tuple(
+        v.astype(jnp.int32 if int_digits[p] is not None else jnp.float32
+                 ).reshape(n_tiles, 1, tile)
+        for p, v in enumerate(values))
 
     kernel = functools.partial(
         _kernel, nq=nq, tile=tile, n_payloads=P, with_count=with_count,
-        mode=mode, W=W)
+        mode=mode, W=W, int_digits=int_digits)
     out_specs, out_shape = [], []
     if with_count:
         out_specs.append(pl.BlockSpec((nq, W), lambda i: (0, 0), memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((nq, W), jnp.int32))
-    for _ in range(P):
-        out_specs.append(pl.BlockSpec((nq, W), lambda i: (0, 0), memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((nq, W), jnp.float32))
+    for nd in int_digits:
+        if nd is not None:
+            # exact payload: nd int32 digit blocks side by side
+            out_specs.append(pl.BlockSpec((nq, nd * 128), lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((nq, nd * 128), jnp.int32))
+        else:
+            out_specs.append(pl.BlockSpec((nq, W), lambda i: (0, 0), memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((nq, W), jnp.float32))
     row_spec = pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     # Mosaic rejects the i64 grid-index types that x64 mode leaks into the
@@ -407,10 +598,24 @@ def _histflat_grid(c, values, C, with_count, tile, mode):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
         )(c2, *v2)
-    outs = [o.reshape(-1)[:C] for o in outs]
+    res = []
+    j = 0
     if with_count:
-        return outs[0], tuple(outs[1:])
-    return None, tuple(outs)
+        res.append(outs[0].reshape(-1)[:C])
+        j = 1
+    for nd in int_digits:
+        o = outs[j]
+        j += 1
+        if nd is not None:
+            # [nq, nd*128] -> [nd, C]: per-digit q-major flat grids
+            res.append(jnp.stack(
+                [o[:, d * 128:(d + 1) * 128].reshape(-1)[:C]
+                 for d in range(nd)]))
+        else:
+            res.append(o.reshape(-1)[:C])
+    if with_count:
+        return res[0], tuple(res[1:])
+    return None, tuple(res)
 
 
 def max_cells(n_payloads):
