@@ -5,15 +5,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline = 1e9 rows/s (reference claim on a laptop; BASELINE.md north star:
 >=1e9 rows/s/chip on v5e).
 
-Headline mode: pallas_payload='i8sr' — exact counts + ONE stochastically-
-rounded int8 digit per sum payload (2C MACs/row on the MXU; see
-vaex_tpu/ops/pallas_gridagg.py).  The sum error is zero-mean with
-SD(sum_cell) = s*sqrt(n_cell/6), s = halfrange_tile/125 — at the bench's
-~11k rows/cell that is visualization-grade (measured + printed below
-against a float64 exact pass on the same data).  The stderr breakdown also
-reports the default-accuracy mode (i24, ~5e-7) and the bit-parity mode
-(VAEX_TPU_PRECISION=float64, XLA scatter path) so the accuracy/throughput
-trade is visible next to the headline number.
+Headline mode: the LIBRARY DEFAULT ('auto', no override): integer payloads
+ride EXACT digit encodings (bitwise-equal to the int64 oracle); float
+payloads ride i8sr — exact counts + ONE stochastically-rounded int8 digit
+per sum payload (2C MACs/row on the MXU; see vaex_tpu/ops/pallas_gridagg.py).
+The float sum error is zero-mean with SD(sum_cell) = s*sqrt(n_cell/6),
+s = halfrange_tile/125 (closed form: pallas_gridagg.sr_error_sd) — at the
+bench's ~11k rows/cell that is visualization-grade; both the OBSERVED error
+and the analytic 6-sigma bound are printed below.  The stderr breakdown also
+reports the analytic-grade float mode (i24, ~5e-7) and the bit-parity mode
+(VAEX_TPU_PRECISION=float64) so the accuracy/throughput trade is visible
+next to the headline number.
 
 A per-stage breakdown (fixed overhead vs marginal engine rate) goes to
 stderr: on the tunneled single-chip dev setup every result fetch pays a
@@ -30,9 +32,12 @@ import numpy as np
 
 BASELINE_ROWS_PER_S = 1e9
 
-# headline payload mode (overridable); must be set before vaex_tpu import
-os.environ.setdefault("VAEX_TPU_PALLAS_PAYLOAD",
-                      os.environ.get("BENCH_PAYLOAD", "i8sr"))
+# The headline runs the LIBRARY DEFAULT payload mode ('auto': exact integer
+# digits + i8sr floats) with NO override — the recorded number is the
+# out-of-box number (VERDICT r4 #4).  BENCH_PAYLOAD still forces a mode for
+# companion studies.
+if os.environ.get("BENCH_PAYLOAD"):
+    os.environ["VAEX_TPU_PALLAS_PAYLOAD"] = os.environ["BENCH_PAYLOAD"]
 
 
 def _claim_devices_or_die():
@@ -264,14 +269,33 @@ def main():
             print(f"[bench] companion {name}: t({n_small})={t*1e3:.0f}ms "
                   f"({n_small/t/1e6:.0f}M rows/s wall at n/8)", file=sys.stderr)
         if "i24" in grids:
-            # i8sr vs i24 share IDENTICAL f32 bin arithmetic, so this diff
-            # isolates the stochastic-rounding payload error (i24's own
+            # auto/i8sr vs i24 share IDENTICAL f32 bin arithmetic, so this
+            # diff isolates the stochastic-rounding payload error (i24's own
             # bound is ~5e-7)
             ref = grids["i24"]
             scale = np.nanmax(np.abs(ref))
             err = np.nanmax(np.abs(mean_head - ref)) / scale
             print(f"[bench] accuracy mode={payload}: max|mean-mean_i24| "
                   f"/ max|mean| = {err:.2e}", file=sys.stderr)
+            # analytic bound for the default mode: SD(sum) <=
+            # (halfrange/125)*sqrt(n_cell/6) (pallas_gridagg.sr_error_sd) —
+            # per-cell mean error <= 6*SD/n_cell at 6-sigma
+            try:
+                from vaex_tpu.ops.pallas_gridagg import sr_error_sd
+                d_small = df[:n_small]
+                cnt = np.asarray(d_small.count(binby=["x", "y"],
+                                               limits=limits, shape=256))
+                e_arr = np.asarray(d_small.minmax("E"))
+                half = (e_arr[1] - e_arr[0]) / 2
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    mean_bound = 6 * sr_error_sd(cnt, half) / np.maximum(cnt, 1)
+                obs = np.abs(mean_head - ref)
+                ok = np.nanmax(np.where(cnt > 0, obs - mean_bound, 0)) <= scale * 1e-6
+                print(f"[bench] sr analytic 6-sigma mean-error bound: "
+                      f"max={np.nanmax(mean_bound[cnt > 0]):.2e} "
+                      f"(observed within bound: {bool(ok)})", file=sys.stderr)
+            except Exception as e:  # pragma: no cover
+                print(f"[bench] sr bound print failed: {e!r}", file=sys.stderr)
         if "f64" in grids and "i24" in grids:
             # mixed-precision bins in f32 (documented: BinnerScalar.to_bins),
             # so vs float64 a handful of boundary rows land one bin over —

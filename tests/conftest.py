@@ -18,6 +18,13 @@ import os
 # skips); default stays the fast deterministic 8-device virtual CPU mesh
 _platform = os.environ.get("VAEX_TPU_TEST_PLATFORM", "cpu")
 
+# the behavioral suite asserts float aggregates against numpy oracles at
+# tight tolerances — pin the analytic-grade float payload encoding so those
+# assertions test the MACHINERY, not the default accuracy grade.  The
+# production default ('auto': exact ints + i8sr floats) has its own on-chip
+# test file: tests_tpu/test_auto_mode.py (exactness + the sr error bound).
+os.environ.setdefault("VAEX_TPU_PALLAS_PAYLOAD", "i24")
+
 if _platform == "cpu":
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"

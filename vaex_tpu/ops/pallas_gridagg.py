@@ -484,6 +484,12 @@ def histflat_grid(c, values, C, with_count=True, tile=None, mode=None,
     values = tuple(values)
     if mode is None:
         mode = payload_mode() if values else "i24"
+    if mode == "auto":
+        # 'auto' (the settings default): float payloads ride i8sr (exact
+        # counts, zero-mean sum error — see sr_error_sd); integer payloads
+        # are routed to EXACT digit encodings by the caller via int_specs
+        # regardless of mode, so 'auto' only picks the float encoding
+        mode = "i8sr"
     if int_specs is None:
         int_specs = (None,) * len(values)
     int_specs = tuple(tuple(s) if s is not None else None for s in int_specs)
@@ -493,7 +499,7 @@ def histflat_grid(c, values, C, with_count=True, tile=None, mode=None,
     if mode not in ("i24", "i16", "i8sr", "i8lo", "hilo"):
         raise ValueError(
             f"unknown pallas payload mode {mode!r} "
-            "(expected 'i24', 'i16', 'i8sr', 'i8lo' or 'hilo')")
+            "(expected 'auto', 'i24', 'i16', 'i8sr', 'i8lo' or 'hilo')")
     int_digits = tuple(None if s is None else s[1] for s in int_specs)
     if not has_exact:
         return _histflat_grid(c, values, C, with_count, tile, mode, int_digits)
@@ -620,6 +626,23 @@ def _histflat_grid(c, values, C, with_count, tile, mode, int_digits=None):
 
 def max_cells(n_payloads):
     return MAX_CELLS_PAYLOAD if n_payloads else MAX_CELLS_COUNT
+
+
+def sr_error_sd(count, halfrange):
+    """Per-cell standard deviation of an 'i8sr'/'auto' float sum.
+
+    The stochastically-rounded digit's quantization error is zero-mean with
+    per-row variance s^2/6 where s = halfrange_tile/125 <= halfrange/125
+    (halfrange = (max-min)/2 over the data; per-tile ranges are narrower, so
+    this is an upper bound).  Independent rows give
+    SD(sum_cell) <= (halfrange/125) * sqrt(n_cell/6).
+
+    count: per-cell row counts (the exact count grid from the same launch);
+    halfrange: scalar (max-min)/2 of the payload data.  Returns the per-cell
+    SD array — a ~3-sigma band covers the observed error (verified on-chip
+    in tests_tpu/test_auto_mode.py)."""
+    count = np.asarray(count, dtype=np.float64)
+    return (float(halfrange) / 125.0) * np.sqrt(count / 6.0)
 
 
 # ---------------------------------------------------------------------------

@@ -126,8 +126,22 @@ class Compute:
                                         # compiled program (a fresh minmax
                                         # pair otherwise pays a full remote
                                         # XLA recompile, ~20-40s tunneled)
-    pallas_payload: str = "i24"         # sum-payload encoding in the MXU
-                                        # grid kernel: 'i24' (default: three
+    pallas_payload: str = "auto"        # sum-payload encoding in the MXU
+                                        # grid kernel.  'auto' (default):
+                                        # integer payloads ride EXACT digit
+                                        # encodings (bit-exact at any
+                                        # magnitude — dtype-routed in the
+                                        # executor, active in every mode);
+                                        # float payloads ride 'i8sr'.  The
+                                        # sr error is zero-mean with
+                                        # SD(sum_cell) = s*sqrt(n_cell/6),
+                                        # s = halfrange_tile/125 (see
+                                        # pallas_gridagg.sr_error_sd for the
+                                        # closed form) — visualization /
+                                        # sketch grade; pick 'i24' for ~5e-7
+                                        # analytic-grade float sums.
+                                        # Explicit modes:
+                                        # 'i24' (three
                                         # balanced int8 digits in one wide
                                         # int8 matmul — 946M rows/s, 5e-7
                                         # rel err), 'hilo' (bf16 hi+lo pair,
