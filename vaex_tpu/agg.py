@@ -172,6 +172,14 @@ def _use_device_finalize(df, dtype=None):
         return False
     if dtype is not None and dtype.is_temporal:
         return False
+    if settings.compute.precision == "float64":
+        import jax
+        from .ops.gridagg import EXACT_LIMB_BACKENDS
+        if jax.default_backend() in EXACT_LIMB_BACKENDS:
+            # parity mode: sums live in exact integer limb states whose f64
+            # reconstruction is host-only (device f64 is dd-emulated) — the
+            # compound division happens on host at full IEEE f64
+            return False
     return getattr(df.executor, "supports_device_finalize", False)
 
 

@@ -660,6 +660,14 @@ class ExecutorLocal(Executor):
                     # order-preserving i64 key is computed host-side and
                     # shipped (functions._f64_minmax_key; gridagg op decodes)
                     value_expr = f"_f64_minmax_key({value_expr})"
+                if short == "sum" and np.dtype(dtype) == np.dtype("float64") \
+                        and op.precision == "float64" \
+                        and jax.default_backend() == "tpu":
+                    # parity-mode f64 sums: ship the exact i64 bit patterns
+                    # (f64 H2D is lossy dd on axon); the exact-limb
+                    # accumulator decodes them integerly on device
+                    # (functions._f64_sum_bits, gridagg._decode_float_bits)
+                    value_expr = f"_f64_sum_bits({value_expr})"
             elif short in ("first", "last"):
                 value_expr = desc.expressions[0]
                 order_expr = desc.expressions[1] if len(desc.expressions) > 1 else None

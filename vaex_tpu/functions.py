@@ -968,6 +968,28 @@ def _f64_minmax_key(x):
     return keys
 
 
+@register_function(name="_f64_sum_bits")
+def _f64_sum_bits(x):
+    """f64 → raw i64 bit pattern, HOST-only: the lossless way f64 values
+    reach the chip for precision='float64' sums (the axon platform stores
+    device f64 as an f32 double-double, so f64 H2D transfers round at
+    ~2^-48; i64 transfers are exact).  The exact-limb accumulator decodes
+    mantissa/exponent integerly on device (ops/gridagg._decode_float_bits).
+    NaNs surface as masked values so the aggregation skips them exactly like
+    the reference (agg_sum.cpp:98-126)."""
+    mask = None
+    if np.ma.isMaskedArray(x):
+        mask = np.ma.getmaskarray(x)
+        x = x.data
+    values = np.ascontiguousarray(x, dtype=np.float64)
+    bits = values.view(np.int64)
+    nan = np.isnan(values)
+    if nan.any() or mask is not None:
+        full = nan if mask is None else (nan | mask)
+        return np.ma.MaskedArray(bits, mask=full)
+    return bits
+
+
 @register_function(name="_lasso")
 def _lasso(x, y, xs, ys):
     x = np.asarray(x)

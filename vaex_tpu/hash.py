@@ -493,6 +493,11 @@ class _DeviceUniqueBuilder:
         self._valids = []       # device bool arrays or None (all valid)
         self._any_invalid = False
         self._host_fallback = None  # set when the cardinality probe says host
+        self._saw_nan = False   # float keys: NaN rows excluded, nan_index set
+        # f64 keys sort as order-preserving i64 (exact; device f64 compares
+        # are dd-emulated with ulp noise AND the f64 H2D itself is lossy —
+        # the transform runs host-side at memory bandwidth, gridagg._f64_to_key)
+        self._f64_keys = self.dtype.numpy == np.dtype("float64")
 
     @classmethod
     def max_bytes(cls):
@@ -509,7 +514,11 @@ class _DeviceUniqueBuilder:
         if task.selection is not None or task.return_inverse:
             return False
         dtype = df.data_type(expr)
-        if not (dtype.is_temporal or (dtype.is_numeric and dtype.numpy.kind in "iu")):
+        if not (dtype.is_temporal or (dtype.is_numeric and dtype.numpy.kind in "iuf")):
+            return False
+        if dtype.numpy.kind == "f" and expr not in df.dataset:
+            # float keys: plain stored columns only — NaN tracking and the
+            # exact f64->i64 key transform both run host-side per chunk
             return False
         if expr in df.dataset:
             col = df.dataset[expr]
@@ -576,19 +585,41 @@ class _DeviceUniqueBuilder:
                 return
         n = i2 - i1
         L = cache_key[3] if cache_key is not None else n
-        if plain:
+        nan_mask = None
+        if plain and host_values.dtype.kind == "f":
+            # float keys: canonicalize -0.0 == 0.0 (one key, like the
+            # reference hash), exclude NaN rows (tracked -> nan_index)
+            host_values = np.where(host_values == 0, 0.0, host_values).astype(
+                host_values.dtype, copy=False)
+            nans = np.isnan(host_values)
+            if nans.any():
+                self._saw_nan = True
+                nan_mask = ~nans
+            if self._f64_keys:
+                # exact order-preserving i64 keys, computed host-side (the
+                # f64 H2D path is lossy dd); cached under a derived name so
+                # the raw column's cache slot stays untouched
+                bits = host_values.view(np.int64)
+                keys = np.where(bits < 0, bits ^ np.int64(0x7FFFFFFFFFFFFFFF), bits)
+                values = self._put_cached(expr + "!f64key", keys, cache_key)
+            else:
+                values = self._put_cached(expr, host_values, cache_key)
+        elif plain:
             values = self._put_cached(expr, host_values, cache_key)
         else:
             values = self._eval_device(chunks, cache_key)
         self._parts.append(values)
         # validity: real rows only, minus filtered rows.  Padding from the
         # shared device cache layout makes validity mandatory whenever L != n
-        if filter_mask_host is not None or L != n:
+        if filter_mask_host is not None or L != n or nan_mask is not None:
             valid = jnp.arange(L, dtype=jnp.int32) < n
+            from .execution import _pad_to
             if filter_mask_host is not None:
-                from .execution import _pad_to
                 fm = jax.device_put(_pad_to(np.ascontiguousarray(filter_mask_host), L, fill=False))
                 valid = valid & fm
+            if nan_mask is not None:
+                nm = jax.device_put(_pad_to(np.ascontiguousarray(nan_mask), L, fill=False))
+                valid = valid & nm
             self._valids.append(valid)
             self._any_invalid = True
         else:
@@ -680,8 +711,15 @@ class _DeviceUniqueBuilder:
         np_dtype = self.dtype.numpy if not self.dtype.is_temporal else np.dtype("int64")
         hm = HashMapUnique(self.dtype)
         hm._native = None
+        if self._f64_keys:
+            # decode the order-preserving i64 keys back to f64 (ascending
+            # key order == ascending float order, gridagg._key_to_f64)
+            from .ops.gridagg import _key_to_f64
+            keys = _key_to_f64(keys)
         hm._keys = keys.astype(np_dtype, copy=False)
         hm._sorted_cache = (hm._keys, np.arange(len(hm._keys), dtype=np.int64))
+        if self._saw_nan:
+            hm.nan_index = -2
         hm._finalize_indices()
         return hm
 

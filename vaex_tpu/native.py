@@ -78,9 +78,12 @@ class NativeOrderedSet:
             return None
         return cls(dtype)
 
-    def update(self, values: np.ndarray) -> int:
+    def update(self, values: np.ndarray, nthreads: int = 0) -> int:
+        """nthreads: 0 = auto, 1 = serial, >1 = exactly that many row shards
+        (pins the reference-style sharded build + row-ordered merge,
+        hash_primitives.hpp:98-260, even on a single-core box)."""
         values = np.ascontiguousarray(values, dtype=self.dtype)
-        return self._set.update(values)
+        return self._set.update(values, nthreads)
 
     def keys(self) -> np.ndarray:
         return np.frombuffer(self._set.keys(), dtype=self.dtype).copy()

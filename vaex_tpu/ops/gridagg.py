@@ -348,9 +348,13 @@ class AggOpCount(AggOp):
         routed = jnp.where(include, idx, ncells1 - 1)
         if ncells1 == 2:
             return state.at[0].add(jnp.sum(include.astype(jnp.int32)).astype(state.dtype))
-        if self.precision == "mixed":
+        if self.precision == "mixed" or (
+                self.precision == "float64"
+                and jax.default_backend() in EXACT_LIMB_BACKENDS):
             # _partial_scatter also routes small grids to the one-hot
-            # compare+reduce strategy (no scatter at all)
+            # compare+reduce strategy (no scatter at all).  int32 partials
+            # are EXACT (chunk rows < 2^31), so parity mode takes them too:
+            # the emulated i64 scatter is ~13x slower for identical results
             partial = _partial_scatter(routed, jnp.ones(routed.shape, jnp.int32), ncells1, jnp.int32)
             return state + partial.astype(state.dtype)
         return state.at[routed].add(1)
@@ -397,6 +401,268 @@ def _segment_minmax_sorted(state, routed, values, sentinel, is_min):
     has = ends > starts
     cand = jnp.where(has, picked, sentinel)
     return jnp.minimum(state, cand) if is_min else jnp.maximum(state, cand)
+
+
+# ---------------------------------------------------------------------------
+# exact float sums on TPU: multi-limb integer fixed point
+# (precision='float64' fast path, VERDICT r4 #5)
+#
+# On this TPU generation f64 is EMULATED as an f32 double-double (~2^-48
+# relative; the verify notes' "1-2 ulp comparison noise" and the lossy f64
+# H2D are the same root cause), and emulated f64 scatters run 7.9M rows/s —
+# so "accumulate in f64 on device" can neither be exact nor fast.  i64
+# arithmetic IS exact on TPU (x64 rewriter), so parity-mode float sums ride
+# a fixed-point representation instead: each value |v| = M * 2^P decomposes
+# into 32-bit digit limbs positioned against a running per-grid anchor
+# window, the limbs accumulate exactly in int64 (sort by cell + one cumsum
+# per limb row, the _segment_sum_sorted strategy), and the f64 result is
+# reconstructed ON HOST at finalize (host f64 is real IEEE binary64).
+#
+# Accuracy: per cell the sum of every value within 2^(32*rows-84) of the
+# running max (f32 inputs: 2^73; f64: 2^76) is EXACT — digits below the
+# window truncate, bounded by n_cell * 2^bottom, astronomically below one
+# ulp of the result.  The final host reconstruction rounds once (<= 1 ulp).
+# That is strictly tighter than the reference's sequential f64 adds
+# (agg_sum.cpp), whose error is ~n*eps*max|partial|; results are
+# bit-identical to sequential f64 whenever the sequential sum is exact.
+# +-inf rides a separate f64 spill grid (rare chunks, lax.cond-gated);
+# NaN values are skipped like the reference (agg_sum.cpp:98-126).
+# ---------------------------------------------------------------------------
+
+_LIMB_INIT_BOTTOM = -(1 << 62)      # fresh-state anchor sentinel (x32 aligned)
+_LIMB_MASK32 = np.int64(0xFFFFFFFF)
+# backends that take the limb path for precision='float64' float sums;
+# tests add "cpu" to exercise the machinery on the virtual mesh
+EXACT_LIMB_BACKENDS = {"tpu"}
+
+
+def _limb_digit_rows(data_dtype):
+    """f32 mantissas (24 bits) get a 128-bit window; f64 (53) gets 160."""
+    return 4 if np.dtype(data_dtype).itemsize <= 4 else 5
+
+
+def _use_exact_limbs(data_dtype, precision):
+    return (precision == "float64"
+            and np.dtype(data_dtype).kind == "f"
+            and jax.default_backend() in EXACT_LIMB_BACKENDS)
+
+
+def _decode_float_bits(value):
+    """Device value -> (M, P, neg, inf): |v| = M * 2^P EXACTLY, M >= 0 i64.
+
+    Accepts float32 (native 32-bit bitcast), int64 (f64 bit patterns shipped
+    from host by functions._f64_sum_bits — the only lossless way f64 data
+    reaches the chip), or float64 (device-computed dd values: the canonical
+    bit pattern via the narrowing f64->u32[2] bitcast, same as _f64_to_key).
+    NaNs decode to M=0 (the aggregation skips them, reference
+    agg_sum.cpp:98-126); +-inf rows flag `inf` for the spill branch."""
+    if value.dtype == jnp.int64:
+        bits = value
+        e = ((bits >> 52) & 0x7FF).astype(jnp.int32)
+        frac = bits & ((np.int64(1) << 52) - 1)
+        M = frac | jnp.where(e > 0, np.int64(1) << 52, np.int64(0))
+        P = jnp.maximum(e, 1) - 1075
+        neg = bits < 0
+        special = e == 0x7FF
+    elif value.dtype == jnp.float64:
+        lohi = jax.lax.bitcast_convert_type(value, jnp.uint32)
+        hi = lohi[..., 1].astype(jnp.int64)   # NONNEGATIVE (u32 -> i64):
+        lo = lohi[..., 0].astype(jnp.int64)   # the sign lives in bit 31
+        e = ((hi >> 20) & 0x7FF).astype(jnp.int32)
+        frac = ((hi & 0xFFFFF) << 32) | lo
+        M = frac | jnp.where(e > 0, np.int64(1) << 52, np.int64(0))
+        P = jnp.maximum(e, 1) - 1075
+        neg = (hi >> 31) != 0
+        special = e == 0x7FF
+    else:
+        b = jax.lax.bitcast_convert_type(value.astype(jnp.float32), jnp.int32)
+        e = (b >> 23) & 0xFF
+        frac = (b & 0x7FFFFF).astype(jnp.int64)
+        M = frac | jnp.where(e > 0, np.int64(1) << 23, np.int64(0))
+        P = jnp.maximum(e, 1) - 150
+        neg = b < 0
+        special = e == 0xFF
+    inf = special & (frac == 0) & (M != 0)
+    M = jnp.where(special, np.int64(0), M)
+    return M, P.astype(jnp.int32), neg, inf
+
+
+def _limb_renorm(limbs):
+    """Carry-propagate raw signed i64 row sums to digits in [0, 2^32) plus a
+    signed top row — exact (i64 two's-complement identities)."""
+    rows = []
+    carry = jnp.zeros_like(limbs[0])
+    for j in range(limbs.shape[0] - 1):
+        s = limbs[j] + carry
+        rows.append(s & _LIMB_MASK32)
+        carry = s >> 32          # arithmetic shift: floor, handles negatives
+    rows.append(limbs[-1] + carry)
+    return jnp.stack(rows)
+
+
+def _limb_shift_down(limbs, q):
+    """Drop the lowest q digit rows (the window anchor moved up by 32*q bits).
+    The dropped digits are below the new window — the documented truncation.
+    q is a traced scalar; rows select statically."""
+    R = limbs.shape[0]
+    q = jnp.clip(q, 0, R)
+    out = []
+    for i in range(R):
+        acc = jnp.zeros_like(limbs[0])
+        for c in range(R):
+            if i + c < R:
+                acc = jnp.where(q == c, limbs[i + c], acc)
+        out.append(acc)
+    return jnp.stack(out)
+
+
+def _limb_row_digits(M, t, j):
+    """digit_j = floor(M * 2^t / 2^(32j)) mod 2^32, overflow-free in i64.
+    M >= 0 (53 bits max), t >= 0."""
+    sh_r = 32 * j - t
+    d_r = jnp.where(sh_r >= 63, np.int64(0), M >> jnp.clip(sh_r, 0, 63))
+    sh_l = t - 32 * j
+    d_l = jnp.where(sh_l >= 32, np.int64(0),
+                    (M & _LIMB_MASK32) << jnp.clip(sh_l, 0, 31))
+    return jnp.where(sh_r >= 0, d_r, d_l) & _LIMB_MASK32
+
+
+def _limb_chunk_sums(routed, streams, n_rows, ncells1, sorted_arrays=None):
+    """Per-cell digit-row sums for one chunk: [n_rows+1, ncells1] raw i64.
+
+    streams: [(M, P, neg)] decoded value streams (already zeroed for
+    excluded rows).  Strategy mirrors _segment_sum_sorted: ONE sort by cell
+    (payload = the packed stream inputs via `sorted_arrays` hook), then one
+    i64 cumsum + boundary diff per digit row.  Scalar grids (ncells1 == 2)
+    skip the sort and tree-reduce each row."""
+    if ncells1 == 2:
+        rows = []
+        for j in range(n_rows):
+            total = jnp.zeros((), jnp.int64)
+            for (M, t, neg) in streams:
+                d = _limb_row_digits(M, t, j)
+                total = total + jnp.sum(jnp.where(neg, -d, d))
+            rows.append(jnp.stack([total, jnp.zeros((), jnp.int64)]))
+        rows.append(jnp.zeros(2, jnp.int64))
+        return jnp.stack(rows)
+    cells = jax.lax.broadcasted_iota(jnp.int32, (ncells1, 1), 0).squeeze(-1)
+    sk = sorted_arrays[0]
+    ends = jnp.searchsorted(sk, cells, side="right")
+    starts = jnp.concatenate([jnp.zeros(1, ends.dtype), ends[:-1]])
+    rows = []
+    for j in range(n_rows):
+        digit = jnp.zeros(sk.shape, jnp.int64)
+        for (M, t, neg) in streams:
+            d = _limb_row_digits(M, t, j)
+            digit = digit + jnp.where(neg, -d, d)
+        cum = jnp.cumsum(digit)
+        cum0 = jnp.concatenate([jnp.zeros(1, cum.dtype), cum])
+        rows.append(cum0[ends] - cum0[starts])
+    rows.append(jnp.zeros(ncells1, jnp.int64))
+    return jnp.stack(rows)
+
+
+def _exact_limb_update(state, idx, raw_values, include, mbits_list,
+                       transform=None):
+    """One chunk of the exact limb accumulation.
+
+    raw_values: device arrays (f32 / i64-bits / dd-f64) — one per stream;
+    transform: optional per-value map applied before decoding (moments)."""
+    limbs, bottom, spill = state["limbs"], state["bottom"], state["spill"]
+    n_rows = limbs.shape[0] - 1
+    ncells1 = limbs.shape[1]
+    routed = jnp.where(include, idx, ncells1 - 1)
+
+    # zero excluded rows BEFORE anything else: their magnitudes must affect
+    # neither the window anchor nor the digits
+    zeroed = []
+    for v in raw_values:
+        if transform is not None:
+            v = transform(v)
+        zeroed.append(jnp.where(include, v, jnp.zeros((), v.dtype)))
+
+    if ncells1 == 2:
+        sorted_vals = zeroed
+        sk = None
+    else:
+        sk, *sorted_vals = jax.lax.sort((routed, *zeroed), num_keys=1)
+
+    decoded = [_decode_float_bits(v) for v in sorted_vals]
+    # window anchor: highest occupied bit across streams, x32-aligned
+    chunk_top = jnp.full((), -(1 << 30), jnp.int32)
+    for (M, P, neg, inf), mb in zip(decoded, mbits_list):
+        row_top = jnp.where(M > 0, P + mb, -(1 << 30))
+        chunk_top = jnp.maximum(chunk_top, jnp.max(row_top))
+    needed = ((chunk_top.astype(jnp.int64) + 1 - 32 * n_rows + 31) // 32) * 32
+    new_bottom = jnp.maximum(bottom, jnp.broadcast_to(needed, bottom.shape))
+    nb = new_bottom[0]
+
+    streams = []
+    any_inf = jnp.zeros((), bool)
+    for (M, P, neg, inf) in decoded:
+        t = P - nb.astype(jnp.int32)
+        Mq = jnp.where(t < 0, M >> jnp.clip(-t, 0, 63), M)
+        streams.append((Mq, jnp.maximum(t, 0), neg))
+        any_inf = any_inf | jnp.any(inf)
+
+    chunk = _limb_chunk_sums(routed, streams, n_rows, ncells1,
+                             sorted_arrays=(sk,))
+    shifted = _limb_shift_down(limbs, (nb - bottom[0]) >> 5)
+    new_limbs = _limb_renorm(shifted + chunk)
+
+    # +-inf spill: scatter only when the chunk actually has infinities
+    def add_inf(sp):
+        contrib = jnp.zeros(routed.shape, jnp.float64)
+        for (M, P, neg, inf) in decoded:
+            v_inf = jnp.where(inf, jnp.where(neg, -jnp.inf, jnp.inf), 0.0)
+            contrib = contrib + v_inf
+        if ncells1 == 2:
+            return sp.at[0].add(jnp.sum(contrib))
+        return sp.at[sk].add(contrib)
+
+    new_spill = jax.lax.cond(any_inf, add_inf, lambda sp: sp, spill)
+    return dict(limbs=new_limbs, bottom=new_bottom, spill=new_spill)
+
+
+def _exact_limb_merge(a, b):
+    nb = jnp.maximum(a["bottom"], b["bottom"])
+    la = _limb_shift_down(a["limbs"], (nb[0] - a["bottom"][0]) >> 5)
+    lb = _limb_shift_down(b["limbs"], (nb[0] - b["bottom"][0]) >> 5)
+    return dict(limbs=_limb_renorm(la + lb), bottom=nb,
+                spill=a["spill"] + b["spill"])
+
+
+def _exact_limb_finalize(state):
+    """Host reconstruction: exact digits -> f64 via compensated Horner.
+    Host f64 is real IEEE binary64; the single final rounding is <= 1 ulp."""
+    limbs = np.asarray(state["limbs"], np.int64)
+    bottom = int(np.asarray(state["bottom"]).reshape(-1)[0])
+    spill = np.asarray(state["spill"], np.float64)
+    if bottom <= _LIMB_INIT_BOTTOM:
+        return spill        # never saw data
+    # renorm in numpy (exact): digits in [0, 2^32) + signed top
+    rows = []
+    carry = np.zeros(limbs.shape[1], np.int64)
+    for j in range(limbs.shape[0] - 1):
+        s = limbs[j] + carry
+        rows.append(s & np.int64(0xFFFFFFFF))
+        carry = s >> 32
+    top = limbs[-1] + carry
+    # dd Horner from the top: top split exactly (|top| can exceed 2^53)
+    hi = (top >> 26).astype(np.float64) * float(1 << 26)
+    hi = hi + (top - ((top >> 26) << 26)).astype(np.float64)
+    lo = np.zeros_like(hi)
+    for d in rows[::-1]:
+        hi *= 4294967296.0
+        lo *= 4294967296.0
+        df = d.astype(np.float64)          # < 2^32: exact
+        s = hi + df                        # branch-free two-sum: s + err
+        bb = s - hi                        # == hi + df exactly
+        err = (hi - (s - bb)) + (df - bb)
+        hi, lo = s, lo + err
+    bclip = max(min(bottom, 2000), -2000)  # real exponents are in range;
+    out = np.ldexp(hi, bclip) + np.ldexp(lo, bclip)
+    return out + spill
 
 
 def _sum_partial_dtype(data_dtype, acc_dtype):
@@ -494,12 +760,37 @@ def _partial_scatter(routed, contrib, ncells1, pdt):
 
 class AggOpSum(AggOp):
     def init(self, ncells):
+        if _use_exact_limbs(self.data_dtype, self.precision):
+            rows = _limb_digit_rows(self.data_dtype) + 1
+            return dict(limbs=jnp.zeros((rows, ncells + 1), jnp.int64),
+                        bottom=jnp.full((1,), _LIMB_INIT_BOTTOM, jnp.int64),
+                        spill=jnp.zeros(ncells + 1, jnp.float64))
         acc = _acc_dtype_for_sum(self.data_dtype)
         if self.precision == "float32" and acc.kind == "f":
             acc = np.dtype("float32")
         return jnp.zeros(ncells + 1, dtype=acc)
 
+    def merge(self, state, other):
+        if isinstance(state, dict):
+            return _exact_limb_merge(state, other)
+        return super().merge(state, other)
+
+    def finalize(self, state):
+        if isinstance(state, dict):
+            return _exact_limb_finalize(state)
+        return super().finalize(state)
+
+    def finalize_device(self, state):
+        # exact-limb reconstruction needs real IEEE f64: host only
+        return None if isinstance(state, dict) else state
+
     def update(self, state, idx, value, include, order_key=None):
+        if isinstance(state, dict):
+            # precision='float64' on TPU: exact multi-limb integer fixed
+            # point (see the section comment above _decode_float_bits);
+            # mantissa width for the window anchor by incoming stream dtype
+            mbits = 24 if value.dtype == jnp.float32 else 53
+            return _exact_limb_update(state, idx, (value,), include, (mbits,))
         ncells1 = state.shape[0]
         routed = jnp.where(include, idx, ncells1 - 1)
         v = jnp.where(include, value, 0)
@@ -544,10 +835,39 @@ class AggOpSumMoment(AggOp):
         self.moment = moment
 
     def init(self, ncells):
+        if (self.precision == "float64"
+                and jax.default_backend() in EXACT_LIMB_BACKENDS
+                and np.dtype(self.data_dtype).kind in "fiub"):
+            # moments are computed in (emulated dd) f64 then summed EXACTLY
+            # (any input dtype: the moment itself is always f64)
+            rows = _limb_digit_rows(np.float64) + 1
+            return dict(limbs=jnp.zeros((rows, ncells + 1), jnp.int64),
+                        bottom=jnp.full((1,), _LIMB_INIT_BOTTOM, jnp.int64),
+                        spill=jnp.zeros(ncells + 1, jnp.float64))
         dt = jnp.float32 if self.precision == "float32" else jnp.float64
         return jnp.zeros(ncells + 1, dtype=dt)
 
+    def merge(self, state, other):
+        if isinstance(state, dict):
+            return _exact_limb_merge(state, other)
+        return AggOp.merge(self, state, other)
+
+    def finalize(self, state):
+        if isinstance(state, dict):
+            return _exact_limb_finalize(state)
+        return AggOp.finalize(self, state)
+
+    def finalize_device(self, state):
+        return None if isinstance(state, dict) else state
+
     def update(self, state, idx, value, include, order_key=None):
+        if isinstance(state, dict):
+            # v**moment in device f64 rounds like the reference's f64 multiply
+            # chain (dd: ~2^-48 on this platform); the SUM of those rounded
+            # moments is then exact via the limb path
+            return _exact_limb_update(
+                state, idx, (value,), include, (53,),
+                transform=lambda v: v.astype(jnp.float64) ** self.moment)
         ncells1 = state.shape[0]
         routed = jnp.where(include, idx, ncells1 - 1)
         if ncells1 == 2:
