@@ -31,15 +31,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def make_h2o_df(vaex, n, seed=0):
-    import jax
-    import jax.numpy as jnp
-    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
-    id1 = jax.random.randint(ks[0], (n,), 5, 105, jnp.int8)
-    id3 = jax.random.randint(ks[1], (n,), 5, 1_000_005, jnp.int32)
-    v1 = jax.random.randint(ks[2], (n,), 5, 15, jnp.int8)
-    v3 = jax.random.normal(ks[3], (n,), jnp.float32)
-    df = vaex.from_arrays(id1=id1, id3=id3, v1=v1, v3=v3)
+def _cache_path(kind, n):
+    cache_dir = os.environ.get("BENCH_CACHE_DIR", "/root/bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, f"{kind}_{n}.hdf5")
+
+
+def _alias_h2o(df):
     # reference aliasing (groupbyh2o.py:28-36): id2/id4/id5 = id1, id6 = id3,
     # v2 = v1 — as virtual columns, exactly like the reference's df['id2'] = df['i1_100']
     df["id2"] = df["id1"]
@@ -50,7 +48,49 @@ def make_h2o_df(vaex, n, seed=0):
     return df
 
 
-def make_taxi_df(vaex, n, seed=1):
+def make_h2o_df(vaex, n, seed=0, source="device"):
+    if source == "hdf5":
+        # cold-capable disk artifact (VERDICT r4 #7): physical columns are
+        # generated HOST-side once and written through the vaex-hdf5 writer;
+        # queries then exercise the real mmap -> H2D -> compute pipeline
+        path = _cache_path("h2o", n)
+        if not os.path.exists(path):
+            rng = np.random.default_rng(seed)
+            phys = vaex.from_arrays(
+                id1=rng.integers(5, 105, n, dtype=np.int8),
+                id3=rng.integers(5, 1_000_005, n, dtype=np.int32),
+                v1=rng.integers(5, 15, n, dtype=np.int8),
+                v3=rng.normal(0, 1, n).astype(np.float32))
+            phys.export_hdf5(path + ".tmp")
+            os.replace(path + ".tmp", path)
+        return _alias_h2o(vaex.open(path))
+    import jax
+    import jax.numpy as jnp
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    id1 = jax.random.randint(ks[0], (n,), 5, 105, jnp.int8)
+    id3 = jax.random.randint(ks[1], (n,), 5, 1_000_005, jnp.int32)
+    v1 = jax.random.randint(ks[2], (n,), 5, 15, jnp.int8)
+    v3 = jax.random.normal(ks[3], (n,), jnp.float32)
+    df = vaex.from_arrays(id1=id1, id3=id3, v1=v1, v3=v3)
+    return _alias_h2o(df)
+
+
+def make_taxi_df(vaex, n, seed=1, source="device"):
+    if source == "hdf5":
+        path = _cache_path("taxi", n)
+        if not os.path.exists(path):
+            rng = np.random.default_rng(seed)
+            dist = np.exp(rng.normal(0, 1, n).astype(np.float32) * 0.8 + 0.9)
+            fare = 2.5 + dist * 2.0 + rng.normal(0, 1, n).astype(np.float32)
+            phys = vaex.from_arrays(
+                pickup_zone=rng.integers(0, 265, n, dtype=np.int16),
+                trip_distance=dist.astype(np.float32),
+                fare=fare.astype(np.float32),
+                tip=np.maximum(0.0, fare * 0.15 + rng.normal(0, 1, n)).astype(np.float32),
+                passenger_count=rng.integers(1, 7, n, dtype=np.int8))
+            phys.export_hdf5(path + ".tmp")
+            os.replace(path + ".tmp", path)
+        return vaex.open(path)
     import jax
     import jax.numpy as jnp
     ks = jax.random.split(jax.random.PRNGKey(seed), 5)
@@ -64,18 +104,31 @@ def make_taxi_df(vaex, n, seed=1):
                             tip=tip, passenger_count=passengers)
 
 
-def timeit(fn, repeats=3):
+def _clear_device_cache():
+    """Cold mode: every timed iteration pays the full host->HBM stream (the
+    mmap'd file stays in the OS page cache across repeats — cold measures the
+    H2D pipeline + compute, matching bench.py's oocore methodology)."""
+    from vaex_tpu import execution
+    execution._device_cache.clear()
+
+
+def timeit(fn, repeats=3, cold=False):
+    if cold:
+        _clear_device_cache()
     fn()  # warm (compile)
     times = []
     for _ in range(repeats):
+        if cold:
+            _clear_device_cache()
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
     return min(times)
 
 
-def run_h2o(vaex, n, which, repeats, results):
-    df = make_h2o_df(vaex, n)
+def run_h2o(vaex, n, which, repeats, results, source="device", cold=False):
+    df = make_h2o_df(vaex, n, source=source)
+    suffix = "_cold" if cold else ("_disk" if source == "hdf5" else "")
 
     def chk(res, col):
         # checksum fetch forces completion (h2o methodology: chk sums)
@@ -109,19 +162,20 @@ def run_h2o(vaex, n, which, repeats, results):
         if which and name not in which:
             continue
         try:
-            seconds = timeit(q, repeats)
-            out = {"name": f"h2o_{name}", "rows": n,
+            seconds = timeit(q, repeats, cold=cold)
+            out = {"name": f"h2o_{name}{suffix}", "rows": n,
                    "seconds": round(seconds, 4),
                    "rows_per_s": round(n / seconds)}
         except Exception as e:  # noqa: BLE001
-            out = {"name": f"h2o_{name}", "rows": n,
+            out = {"name": f"h2o_{name}{suffix}", "rows": n,
                    "error": f"{type(e).__name__}: {e}"[:200]}
         print(json.dumps(out), flush=True)
         results.append(out)
 
 
-def run_taxi(vaex, n, repeats, results):
-    df = make_taxi_df(vaex, n)
+def run_taxi(vaex, n, repeats, results, source="device", cold=False):
+    df = make_taxi_df(vaex, n, source=source)
+    suffix = "_cold" if cold else ("_disk" if source == "hdf5" else "")
     zones = vaex.from_arrays(
         zone_id=np.arange(265, dtype=np.int16),
         borough=(np.arange(265) % 6).astype(np.int8))
@@ -134,13 +188,13 @@ def run_taxi(vaex, n, repeats, results):
         return float(p50), float(corr)
 
     try:
-        seconds = timeit(pipeline, repeats)
+        seconds = timeit(pipeline, repeats, cold=cold)
         p50, corr = pipeline()
-        out = {"name": "taxi_pipeline", "rows": n, "seconds": round(seconds, 4),
+        out = {"name": f"taxi_pipeline{suffix}", "rows": n, "seconds": round(seconds, 4),
                "rows_per_s": round(n / seconds),
                "p50_fare": round(p50, 4), "corr_dist_tip": round(corr, 6)}
     except Exception as e:  # noqa: BLE001
-        out = {"name": "taxi_pipeline", "rows": n,
+        out = {"name": f"taxi_pipeline{suffix}", "rows": n,
                "error": f"{type(e).__name__}: {e}"[:200]}
     print(json.dumps(out), flush=True)
     results.append(out)
@@ -183,18 +237,30 @@ def main():
     parser.add_argument("--platform", default=None,
                         help="force jax platform (the env's sitecustomize "
                              "overrides JAX_PLATFORMS, so use this for cpu runs)")
+    parser.add_argument("--source", default="device", choices=["device", "hdf5"],
+                        help="hdf5: disk-backed frames (create-once artifact) "
+                             "streamed through mmap -> H2D")
+    parser.add_argument("--cold", action="store_true",
+                        help="clear the HBM column cache before every timed "
+                             "iteration: each repeat pays the full H2D stream "
+                             "(implies the real out-of-core rate)")
     args = parser.parse_args()
     which = set(args.which.split(",")) if args.which else None
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.cold and args.source != "hdf5":
+        parser.error("--cold requires --source hdf5 (device frames have no "
+                     "host copy to re-stream)")
 
     import vaex_tpu as vaex
     results = []
     if which is None or any(w.startswith("q") for w in which):
-        run_h2o(vaex, int(args.rows), which, args.repeats, results)
+        run_h2o(vaex, int(args.rows), which, args.repeats, results,
+                source=args.source, cold=args.cold)
     if which is None or "taxi" in which:
-        run_taxi(vaex, int(args.rows), args.repeats, results)
+        run_taxi(vaex, int(args.rows), args.repeats, results,
+                 source=args.source, cold=args.cold)
     if which is None or which & {"isin", "unique", "value_counts", "sort"}:
         run_1e9(vaex, int(args.big_rows), which, args.repeats, results)
 
