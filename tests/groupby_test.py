@@ -601,3 +601,58 @@ def test_groupby_staged_combine_int64_overflow():
     m = ours.merge(want, on=keys, suffixes=("_a", "_b"))
     assert len(m) == len(want)
     np.testing.assert_array_equal(m.v1_a.astype(np.int64), m.v1_b)
+
+
+def test_plan_dedupe_aliased_values_and_counts(monkeypatch):
+    """h2o q4 shape: mean over an aliased virtual value (`v2 = v1`) must
+    share v1's sum grid, and count carriers over provably complete int
+    values must share the bare row count — 7 plans collapse to 4
+    (execution._plan_device dedupe; results from one grid answer every
+    aliased task)."""
+    import pandas as pd
+    from vaex_tpu import execution
+
+    n = 20_000
+    rng = np.random.RandomState(0)
+    df = vaex.from_arrays(
+        id1=rng.randint(5, 105, n).astype(np.int8),
+        v1=rng.randint(5, 15, n).astype(np.int8),
+        v3=rng.normal(0, 1, n).astype(np.float32))
+    df["id4"] = df["id1"]
+    df["v2"] = df["v1"]
+
+    seen = []
+    real = execution._compile_pass
+
+    def spy(df_, plans, *a, **k):
+        seen.append([(type(p.op).__name__, p.value_expr, len(p.fulfill_tasks))
+                     for p in plans])
+        return real(df_, plans, *a, **k)
+
+    monkeypatch.setattr(execution, "_compile_pass", spy)
+    res = df.groupby(["id4"], agg={"v1": "mean", "v2": "mean", "v3": "mean"})
+    agg_pass = [p for p in seen if len(p) > 1][-1]
+    # v2's sum deduped into v1's; all int count carriers + the row count
+    # share ONE bare count; v3 (float, NaN-capable) keeps its own count
+    assert len(agg_pass) == 4, agg_pass
+    assert sum(1 for op, ve, _ in agg_pass if op == "AggOpCount" and ve is None) == 1
+
+    pdf = pd.DataFrame({"id4": df.evaluate("id1"), "v1": df.evaluate("v1"),
+                        "v3": df.evaluate("v3")})
+    want = pdf.groupby("id4").agg(v1=("v1", "mean"), v3=("v3", "mean")).sort_index()
+    np.testing.assert_allclose(np.asarray(res["v1"].to_numpy()), want["v1"].values, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res["v2"].to_numpy()), want["v1"].values, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(res["v3"].to_numpy()), want["v3"].values, rtol=1e-5)
+
+
+def test_count_not_canonicalized_for_masked_or_float():
+    """count(v) must NOT collapse to count(*) when v can be missing."""
+    m = np.ma.masked_array(np.array([1, 2, 3, 4], np.int32),
+                           [False, True, False, True])
+    f = np.array([1.0, np.nan, 2.0, np.nan], np.float32)
+    df = vaex.from_arrays(k=np.array([0, 0, 1, 1], np.int32), m=m, f=f)
+    g = df.groupby("k", agg={"nm": vaex.agg.count("m"), "nf": vaex.agg.count("f"),
+                             "rows": vaex.agg.count()}, sort=True)
+    assert np.asarray(g["nm"].to_numpy()).tolist() == [1, 1]
+    assert np.asarray(g["nf"].to_numpy()).tolist() == [1, 1]
+    assert np.asarray(g["rows"].to_numpy()).tolist() == [2, 2]

@@ -9,7 +9,6 @@ against math.fsum — at >10x the old emulated-scatter rate.
 Run on real TPU hardware: python -m pytest tests_tpu/ -x -q
 """
 import math
-import os
 
 import numpy as np
 import pytest
@@ -19,12 +18,18 @@ import jax
 if jax.devices()[0].platform != "tpu":  # pragma: no cover
     pytest.skip("requires a real TPU device", allow_module_level=True)
 
-os.environ["VAEX_TPU_PRECISION"] = "float64"
-
 import vaex_tpu as vaex  # noqa: E402
 from vaex_tpu import settings  # noqa: E402
 
-settings.compute.precision = "float64"
+
+@pytest.fixture(autouse=True)
+def _parity_precision():
+    # per-test, NOT module-level: pytest imports every tests_tpu module at
+    # collection, so a module-level mutation leaks into other files' tests
+    old = settings.compute.precision
+    settings.compute.precision = "float64"
+    yield
+    settings.compute.precision = old
 
 
 def _fsum_grid(k, v, ncells):

@@ -6,6 +6,12 @@ JAX_PLATFORMS=cpu for determinism):
     python -m pytest tests_tpu/ -x -q
 
 Catches Mosaic regressions the CPU suite can't see (VERDICT r1 weak #5).
+
+This file tests the DIGIT-MODE machinery at the i24 analytic grade, so the
+settings-resolved payload is pinned to 'i24' (like tests/conftest.py): the
+library default is 'auto' (exact ints + i8sr floats), whose accuracy
+contract lives in tests_tpu/test_auto_mode.py.  Tests of the other modes
+pass mode= explicitly.
 """
 
 import numpy as np
@@ -18,7 +24,19 @@ if jax.devices()[0].platform != "tpu":  # pragma: no cover
 
 import jax.numpy as jnp
 
+from vaex_tpu import settings
 from vaex_tpu.ops.pallas_gridagg import hist2d_grid, hist2d_count_sum
+
+
+@pytest.fixture(autouse=True)
+def _pin_i24():
+    # set per-test (NOT at module import: pytest imports every tests_tpu
+    # module at collection, so module-level settings mutations leak into
+    # other files' tests)
+    old = settings.compute.pallas_payload
+    settings.compute.pallas_payload = "i24"
+    yield
+    settings.compute.pallas_payload = old
 
 
 def _ref_grids(bx, by, v, nx, ny):

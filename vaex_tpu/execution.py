@@ -123,7 +123,16 @@ _device_cache = DeviceColumnCache()
 
 
 class _AggTaskPlan:
-    """Device-side plan for one TaskAggregation."""
+    """Device-side plan for one or more identical TaskAggregations.
+
+    Plans dedupe on (op identity, canonical exprs, binners): h2o q4's
+    `mean(v2)` where `df['v2'] = df['v1']` shares v1's sum grid instead of
+    paying a second payload slot in the fused kernel, and a non-nullable
+    integer `count(v)` shares the bare row count's grid (the reference's
+    agg.py counts hit the same grid through its own dedupe at the C++ grid
+    level).  `fulfill_tasks` are the directly-scheduled tasks this plan's
+    finalized grid answers (empty for compound carriers — those are read
+    by the compound combine instead)."""
 
     def __init__(self, task, op, value_expr, order_expr, selection_expr, value_as_validity=False):
         self.task = task
@@ -135,6 +144,51 @@ class _AggTaskPlan:
         # only gates inclusion — counting non-null strings without shipping
         # string bytes to the device
         self.value_as_validity = value_as_validity
+        self.fulfill_tasks = []
+
+
+def _canonical_expr(df, expr):
+    """Virtual-column-expanded, AST-round-tripped form: 'v2' aliasing 'v1'
+    canonicalizes to the same string as 'v1' itself."""
+    if expr is None:
+        return None
+    try:
+        from . import expresso
+        from .expression import Expression
+        expanded = Expression(df, str(expr)).expand().expression
+        return expresso.node_to_string(expresso.parse_expression(expanded))
+    except Exception:  # noqa: BLE001 — malformed exprs fail later, loudly
+        return str(expr)
+
+
+def _expr_never_missing(df, expr):
+    """True when `expr` provably yields no missing/NaN values: integer/bool
+    dtype AND every leaf dataset column is a plain (unmasked) array or a
+    device array, with no missing-synthesizing functions in the closure.
+    Used to canonicalize count(v) -> count(*) (same grid, one less plan)."""
+    try:
+        dtype = df.data_type(expr)
+        np_dtype = dtype.numpy
+    except Exception:  # noqa: BLE001
+        return False
+    if not dtype.is_numeric or np_dtype.kind not in "iub":
+        return False
+    try:
+        from . import expresso
+        from .expression import Expression
+        e = Expression(df, str(expr))
+        blocked = {"_map", "map", "hashmap_apply", "_ordinal_values", "_choose"}
+        if blocked & set(expresso.names(e.expand().expression)):
+            return False
+        for dep in e.root_columns():
+            col = df.dataset[dep]
+            if array_types.is_jax_array(col):
+                continue  # device columns carry no mask by construction
+            if not isinstance(col, np.ndarray) or np.ma.isMaskedArray(col):
+                return False
+        return True
+    except Exception:  # noqa: BLE001
+        return False
 
 
 class Run:
@@ -477,30 +531,35 @@ class ExecutorLocal(Executor):
             # compound finalize ON DEVICE: mean/var/std grids combine into one
             # output each, so the packed D2H ships 1 grid instead of 2-3 —
             # the result fetch is the per-query fixed cost (VERDICT r2 #3/#6)
-            consumed = set()
             combined_states = []
             for comp in compounds:
-                consumed.update(comp["plan_idx"])
                 combined_states.append(self._device_combine(
                     comp, [states[i] for i in comp["plan_idx"]]))
-            plain = [(plan, i) for i, plan in enumerate(plans) if i not in consumed]
+            # (plan, state idx, tasks to answer): deduped plans may answer
+            # several identical tasks from one grid; carrier-only plans
+            # (fulfill_tasks empty) are read by the compound combine above
+            plain = [(plan, i, list(plan.fulfill_tasks))
+                     for i, plan in enumerate(plans) if plan.fulfill_tasks]
             # keep_device tasks (device-resident groupby results): post-process
             # and fulfill ON DEVICE — zero bytes of the grid cross the link
             if any(getattr(c["task"], "keep_device", False) for c in compounds) \
-                    or any(getattr(p.task, "keep_device", False) for p, _ in plain):
+                    or any(getattr(t, "keep_device", False)
+                           for _, _, ts in plain for t in ts):
                 keep_comp = [(c, s) for c, s in zip(compounds, combined_states)
                              if getattr(c["task"], "keep_device", False)]
                 fetch_comp = [(c, s) for c, s in zip(compounds, combined_states)
                               if not getattr(c["task"], "keep_device", False)]
                 keep_plain, fetch_plain = [], []
-                for plan, i in plain:
-                    dev = None
-                    if getattr(plan.task, "keep_device", False):
-                        dev = plan.op.finalize_device(states[i])
+                for plan, i, ts in plain:
+                    keep_t = [t for t in ts if getattr(t, "keep_device", False)]
+                    fetch_t = [t for t in ts if not getattr(t, "keep_device", False)]
+                    dev = plan.op.finalize_device(states[i]) if keep_t else None
                     if dev is not None:
-                        keep_plain.append((plan, dev))
+                        keep_plain.extend((plan, t, dev) for t in keep_t)
                     else:
-                        fetch_plain.append((plan, i))
+                        fetch_t = ts  # device finalize unsupported: fetch all
+                    if fetch_t:
+                        fetch_plain.append((plan, i, fetch_t))
                 for comp, cstate in keep_comp:
                     ctask = comp["task"]
                     if comp["args"].get("raw"):
@@ -508,13 +567,13 @@ class ExecutorLocal(Executor):
                         continue
                     self._fulfill(ctask, _shape_device_grid(cstate, ctask.binners,
                                                             ctask.aggregation_description))
-                for plan, dev in keep_plain:
-                    self._fulfill(plan.task, _shape_device_grid(dev, plan.task.binners,
-                                                                plan.task.aggregation_description))
+                for plan, t, dev in keep_plain:
+                    self._fulfill(t, _shape_device_grid(dev, t.binners,
+                                                        t.aggregation_description))
                 compounds = [c for c, _ in fetch_comp]
                 combined_states = [s for _, s in fetch_comp]
                 plain = fetch_plain
-            fetched = packed_device_get(combined_states + [states[i] for _, i in plain])
+            fetched = packed_device_get(combined_states + [states[i] for _, i, _ in plain])
             for comp, raw in zip(compounds, fetched[:len(combined_states)]):
                 ctask = comp["task"]
                 if comp["args"].get("raw"):
@@ -528,15 +587,16 @@ class ExecutorLocal(Executor):
                 if shape:
                     grid = grid[ctask.aggregation_description.get_result_slicing(ctask.binners)]
                 self._fulfill(ctask, grid)
-            for (plan, _), state in zip(plain, fetched[len(combined_states):]):
+            for (plan, _, ts), state in zip(plain, fetched[len(combined_states):]):
                 raw = plan.op.finalize(state)
                 grid_flat = np.asarray(raw)[:-1]  # drop void cell
-                shape = tuple(b.shape for b in plan.task.binners)
-                grid = grid_flat.reshape(shape) if shape else grid_flat[0]
-                desc = plan.task.aggregation_description
-                if shape:
-                    grid = grid[desc.get_result_slicing(plan.task.binners)]
-                self._fulfill(plan.task, grid)
+                for t in ts:
+                    shape = tuple(b.shape for b in t.binners)
+                    grid = grid_flat.reshape(shape) if shape else grid_flat[0]
+                    desc = t.aggregation_description
+                    if shape:
+                        grid = grid[desc.get_result_slicing(t.binners)]
+                    self._fulfill(t, grid)
             for builder in hashmap_builders:
                 self._fulfill(builder.task, builder.finish())
             for t in mapreduce_tasks:
@@ -628,7 +688,13 @@ class ExecutorLocal(Executor):
             else:
                 host_exprs.add(expr)
 
-        for task in agg_tasks:
+        plan_key_index = {}   # dedupe: identical (op, exprs, binners) share one grid
+        plan_of_item = []     # work_item idx -> plan idx (compound remap below)
+        is_carrier = set()
+        for comp in compounds:
+            is_carrier.update(comp["plan_idx"])
+
+        for item_i, task in enumerate(agg_tasks):
             desc = task.aggregation_description
             short = desc.short_name
             value_expr = None
@@ -636,6 +702,10 @@ class ExecutorLocal(Executor):
             value_as_validity = False
             if short == "count":
                 value_expr = None if desc.expression == "*" else desc.expression
+                if value_expr is not None and _expr_never_missing(df, value_expr):
+                    # count(v) over a provably complete int/bool expression
+                    # counts rows: share the bare count(*) grid
+                    value_expr = None
                 if value_expr is not None:
                     dt = df.data_type(value_expr)
                     if not (dt.is_numeric or dt.is_bool or dt.is_temporal):
@@ -680,8 +750,25 @@ class ExecutorLocal(Executor):
                 classify(e)
             for b in task.binners:
                 classify(b.expression)
-            plans.append(_AggTaskPlan(task, op, value_expr, order_expr, selection_expr,
-                                      value_as_validity=value_as_validity))
+            key = (type(op).__name__,
+                   str(np.dtype(op.data_dtype)) if op.data_dtype is not None else None,
+                   getattr(op, "moment", None), getattr(op, "inverted", None),
+                   op.precision,
+                   _canonical_expr(df, value_expr),
+                   _canonical_expr(df, order_expr),
+                   _canonical_expr(df, selection_expr),
+                   value_as_validity, tuple(task.binners))
+            idx = plan_key_index.get(key)
+            if idx is None:
+                idx = len(plans)
+                plan_key_index[key] = idx
+                plans.append(_AggTaskPlan(task, op, value_expr, order_expr, selection_expr,
+                                          value_as_validity=value_as_validity))
+            plan_of_item.append(idx)
+            if item_i not in is_carrier:
+                plans[idx].fulfill_tasks.append(task)
+        for comp in compounds:
+            comp["plan_idx"] = [plan_of_item[i] for i in comp["plan_idx"]]
 
         if df.filtered and expression_is_device_compatible(df, df._filter_expression()):
             classify(df._filter_expression())
