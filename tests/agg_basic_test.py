@@ -135,3 +135,55 @@ def test_first_last(df_local):
     assert df_local.last("y") == 81.0
     firsts = df_local.first("y", binby="x", limits=[0, 10], shape=5)
     assert firsts.tolist() == [0.0, 4.0, 16.0, 36.0, 64.0]
+
+
+def test_minmax_sorted_composite_path(monkeypatch):
+    """High-cardinality small-int min/max takes the composite single-key
+    sort on TPU (gridagg._segment_minmax_composite, the h2o q7 path);
+    forced on here so the CPU suite pins its numerics vs pandas."""
+    import pandas as pd
+    import vaex_tpu.ops.gridagg as gridagg
+
+    monkeypatch.setattr(gridagg, "SORTED_MINMAX_BACKENDS", {"cpu", "tpu"})
+    monkeypatch.setattr(gridagg, "_onehot_cell_limit", lambda: 8)
+
+    n, C = 200_000, 20_000
+    rng = np.random.RandomState(3)
+    for dtype in (np.int8, np.uint8, np.int16):
+        lo, hi = (np.iinfo(dtype).min, np.iinfo(dtype).max)
+        k = rng.randint(0, C, n).astype(np.int32)
+        v = rng.randint(lo, int(hi) + 1, n).astype(dtype)
+        df = vaex.from_arrays(k=k, v=v)
+        res = df.groupby("k", agg={"mx": vaex.agg.max("v"),
+                                   "mn": vaex.agg.min("v")}, sort=True)
+        want = (pd.DataFrame({"k": k, "v": v}).groupby("k")["v"]
+                .agg(["max", "min"]).sort_index())
+        np.testing.assert_array_equal(
+            np.asarray(res["mx"].to_numpy()), want["max"].values)
+        np.testing.assert_array_equal(
+            np.asarray(res["mn"].to_numpy()), want["min"].values)
+
+
+def test_minmax_sorted_composite_masked(monkeypatch):
+    """Masked rows must not contribute to the composite sorted min/max."""
+    import vaex_tpu.ops.gridagg as gridagg
+
+    monkeypatch.setattr(gridagg, "SORTED_MINMAX_BACKENDS", {"cpu", "tpu"})
+    monkeypatch.setattr(gridagg, "_onehot_cell_limit", lambda: 8)
+
+    n, C = 50_000, 5_000
+    rng = np.random.RandomState(4)
+    k = rng.randint(0, C, n).astype(np.int32)
+    data = rng.randint(-128, 128, n).astype(np.int8)
+    mask = rng.rand(n) < 0.5
+    v = np.ma.masked_array(data, mask)
+    df = vaex.from_arrays(k=k, v=v)
+    res = df.groupby("k", agg={"mx": vaex.agg.max("v")}, sort=True)
+    import pandas as pd
+    pdf = pd.DataFrame({"k": k[~mask], "v": data[~mask]})
+    want = pdf.groupby("k")["v"].max()
+    got = res["mx"].to_numpy()
+    keys = np.asarray(res["k"].to_numpy())
+    got_by_key = dict(zip(keys.tolist(), np.asarray(got).tolist()))
+    for kk, wv in want.items():
+        assert got_by_key[kk] == wv

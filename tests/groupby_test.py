@@ -656,3 +656,59 @@ def test_count_not_canonicalized_for_masked_or_float():
     assert np.asarray(g["nm"].to_numpy()).tolist() == [1, 1]
     assert np.asarray(g["nf"].to_numpy()).tolist() == [1, 1]
     assert np.asarray(g["rows"].to_numpy()).tolist() == [2, 2]
+
+
+def test_groupby_aliased_keys_share_grouper():
+    """h2o q10 shape: 6 keys where id2/id4/id5 alias id1 and id6 aliases id3
+    (virtual columns) collapse to TWO groupers; the result still emits all 6
+    label columns in requested order, and the combine is a single int32-key
+    stage instead of a staged 2^72 combine."""
+    import pandas as pd
+
+    n = 50_000
+    rng = np.random.RandomState(1)
+    df = vaex.from_arrays(
+        id1=rng.randint(5, 105, n).astype(np.int8),
+        id3=rng.randint(5, 3005, n).astype(np.int32),
+        v1=rng.randint(5, 15, n).astype(np.int8),
+        v3=rng.normal(0, 1, n).astype(np.float32))
+    for alias, src in (("id2", "id1"), ("id4", "id1"), ("id5", "id1"), ("id6", "id3")):
+        df[alias] = df[src]
+
+    gb = df.groupby(["id1", "id2", "id3", "id4", "id5", "id6"])
+    distinct = gb.parents if gb.combine else gb.by
+    assert len(distinct) == 2, [g.label for g in distinct]
+    assert sorted(distinct[0].alias_labels) == ["id2", "id4", "id5"]
+    assert distinct[1].alias_labels == ["id6"]
+
+    res = gb.agg({"v3": "sum", "v1": "count"})
+    assert res.get_column_names()[:6] == ["id1", "id2", "id3", "id4", "id5", "id6"]
+    r = res.to_pandas_df().sort_values(["id1", "id3"]).reset_index(drop=True)
+    pdf = pd.DataFrame({"id1": df.evaluate("id1"), "id3": df.evaluate("id3"),
+                        "v1": df.evaluate("v1"), "v3": df.evaluate("v3")})
+    w = (pdf.groupby(["id1", "id3"]).agg(v3=("v3", "sum"), v1=("v1", "count"))
+         .reset_index().sort_values(["id1", "id3"]).reset_index(drop=True))
+    assert len(r) == len(w)
+    np.testing.assert_array_equal(r["id2"].values, w["id1"].values)
+    np.testing.assert_array_equal(r["id5"].values, w["id1"].values)
+    np.testing.assert_array_equal(r["id6"].values, w["id3"].values)
+    np.testing.assert_array_equal(r["v1"].values.astype(np.int64), w["v1"].values)
+    np.testing.assert_allclose(r["v3"].values, w["v3"].values, rtol=1e-4)
+
+
+def test_groupby_aliased_keys_sorted_pair():
+    """Two aliased keys with sort=True: single grouper, both label columns,
+    iteration and get_group still see per-requested-key tuples."""
+    k = np.array([3, 1, 2, 1, 3], np.int32)
+    v = np.array([1.0, 2.0, 3.0, 4.0, 5.0], np.float32)
+    df = vaex.from_arrays(a=k, v=v)
+    df["b"] = df["a"]
+    g = df.groupby(["a", "b"], agg={"v": "sum"}, sort=True)
+    assert np.asarray(g["a"].to_numpy()).tolist() == [1, 2, 3]
+    assert np.asarray(g["b"].to_numpy()).tolist() == [1, 2, 3]
+    assert np.asarray(g["v"].to_numpy()).tolist() == [6.0, 3.0, 6.0]
+    gb = df.groupby(["a", "b"])
+    keys = sorted(kk for kk, _ in gb)
+    assert keys == [(1, 1), (2, 2), (3, 3)]
+    sub = gb.get_group([2, 2])
+    assert sub.evaluate("v").tolist() == [3.0]

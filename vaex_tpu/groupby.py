@@ -40,6 +40,11 @@ def _str(e):
 
 
 class BinnerBase:
+    # output label names of requested keys that ALIAS this grouper's
+    # expression (virtual-column aliases like h2o q10's id2/id4/id5 = id1):
+    # the result emits one label column per alias from the shared grouper
+    alias_labels = ()
+
     def supports_device_labels(self):
         """True when this grouper's bin labels can be produced as a device
         array (numeric keys, plain-slice extract_center) — enables the
@@ -435,9 +440,15 @@ class GrouperCombined(Grouper):
     def __init__(self, df, parents, sort=False, ascending=True, row_limit=None):
         Ns = [p.N for p in parents]
         multipliers = np.cumprod([1] + Ns[::-1][:-1])[::-1].astype(np.int64)
+        # int32 combined key when the full product fits: i64 sorts/compares
+        # are EMULATED on TPU — the i32 key makes the discovery sort and the
+        # ordinal binary search native-rate (h2o q10's (id1, id3) combine is
+        # 256 * 2^20 = 2^28)
+        key_dtype = ("int32" if int(multipliers[0]) * max(int(Ns[0]), 1)
+                     < 2**31 - 1 else "int64")
         terms = []
         for p, mult in zip(parents, multipliers):
-            code = f"_astype(({p.binby_expression}), 'int64')"
+            code = f"_astype(({p.binby_expression}), '{key_dtype}')"
             if getattr(p, "min_value", 0):
                 code = f"(({code}) - {p.min_value})"
             terms.append(f"({code}) * {mult}" if mult != 1 else code)
@@ -517,6 +528,14 @@ def _combine_staged(df, groupers, sort, ascending, row_limit):
         remaining.insert(0, combined)
 
 
+def _emit_label(columns, g, values):
+    """One label column per requested key: the grouper's own label plus any
+    aliased keys that share it (GroupByBase key dedupe)."""
+    columns[g.label] = values
+    for a in g.alias_labels:
+        columns[a] = values
+
+
 def _labels_array(labels):
     if any(isinstance(l, str) for l in labels):
         return pa.array(labels)
@@ -547,6 +566,10 @@ def make_grouper(df, by, sort=False, ascending=True, row_limit=None):
 
 
 class GroupByBase:
+    # GroupBy collapses keys that canonicalize to the same expression into
+    # one grouper (see __init__); BinBy keeps one grid axis per requested dim
+    _dedupe_aliased_keys = False
+
     def __init__(self, df, by, sort=False, ascending=True, row_limit=None, combine="auto"):
         self.df_original = df
         self._by_spec = [str(b) for b in (by if isinstance(by, (list, tuple)) else [by])] if by is not None else []
@@ -562,6 +585,25 @@ class GroupByBase:
         by = list(by)
         sorts = sort if isinstance(sort, (list, tuple)) else [sort] * len(by)
         ascendings = ascending if isinstance(ascending, (list, tuple)) else [ascending] * len(by)
+        # aliased keys collapse to ONE grouper (h2o q10: id2/id4/id5 alias
+        # id1 and id6 aliases id3 as virtual columns -> 2 groupers instead
+        # of 6, turning a staged 2^72-key combine into one 2^28 combine);
+        # the result still emits a label column per requested key, copied
+        # from the shared grouper (alias_labels).  GroupBy only: BinBy's
+        # xarray output keeps one axis per requested dim.
+        alias_of = {}
+        if self._dedupe_aliased_keys and len(by) > 1:
+            from .execution import _canonical_expr
+            seen = {}
+            for i, b in enumerate(by):
+                if isinstance(b, BinnerBase):
+                    continue
+                canon = (_canonical_expr(self.df, _str(b)),
+                         bool(sorts[i]), bool(ascendings[i]))
+                if canon in seen:
+                    alias_of[i] = seen[canon]
+                else:
+                    seen[canon] = i
         # build all key hashmaps in ONE streaming pass: schedule delayed
         # hashmap tasks for every plain expression key, execute once, then
         # hand the prebuilt maps to the groupers (reference schedules the
@@ -569,8 +611,8 @@ class GroupByBase:
         prebuilt = {}
         pending = []
         range_pending = {}
-        for b, s, a in zip(by, sorts, ascendings):
-            if isinstance(b, BinnerBase):
+        for i, (b, s, a) in enumerate(zip(by, sorts, ascendings)):
+            if isinstance(b, BinnerBase) or i in alias_of:
                 continue
             expr = _str(b)
             if self.df.is_category(expr):
@@ -599,7 +641,18 @@ class GroupByBase:
                 ranges[expr] = (int(vmin), int(vmax))
             # else: fall through to the hashmap Grouper (extra pass)
         self.by = []
-        for b, s, a in zip(by, sorts, ascendings):
+        by_slot = {}            # original key index -> slot in self.by
+        self._requested_to_by = []
+        for i, (b, s, a) in enumerate(zip(by, sorts, ascendings)):
+            if i in alias_of:
+                g = self.by[by_slot[alias_of[i]]]
+                if not g.alias_labels:
+                    g.alias_labels = []
+                g.alias_labels.append(_str(b))
+                self._requested_to_by.append(by_slot[alias_of[i]])
+                continue
+            by_slot[i] = len(self.by)
+            self._requested_to_by.append(len(self.by))
             if isinstance(b, BinnerBase):
                 self.by.append(b)
                 continue
@@ -632,7 +685,10 @@ class GroupByBase:
                 self.by = [combined]
                 self.combine = True
         self.binners = tuple(g.binner for g in self.by)
-        self.dims = [g.label for g in (self.parents if self.combine else self.by)]
+        self.dims = []
+        for g in (self.parents if self.combine else self.by):
+            self.dims.append(g.label)
+            self.dims.extend(g.alias_labels)
         self.shape = [g.N for g in self.by]
         self.dense = all(getattr(g, "dense", False) for g in self.by)
 
@@ -712,14 +768,30 @@ class GroupByBase:
         self.df.execute()
         return self._extract_center(np.asarray(result.get()))
 
+    def _ordered_result_columns(self, columns):
+        """Key label columns in the originally-requested order (alias dedupe
+        emits canonical-then-alias), then the aggregates."""
+        ordered = {}
+        for name in self._by_spec:
+            if name in columns:
+                ordered[name] = columns.pop(name)
+        ordered.update(columns)
+        return ordered
+
     def __iter__(self):
         counts = self._count_grid()
         mask = counts > 0
         coords = [np.asarray(g.bin_values if not array_types.is_arrow_array(g.bin_values) else g.bin_values.to_pylist(), dtype=object)
                   for g in self.by]
         mesh = np.meshgrid(*[np.arange(len(c)) for c in coords], indexing="ij")
+        # aliased keys (one grouper, several requested keys) repeat the
+        # shared grouper's value in each requested slot
+        slots = getattr(self, "_requested_to_by", None)
+        if slots is None or self.combine:
+            slots = list(range(len(self.by)))
         for flat_idx in zip(*[m[mask] for m in mesh]):
-            values = tuple(coords[d][i] for d, i in enumerate(flat_idx))
+            values = tuple(coords[slots[k]][flat_idx[slots[k]]]
+                           for k in range(len(slots)))
             yield values if len(values) > 1 else values[0], self.get_group(list(values))
 
     @property
@@ -731,16 +803,23 @@ class GroupByBase:
         if not isinstance(group, (list, tuple)):
             group = [group]
         exprs = []
-        for g, value in zip(self.by, group):
+        # one value per REQUESTED key (aliased keys carry equal values, so
+        # filtering on every requested expression stays correct)
+        key_exprs = [g.expression for g in self.by]
+        if len(group) == len(self._by_spec) != len(self.by):
+            key_exprs = self._by_spec
+        for expr, value in zip(key_exprs, group):
             if isinstance(value, str):
-                exprs.append(f'({g.expression} == {value!r})')
+                exprs.append(f'({expr} == {value!r})')
             else:
-                exprs.append(f'({g.expression} == {value})')
+                exprs.append(f'({expr} == {value})')
         return self.df.filter(" & ".join(exprs))
 
 
 class GroupBy(GroupByBase):
     """Reference: groupby.py GroupBy."""
+
+    _dedupe_aliased_keys = True
 
     def agg(self, actions, delay=False):
         # device-resident result frame gate (settings.compute.device_result):
@@ -792,14 +871,14 @@ class GroupBy(GroupByBase):
                 all_present = bool(mask_h.all())
                 idx = None if all_present else jnp.asarray(np.nonzero(mask_h)[0])
             if all_present:
-                columns[g.label] = g.device_labels()
+                _emit_label(columns, g, g.device_labels())
                 columns.update(arrays)
             else:
-                columns[g.label] = g.labels_take_device(idx)
+                _emit_label(columns, g, g.labels_take_device(idx))
                 for key, value in arrays.items():
                     columns[key] = jnp.take(value, idx)
             from . import from_arrays, from_dataset
-            res = from_arrays(**columns)
+            res = from_arrays(**self._ordered_result_columns(columns))
             wrapped = DatasetGroupby(res.dataset, self.df_original, self._by_spec,
                                      actions, sort=self._sort_spec)
             return from_dataset(wrapped)
@@ -819,11 +898,12 @@ class GroupBy(GroupByBase):
                 mask = counts > 0
                 indices = np.nonzero(mask)[0]
                 for parent, pidx in combined.flat_parent_indices():
-                    columns[parent.label] = parent.labels_take(np.asarray(pidx)[indices])
+                    _emit_label(columns, parent,
+                                parent.labels_take(np.asarray(pidx)[indices]))
                 for key, value in arrays.items():
                     columns[key] = value[mask]
             elif self.dense and len(self.by) == 1:
-                columns[self.by[0].label] = _as_column(self.by[0].bin_values)
+                _emit_label(columns, self.by[0], _as_column(self.by[0].bin_values))
                 for key, value in arrays.items():
                     columns[key] = value
             else:
@@ -831,17 +911,17 @@ class GroupBy(GroupByBase):
                 if mask.all():
                     indices_nd = [np.ravel(m) for m in np.meshgrid(*[np.arange(g.N) for g in self.by], indexing="ij")]
                     for g, idx in zip(self.by, indices_nd):
-                        columns[g.label] = g.labels_take(idx)
+                        _emit_label(columns, g, g.labels_take(idx))
                     for key, value in arrays.items():
                         columns[key] = value.ravel()
                 else:
                     where = np.where(mask)
                     for g, idx in zip(self.by, where):
-                        columns[g.label] = g.labels_take(idx)
+                        _emit_label(columns, g, g.labels_take(idx))
                     for key, value in arrays.items():
                         columns[key] = value[mask]
             from . import from_arrays, from_dataset
-            res = from_arrays(**columns)
+            res = from_arrays(**self._ordered_result_columns(columns))
             wrapped = DatasetGroupby(res.dataset, self.df_original, self._by_spec,
                                      actions, sort=self._sort_spec)
             return from_dataset(wrapped)
