@@ -507,6 +507,18 @@ class _DeviceUniqueBuilder:
                 os.environ.get("VAEX_TPU_DEVICE_UNIQUE_MAX_BYTES", "2GB")))
         return cls.MAX_BYTES
 
+    MAX_DEVICE_BYTES = None
+
+    @classmethod
+    def device_max_bytes(cls):
+        """Cap for already-device-resident columns (sort scratch bound; no
+        H2D involved): 12GB default on a 16GB-HBM chip."""
+        if cls.MAX_DEVICE_BYTES is None:
+            import os
+            cls.MAX_DEVICE_BYTES = int(utils.parse_memory_size(
+                os.environ.get("VAEX_TPU_DEVICE_UNIQUE_MAX_DEVICE_BYTES", "12GB")))
+        return cls.MAX_DEVICE_BYTES
+
     @classmethod
     def eligible(cls, task):
         df = task.df
@@ -522,6 +534,16 @@ class _DeviceUniqueBuilder:
             return False
         if expr in df.dataset:
             col = df.dataset[expr]
+            if array_types.is_jax_array(col):
+                # device-resident integer columns: ALWAYS build on device —
+                # any host path pays a full-column D2H first (1e9 i32 = 4GB
+                # over the link), and device columns carry no missing mask.
+                # Bound by the sort scratch, not the H2D cap below.
+                if dtype.numpy.kind not in "iu" and not dtype.is_temporal:
+                    return False
+                rows_d = df._length_unfiltered
+                return rows_d * max(dtype.numpy.itemsize, 4) * 3 <= \
+                    cls.device_max_bytes()
             if not isinstance(col, np.ndarray) or np.ma.isMaskedArray(col):
                 return False
         else:
@@ -561,6 +583,19 @@ class _DeviceUniqueBuilder:
             return
         expr = self.task.expression
         plain = expr in chunks
+        if plain and array_types.is_jax_array(chunks[expr]):
+            # device-resident column: no host probe, no D2H — append the
+            # chunk slice as-is (the range-count/sort decision happens at
+            # finish(), where the whole column's span is known)
+            part = chunks[expr]
+            self._parts.append(part)
+            if filter_mask_host is not None:
+                fm = jax.device_put(np.ascontiguousarray(filter_mask_host))
+                self._valids.append(jnp.asarray(fm))
+                self._any_invalid = True
+            else:
+                self._valids.append(None)
+            return
         host_values = np.asarray(chunks[expr]) if plain else None
         if not self._parts and get_host_scope is not None:
             # first chunk: probe cardinality on host — low-cardinality keys
@@ -673,10 +708,15 @@ class _DeviceUniqueBuilder:
             hm._finalize_indices()
             return hm
         cat = jnp.concatenate(self._parts)
+        valid = None
         if self._any_invalid:
             valid = jnp.concatenate([
                 v if v is not None else jnp.ones(p.shape[0], bool)
                 for p, v in zip(self._parts, self._valids)])
+        keys_fast = self._range_count_keys(cat, valid)
+        if keys_fast is not None:
+            return self._build_result(keys_fast)
+        if valid is not None:
             # 2-key sort (validity major): invalid rows land at the end
             # regardless of value — no in-band sentinel that could collide
             inv_s, s = jax.lax.sort((~valid, cat), num_keys=2)
@@ -708,6 +748,62 @@ class _DeviceUniqueBuilder:
             return jnp.zeros(k + 1, s.dtype).at[tgt].set(s)[:k]
 
         keys = np.asarray(jax.device_get(compact(s, first, max(count, 1))))[:count]
+        return self._build_result(keys)
+
+    # int keys whose observed span fits a count grid skip the sort entirely:
+    # one flat-cell count pass (Pallas MXU on TPU, ~2B rows/s) and the keys
+    # are min + nonzero cells.  This is what makes `unique`/`value_counts`
+    # on a 1e9-row device column interactive (the sort path is ~80M rows/s
+    # at that scale; the old host fallback paid a 4GB D2H first).
+    RANGE_COUNT_CELLS = 1 << 20
+
+    def _range_count_keys(self, cat, valid):
+        import jax
+        import jax.numpy as jnp
+        np_dt = np.dtype(str(cat.dtype))
+        if np_dt.kind not in "iu" or self._f64_keys:
+            return None
+        if valid is None:
+            if not cat.shape[0]:
+                return None
+            vmin = int(jax.device_get(jnp.min(cat)))
+            vmax = int(jax.device_get(jnp.max(cat)))
+        else:
+            if not bool(jax.device_get(jnp.any(valid))):
+                return None
+            big, small = np.iinfo(np_dt).max, np.iinfo(np_dt).min
+            vmin = int(jax.device_get(jnp.min(jnp.where(valid, cat, big))))
+            vmax = int(jax.device_get(jnp.max(jnp.where(valid, cat, small))))
+        span = vmax - vmin + 1
+        if not (0 < span <= self.RANGE_COUNT_CELLS):
+            return None
+        # power-of-two bucket: spans in the same bucket share one compile
+        C = max(64, 1 << (span - 1).bit_length())
+
+        @functools.partial(jax.jit, static_argnames=("C",))
+        def present(cat, valid, vmin0, C):
+            c = (cat.astype(jnp.int64) - vmin0).astype(jnp.int32)
+            if valid is not None:
+                c = jnp.where(valid, c, -1)
+            from .ops import pallas_gridagg
+            if jax.default_backend() == "tpu" and pallas_gridagg.available():
+                cnt, _ = pallas_gridagg.histflat_grid(c, (), C, with_count=True)
+            else:
+                routed = jnp.where(c >= 0, c, C)
+                cnt = jnp.zeros(C + 1, jnp.int32).at[routed].add(1)[:C]
+            return cnt > 0
+        mask = np.asarray(jax.device_get(
+            present(cat, valid, jnp.int64(vmin), C)))[:span]
+        idx = np.nonzero(mask)[0]
+        if self.limit is not None and len(idx) > self.limit:
+            if self.limit_raise:
+                from . import RowLimitException
+                raise RowLimitException(
+                    f"number of unique values {len(idx)} exceeds limit {self.limit}")
+            idx = idx[:self.limit]
+        return (vmin + idx).astype(np_dt, copy=False)
+
+    def _build_result(self, keys):
         np_dtype = self.dtype.numpy if not self.dtype.is_temporal else np.dtype("int64")
         hm = HashMapUnique(self.dtype)
         hm._native = None
@@ -715,8 +811,8 @@ class _DeviceUniqueBuilder:
             # decode the order-preserving i64 keys back to f64 (ascending
             # key order == ascending float order, gridagg._key_to_f64)
             from .ops.gridagg import _key_to_f64
-            keys = _key_to_f64(keys)
-        hm._keys = keys.astype(np_dtype, copy=False)
+            keys = _key_to_f64(np.asarray(keys))
+        hm._keys = np.asarray(keys).astype(np_dtype, copy=False)
         hm._sorted_cache = (hm._keys, np.arange(len(hm._keys), dtype=np.int64))
         if self._saw_nan:
             hm.nan_index = -2
