@@ -138,9 +138,10 @@ def test_first_last(df_local):
 
 
 def test_minmax_sorted_composite_path(monkeypatch):
-    """High-cardinality small-int min/max takes the composite single-key
-    sort on TPU (gridagg._segment_minmax_composite, the h2o q7 path);
-    forced on here so the CPU suite pins its numerics vs pandas."""
+    """High-cardinality small-int min/max numerics vs pandas with the
+    sorted-backend routing forced on (the TPU decision point; the composite
+    single-key sort was tried and REVERTED — scatter-min/max is faster on
+    the chip for <=32-bit dtypes, h2o q7 measured 2.98s vs 5.48s)."""
     import pandas as pd
     import vaex_tpu.ops.gridagg as gridagg
 

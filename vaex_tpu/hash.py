@@ -558,7 +558,9 @@ class _DeviceUniqueBuilder:
                 if name not in df.dataset:
                     return False
                 col = df.dataset[name]
-                if not isinstance(col, np.ndarray) or np.ma.isMaskedArray(col):
+                if not (array_types.is_jax_array(col)
+                        or (isinstance(col, np.ndarray)
+                            and not np.ma.isMaskedArray(col))):
                     return False
                 ct = df.data_type(name)
                 if not (ct.is_temporal or ct.is_numeric or ct.is_bool):
@@ -687,7 +689,20 @@ class _DeviceUniqueBuilder:
         from .scopes import DeviceScope
         df = self.task.df
         names = sorted(Expression(df, self.task.expression).root_columns())
-        cols = {n: self._put_cached(n, np.asarray(chunks[n]), cache_key) for n in names}
+        L = cache_key[3] if cache_key is not None else None
+        cols = {}
+        for n in names:
+            raw = chunks[n]
+            if array_types.is_jax_array(raw):
+                # device-resident root: no D2H round trip; pad to the cache
+                # bucket length so mixed host/device roots shape-agree
+                if L is not None and raw.shape[0] != L:
+                    import jax.numpy as jnp
+                    raw = jnp.concatenate(
+                        [raw, jnp.zeros(L - raw.shape[0], raw.dtype)])
+                cols[n] = raw
+            else:
+                cols[n] = self._put_cached(n, np.asarray(raw), cache_key)
         if not hasattr(self, "_eval_jit"):
             expr = self.task.expression
 
