@@ -894,8 +894,27 @@ class ExecutorLocal(Executor):
             key = ("hashtab", hm.fingerprint, multiproc)
             cached = _device_cache.get(key)
             if cached is None:
-                skeys, perm, meta = hm.device_table_arrays()
-                cached = (place(skeys), place(perm), place(meta))
+                dev = hm._device_sorted_keys
+                spec = hm.device_table_spec()
+                if (dev is not None and not multiproc
+                        and dev.shape[0] == spec["bucket"]
+                        and str(dev.dtype) == spec["dtype"]):
+                    # device-built table (ascending by construction): reuse
+                    # the resident keys and synthesize the identity perm on
+                    # device — zero H2D bytes for the table (the padded host
+                    # copy of a 63M-key table is ~500MB over a ~35MB/s link)
+                    import jax.numpy as jnp
+                    meta = hm.device_table_meta()
+                    # identity perm, clamped so the padded tail repeats the
+                    # last code (the broadcast-equality branch takes max over
+                    # duplicate matches — it must be uniform there)
+                    perm_dev = jnp.minimum(
+                        jnp.arange(spec["bucket"], dtype=jnp.int32),
+                        np.int32(max(hm.count - 1, 0)))
+                    cached = (dev, perm_dev, place(meta))
+                else:
+                    skeys, perm, meta = hm.device_table_arrays()
+                    cached = (place(skeys), place(perm), place(meta))
                 _device_cache.put(key, cached)
             out[f"__hashtab_{name}_k__"] = cached[0]
             out[f"__hashtab_{name}_p__"] = cached[1]

@@ -34,6 +34,11 @@ from .datatype import DataType
 class HashMapUnique:
     """Reference: vaex/hash.py:63."""
 
+    # device-resident ascending key table padded to the runtime-table bucket
+    # (set by _DeviceUniqueBuilder): the executor's dynamic-table inputs use
+    # it directly, skipping the padded-host-copy H2D
+    _device_sorted_keys = None
+
     def __init__(self, dtype, limit=None):
         self.dtype = DataType(dtype)
         self.limit = limit
@@ -314,6 +319,14 @@ class HashMapUnique:
         bucket = max(64, 1 << (n - 1).bit_length()) if n else 0
         dtype = "int32" if i32 else str(np.dtype(sorted_keys.dtype))
         return dict(dtype=dtype, bucket=bucket, i32=i32)
+
+    def device_table_meta(self):
+        """meta=[nan_index, null_index, tmin, tmax] i64 for the runtime-table
+        inputs (shared by the host-padded and device-resident key paths)."""
+        sorted_keys, _, i32 = self._device_table_plan()
+        tmin = int(sorted_keys[0]) if i32 and len(sorted_keys) else 0
+        tmax = int(sorted_keys[-1]) if i32 and len(sorted_keys) else 0
+        return np.array([self.nan_index, self.null_index, tmin, tmax], np.int64)
 
     def device_table_arrays(self):
         """Padded host arrays for the runtime-table inputs: (keys, perm,
@@ -762,8 +775,23 @@ class _DeviceUniqueBuilder:
             tgt = jnp.where(first & (pos < k), pos, k)
             return jnp.zeros(k + 1, s.dtype).at[tgt].set(s)[:k]
 
-        keys = np.asarray(jax.device_get(compact(s, first, max(count, 1))))[:count]
-        return self._build_result(keys)
+        # power-of-two bucket for the compaction width: a static k equal to
+        # the exact unique count would recompile for every dataset (remote
+        # XLA compiles are ~30s; q10's combined-key discovery paid several)
+        k_pad = max(64, 1 << (max(count, 1) - 1).bit_length())
+        dev_keys = compact(s, first, k_pad)
+        keys = np.asarray(jax.device_get(dev_keys))[:count]
+        hm = self._build_result(keys)
+        if count and k_pad == max(64, 1 << (count - 1).bit_length()):
+            # stash the device-resident sorted keys, padded to the runtime-
+            # table bucket by repeating the LAST key (compact's tail is
+            # zeros): the executor's dynamic-table inputs reuse this array
+            # directly instead of re-uploading the padded host copy — at 63M
+            # combined keys over a ~35MB/s tunnel that upload alone is ~8s
+            last = dev_keys[max(count - 1, 0)]
+            hm._device_sorted_keys = jnp.where(
+                jnp.arange(k_pad, dtype=jnp.int32) < count, dev_keys, last)
+        return hm
 
     # int keys whose observed span fits a count grid skip the sort entirely:
     # one flat-cell count pass (Pallas MXU on TPU, ~2B rows/s) and the keys
