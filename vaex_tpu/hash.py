@@ -445,6 +445,13 @@ class HashMapUnique:
             return new, new.keys()
         return new
 
+    def __getstate__(self):
+        # the device-resident key table is a per-process accelerator cache:
+        # pickling it would serialize the whole padded HBM array
+        state = dict(self.__dict__)
+        state.pop("_device_sorted_keys", None)
+        return state
+
     def encode(self, encoding):
         keys = self._keys if not self._is_string else list(self._keys)
         return dict(dtype=str(self.dtype), keys=np.asarray(keys).tolist() if not self._is_string else keys,
