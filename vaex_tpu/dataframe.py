@@ -2216,8 +2216,13 @@ class DataFrameLocal(DataFrame):
         if invalid is not None:
             mask = mask & ~invalid  # missing never selects (reference semantics)
         count = int(mask.sum())  # the only host sync: one scalar
-        idx = jnp.nonzero(mask, size=count, fill_value=0)[0].astype(jnp.int64)
-        return idx + i0 if i0 else idx
+        # int32 indices whenever they fit: with x64 on, i64 gathers are
+        # EMULATED on TPU — the taxi join's 1e8-row take ran ~20x slower
+        # through an i64 index vector
+        end = self._index_end
+        idx_dtype = jnp.int32 if end < 2**31 - 1 else jnp.int64
+        idx = jnp.nonzero(mask, size=count, fill_value=0)[0].astype(idx_dtype)
+        return idx + idx_dtype(i0) if i0 else idx
 
     def extract(self):
         """Drop filtered-out rows & inactive range → compact dataframe

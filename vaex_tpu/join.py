@@ -308,7 +308,9 @@ def join(df, other, on=None, left_on=None, right_on=None, lprefix="", rprefix=""
             if how == "inner":
                 matched = device_lookup != -1
                 if not bool(matched.all()):
-                    keep_idx = jnp.nonzero(matched)[0]
+                    # i32 indices: with x64 on, i64 gathers are emulated on
+                    # TPU (~20x slower at 1e8 rows)
+                    keep_idx = jnp.nonzero(matched)[0].astype(jnp.int32)
                     left = left.take(keep_idx, filtered=False)
                     device_lookup = jnp.take(device_lookup, keep_idx)
                 lookup, masked = device_lookup, False
