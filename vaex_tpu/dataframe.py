@@ -2216,13 +2216,25 @@ class DataFrameLocal(DataFrame):
         if invalid is not None:
             mask = mask & ~invalid  # missing never selects (reference semantics)
         count = int(mask.sum())  # the only host sync: one scalar
-        # int32 indices whenever they fit: with x64 on, i64 gathers are
-        # EMULATED on TPU — the taxi join's 1e8-row take ran ~20x slower
-        # through an i64 index vector
-        end = self._index_end
-        idx_dtype = jnp.int32 if end < 2**31 - 1 else jnp.int64
-        idx = jnp.nonzero(mask, size=count, fill_value=0)[0].astype(idx_dtype)
-        return idx + idx_dtype(i0) if i0 else idx
+        # int32 compaction throughout: with x64 on, jnp.nonzero builds its
+        # index vector in EMULATED int64 (iota/cumsum/scatter all i64) —
+        # measured ~17s for 1e8 rows on the chip vs ~2s for the explicit
+        # i32 cumsum+scatter below (the taxi join wall)
+        if self._index_end < 2**31 - 1:
+            import jax as _jax
+
+            @_jax.jit
+            def _compact32(mask):
+                n = mask.shape[0]
+                rows32 = _jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+                pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+                tgt = jnp.where(mask & (pos < count), pos, count)
+                return jnp.zeros(count + 1, jnp.int32).at[tgt].set(rows32)[:count]
+
+            idx = _compact32(mask)
+            return idx + jnp.int32(i0) if i0 else idx
+        idx = jnp.nonzero(mask, size=count, fill_value=0)[0].astype(jnp.int64)
+        return idx + i0 if i0 else idx
 
     def extract(self):
         """Drop filtered-out rows & inactive range → compact dataframe
