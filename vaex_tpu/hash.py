@@ -765,15 +765,15 @@ class _DeviceUniqueBuilder:
             hm = HashMapUnique(self.dtype)
             hm._finalize_indices()
             return hm
+        keys_fast = self._range_count_keys()
+        if keys_fast is not None:
+            return self._build_result(keys_fast)
         cat = jnp.concatenate(self._parts)
         valid = None
         if self._any_invalid:
             valid = jnp.concatenate([
                 v if v is not None else jnp.ones(p.shape[0], bool)
                 for p, v in zip(self._parts, self._valids)])
-        keys_fast = self._range_count_keys(cat, valid)
-        if keys_fast is not None:
-            return self._build_result(keys_fast)
         if valid is not None:
             # 2-key sort (validity major): invalid rows land at the end
             # regardless of value — no in-band sentinel that could collide
@@ -830,23 +830,37 @@ class _DeviceUniqueBuilder:
     # at that scale; the old host fallback paid a 4GB D2H first).
     RANGE_COUNT_CELLS = 1 << 20
 
-    def _range_count_keys(self, cat, valid):
+    def _range_count_keys(self):
+        """Streaming per-part presence: NO concat of the parts (a 1e9 i32
+        column would copy 4GB) and NO full-length int64 temporaries (the
+        x64 cast of 1e9 rows is 8GB and OOMed a 16GB chip)."""
         import jax
         import jax.numpy as jnp
-        np_dt = np.dtype(str(cat.dtype))
+        np_dt = np.dtype(str(self._parts[0].dtype))
         if np_dt.kind not in "iu" or self._f64_keys:
             return None
-        if valid is None:
-            if not cat.shape[0]:
-                return None
-            vmin = int(jax.device_get(jnp.min(cat)))
-            vmax = int(jax.device_get(jnp.max(cat)))
-        else:
-            if not bool(jax.device_get(jnp.any(valid))):
-                return None
-            big, small = np.iinfo(np_dt).max, np.iinfo(np_dt).min
-            vmin = int(jax.device_get(jnp.min(jnp.where(valid, cat, big))))
-            vmax = int(jax.device_get(jnp.max(jnp.where(valid, cat, small))))
+
+        big = np.iinfo(np_dt).max
+        small = np.iinfo(np_dt).min
+
+        @jax.jit
+        def part_minmax(v, valid):
+            if valid is not None:
+                mn = jnp.min(jnp.where(valid, v, np_dt.type(big)))
+                mx = jnp.max(jnp.where(valid, v, np_dt.type(small)))
+                return mn, mx, jnp.any(valid)
+            return jnp.min(v), jnp.max(v), jnp.asarray(v.shape[0] > 0)
+
+        vmin, vmax, any_valid = big, small, False
+        pending = [part_minmax(p, va) for p, va in zip(self._parts, self._valids)
+                   if p.shape[0]]
+        for mn, mx, av in pending:
+            if bool(jax.device_get(av)):
+                any_valid = True
+                vmin = min(vmin, int(jax.device_get(mn)))
+                vmax = max(vmax, int(jax.device_get(mx)))
+        if not any_valid:
+            return None
         span = vmax - vmin + 1
         if not (0 < span <= self.RANGE_COUNT_CELLS):
             return None
@@ -854,8 +868,15 @@ class _DeviceUniqueBuilder:
         C = max(64, 1 << (span - 1).bit_length())
 
         @functools.partial(jax.jit, static_argnames=("C",))
-        def present(cat, valid, vmin0, C):
-            c = (cat.astype(jnp.int64) - vmin0).astype(jnp.int32)
+        def present(v, valid, vmin0, C):
+            # subtract in the narrowest safe width: <=16-bit widens to i32,
+            # i32 subtracts in i32 (invalid rows are pre-substituted with
+            # vmin so the difference always lies in [0, span)), i64 in i64
+            w = v.astype(jnp.int32) if np_dt.itemsize <= 2 else v
+            vm = vmin0.astype(w.dtype)
+            if valid is not None:
+                w = jnp.where(valid, w, vm)
+            c = (w - vm).astype(jnp.int32)
             if valid is not None:
                 c = jnp.where(valid, c, -1)
             from .ops import pallas_gridagg
@@ -865,8 +886,15 @@ class _DeviceUniqueBuilder:
                 routed = jnp.where(c >= 0, c, C)
                 cnt = jnp.zeros(C + 1, jnp.int32).at[routed].add(1)[:C]
             return cnt > 0
-        mask = np.asarray(jax.device_get(
-            present(cat, valid, jnp.int64(vmin), C)))[:span]
+
+        acc = None
+        vmin_arr = jnp.asarray(vmin, dtype=np_dt if np_dt.itemsize > 2 else np.int32)
+        for p, va in zip(self._parts, self._valids):
+            if not p.shape[0]:
+                continue
+            pres = present(p, va, vmin_arr, C)
+            acc = pres if acc is None else (acc | pres)
+        mask = np.asarray(jax.device_get(acc))[:span]
         idx = np.nonzero(mask)[0]
         if self.limit is not None and len(idx) > self.limit:
             if self.limit_raise:
