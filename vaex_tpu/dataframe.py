@@ -1404,10 +1404,16 @@ class DataFrame:
         """(keys_list, counts) using a hashmap pass + ordinal-binned count."""
         expression = _ensure_string_expression(expression)
         hashmap = self._hash_map_unique(expression)
-        var = self.add_variable("hashmap_", hashmap, unique=True)
         n = hashmap.count
-        counts = self.count(binby=f"_ordinal_values({expression}, {var})",
-                            limits=[0, max(n, 1)], shape=max(n, 1))
+        counts = getattr(hashmap, "_key_counts", None)
+        if counts is None:
+            # generic path: one more count pass binned by ordinal code.  The
+            # device range-count build stashes the counts on the hashmap, so
+            # integer keys skip this entirely (at 1e9 rows the extra pass was
+            # 4/5ths of value_counts' wall time).
+            var = self.add_variable("hashmap_", hashmap, unique=True)
+            counts = self.count(binby=f"_ordinal_values({expression}, {var})",
+                                limits=[0, max(n, 1)], shape=max(n, 1))
         keys = hashmap.keys()
         keys_list = keys.tolist() if hasattr(keys, "tolist") else list(keys)
         # replace masked entry with None

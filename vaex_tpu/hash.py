@@ -38,6 +38,10 @@ class HashMapUnique:
     # (set by _DeviceUniqueBuilder): the executor's dynamic-table inputs use
     # it directly, skipping the padded-host-copy H2D
     _device_sorted_keys = None
+    # per-key occurrence counts aligned with keys() order (set by the range-
+    # count build, which gets them for free): value_counts() consumes these
+    # instead of paying a second full count pass over the data
+    _key_counts = None
 
     def __init__(self, dtype, limit=None):
         self.dtype = DataType(dtype)
@@ -537,6 +541,7 @@ class _DeviceUniqueBuilder:
         self._any_invalid = False
         self._host_fallback = None  # set when the cardinality probe says host
         self._saw_nan = False   # float keys: NaN rows excluded, nan_index set
+        self._range_counts = None  # per-key counts from the range-count pass
         # f64 keys sort as order-preserving i64 (exact; device f64 compares
         # are dd-emulated with ulp noise AND the f64 H2D itself is lossy —
         # the transform runs host-side at memory bandwidth, gridagg._f64_to_key)
@@ -767,7 +772,10 @@ class _DeviceUniqueBuilder:
             return hm
         keys_fast = self._range_count_keys()
         if keys_fast is not None:
-            return self._build_result(keys_fast)
+            hm = self._build_result(keys_fast)
+            if self._range_counts is not None:
+                hm._key_counts = self._range_counts
+            return hm
         cat = jnp.concatenate(self._parts)
         valid = None
         if self._any_invalid:
@@ -830,10 +838,46 @@ class _DeviceUniqueBuilder:
     # at that scale; the old host fallback paid a 4GB D2H first).
     RANGE_COUNT_CELLS = 1 << 20
 
+    # target element count per grouped device call: each dispatch over the
+    # tunnel has a fixed RTT cost, so the 1e9-row build in 8M chunks pays
+    # ~120 RTTs per pass if driven per-part; concatenating parts into ~64M-
+    # element groups (<=512MB i64 scratch, never a full-column copy) brings
+    # that to ~16 dispatches total
+    GROUP_ELEMS = 64 << 20
+
+    def _iter_part_groups(self):
+        """Yield (values, valid|None) with per-chunk parts concatenated into
+        ~GROUP_ELEMS groups (one device concat per group, freed after use)."""
+        import jax.numpy as jnp
+
+        def flush(group, gval):
+            v = group[0] if len(group) == 1 else jnp.concatenate(group)
+            if any(x is not None for x in gval):
+                va = gval[0] if len(group) == 1 else jnp.concatenate([
+                    x if x is not None else jnp.ones(p.shape[0], bool)
+                    for p, x in zip(group, gval)])
+            else:
+                va = None
+            return v, va
+
+        group, gval, elems = [], [], 0
+        for p, va in zip(self._parts, self._valids):
+            if not p.shape[0]:
+                continue
+            group.append(p)
+            gval.append(va)
+            elems += p.shape[0]
+            if elems >= self.GROUP_ELEMS:
+                yield flush(group, gval)
+                group, gval, elems = [], [], 0
+        if group:
+            yield flush(group, gval)
+
     def _range_count_keys(self):
-        """Streaming per-part presence: NO concat of the parts (a 1e9 i32
-        column would copy 4GB) and NO full-length int64 temporaries (the
-        x64 cast of 1e9 rows is 8GB and OOMed a 16GB chip)."""
+        """Streaming grouped counts: NO full-column concat (a 1e9 i32 column
+        would copy 4GB) and NO full-length int64 temporaries (the x64 cast of
+        1e9 rows is 8GB and OOMed a 16GB chip).  The per-cell counts come out
+        of the same pass for free and are stashed for value_counts()."""
         import jax
         import jax.numpy as jnp
         np_dt = np.dtype(str(self._parts[0].dtype))
@@ -852,10 +896,8 @@ class _DeviceUniqueBuilder:
             return jnp.min(v), jnp.max(v), jnp.asarray(v.shape[0] > 0)
 
         vmin, vmax, any_valid = big, small, False
-        pending = [part_minmax(p, va) for p, va in zip(self._parts, self._valids)
-                   if p.shape[0]]
-        # ONE batched fetch: a per-part device_get is a tunnel round trip
-        # each (~120 RTTs for a 1e9-row column in 8M chunks)
+        pending = [part_minmax(v, va) for v, va in self._iter_part_groups()]
+        # ONE batched fetch: a per-group device_get is a tunnel round trip each
         for mn, mx, av in jax.device_get(pending):
             if bool(av):
                 any_valid = True
@@ -870,7 +912,7 @@ class _DeviceUniqueBuilder:
         C = max(64, 1 << (span - 1).bit_length())
 
         @functools.partial(jax.jit, static_argnames=("C",))
-        def present(v, valid, vmin0, C):
+        def cell_counts(v, valid, vmin0, C):
             # subtract in the narrowest safe width: <=16-bit widens to i32,
             # i32 subtracts in i32 (invalid rows are pre-substituted with
             # vmin so the difference always lies in [0, span)), i64 in i64
@@ -887,23 +929,24 @@ class _DeviceUniqueBuilder:
             else:
                 routed = jnp.where(c >= 0, c, C)
                 cnt = jnp.zeros(C + 1, jnp.int32).at[routed].add(1)[:C]
-            return cnt > 0
+            # accumulate in i64: at 1e9+ rows a single hot cell can overflow
+            # the per-group i32 count only across groups, never within one
+            return cnt.astype(jnp.int64)
 
         acc = None
         vmin_arr = jnp.asarray(vmin, dtype=np_dt if np_dt.itemsize > 2 else np.int32)
-        for p, va in zip(self._parts, self._valids):
-            if not p.shape[0]:
-                continue
-            pres = present(p, va, vmin_arr, C)
-            acc = pres if acc is None else (acc | pres)
-        mask = np.asarray(jax.device_get(acc))[:span]
-        idx = np.nonzero(mask)[0]
+        for v, va in self._iter_part_groups():
+            cnt = cell_counts(v, va, vmin_arr, C)
+            acc = cnt if acc is None else acc + cnt
+        counts_np = np.asarray(jax.device_get(acc))[:span]
+        idx = np.nonzero(counts_np)[0]
         if self.limit is not None and len(idx) > self.limit:
             if self.limit_raise:
                 from . import RowLimitException
                 raise RowLimitException(
                     f"number of unique values {len(idx)} exceeds limit {self.limit}")
             idx = idx[:self.limit]
+        self._range_counts = counts_np[idx]
         return (vmin + idx).astype(np_dt, copy=False)
 
     def _build_result(self, keys):
